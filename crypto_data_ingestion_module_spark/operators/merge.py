@@ -1,0 +1,43 @@
+"""Union + keep-last merge (D3 + D1 + D2) — the reference's per-file
+read → concat → sort → drop_duplicates(keep='last') pipeline
+(crypto_collector.py:542-553) as one DataFrame expression.
+
+``existing`` rows get ingest sequence 0, ``incoming`` rows 1 (+ their own
+intra-batch order if provided), so re-delivered keys resolve to the newest
+arrival — MERGE-style keep-last upsert, not blind append.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from crypto_data_ingestion_module_spark.operators.dedup import dedup_keep_last
+
+INGEST_SEQ = "_ingest_seq"
+
+
+def merge_keep_last(
+    existing: DataFrame | None,
+    incoming: DataFrame,
+    keys: Sequence[str],
+) -> DataFrame:
+    """Merge ``incoming`` over ``existing``; newest arrival wins per key.
+
+    Either side may already carry an ``_ingest_seq`` column (monotone
+    arrival order); if absent one is synthesized (existing=0, incoming=1).
+    The result keeps ``_ingest_seq`` so successive merges stay ordered.
+    """
+    def _seq(df: DataFrame, base: int) -> DataFrame:
+        if INGEST_SEQ in df.columns:
+            return df
+        return df.withColumn(INGEST_SEQ, F.lit(base).cast("long"))
+
+    incoming = _seq(incoming, 1)
+    if existing is None:
+        combined = incoming
+    else:
+        combined = _seq(existing, 0).unionByName(incoming, allowMissingColumns=True)
+    return dedup_keep_last(combined, keys, INGEST_SEQ)

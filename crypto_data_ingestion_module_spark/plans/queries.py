@@ -1,0 +1,629 @@
+"""Query registry: every implemented operator from SURVEY.md §2 as a
+(PySpark builder, DuckDB oracle SQL) pair.
+
+Cross-engine determinism rules (the driver hash-compares values):
+
+- Double SUMs go through ``DECIMAL(38,10)`` in BOTH engines: per-row double
+  arithmetic is IEEE-identical everywhere, and decimal addition is exact,
+  so aggregation order (Spark partial aggs vs DuckDB) cannot change the
+  result.  AVG = exact decimal sum cast to double, divided by count.
+- Every first/last/top-k pick is ordered by a key that is unique within
+  its group (or a struct tie-break), never "whatever comes first".
+- Window starts are integer math on epoch millis (``floor(ms/ivl)*ivl``),
+  identical in any engine, rather than engine-specific bucketing fns.
+- All computed columns are aliased identically in Spark and SQL.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from crypto_data_ingestion_module_spark.functions import symbols as sym
+from crypto_data_ingestion_module_spark.functions.timeutil import (
+    bucket_start,
+    interval_ms_col,
+    should_collect,
+)
+from crypto_data_ingestion_module_spark.operators.dedup import dedup_keep_last
+from crypto_data_ingestion_module_spark.operators.merge import merge_keep_last
+from crypto_data_ingestion_module_spark.operators.resample import resample_ohlcv
+from crypto_data_ingestion_module_spark.session import configure, load_table
+
+
+@dataclass
+class QuerySpec:
+    """One oracle-checkable query."""
+
+    name: str
+    survey_ids: tuple[str, ...]
+    description: str
+    spark: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None = None  # ANSI SQL for DuckDB; None → rows-only check
+    tags: tuple[str, ...] = field(default_factory=tuple)
+
+
+QUERY_SPECS: dict[str, QuerySpec] = {}
+
+
+def _register(spec: QuerySpec) -> None:
+    assert spec.name not in QUERY_SPECS, spec.name
+    QUERY_SPECS[spec.name] = spec
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    def _wrap(spec: QuerySpec):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            configure(spark)  # UTC session tz — required for oracle parity
+            return spec.spark(spark, sf_dir)
+
+        return run
+
+    return {name: _wrap(spec) for name, spec in QUERY_SPECS.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {n: s.oracle for n, s in QUERY_SPECS.items() if s.oracle is not None}
+
+
+# --------------------------------------------------------------------------
+# shared expression helpers
+# --------------------------------------------------------------------------
+
+def dsum(c: Column) -> Column:
+    """Order-insensitive, engine-exact sum of doubles.
+
+    Fixed-point policy: values are rounded to micro-units (1e-6) before
+    summing, and the sum is exact DECIMAL(38,0) integer arithmetic.  A
+    plain double sum varies with aggregation order; a double→DECIMAL(s>0)
+    cast rounds *differently* in Spark (exact binary expansion, HALF_UP)
+    vs DuckDB (multiply by 10^s in double) — measured 6e-8 drift at sf0.01.
+    ``round(x*1e6)`` yields the identical integer-valued double in both
+    engines (HALF_UP == half-away-from-zero, both signs), so the result is
+    bit-identical regardless of partitioning, at 1e-6 declared precision.
+    """
+    return (
+        F.sum(F.round(c * 1_000_000.0).cast("decimal(38,0)")).cast("double")
+        / 1_000_000.0
+    )
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+ORACLE_DSUM = (
+    "(CAST(SUM(CAST(round(({expr}) * 1000000.0) AS DECIMAL(38,0))) AS DOUBLE)"
+    " / 1000000.0)"
+)
+
+
+def osum(expr: str) -> str:
+    return ORACLE_DSUM.format(expr=expr)
+
+
+# epoch-grid bucket start in DuckDB (µs precision make_timestamp)
+def obucket(ts_expr: str, ivl_ms: int) -> str:
+    return (
+        f"make_timestamp(((epoch_ms({ts_expr}) // {ivl_ms}) * {ivl_ms}) * 1000)"
+    )
+
+
+# --------------------------------------------------------------------------
+# flagship: the reference's whole save-path (§3.3) + A1 resample in one query
+# events ≈ tick stream: keep-last dedup on (event_type, ts), then 1h OHLCV
+# --------------------------------------------------------------------------
+
+def _flagship(spark: SparkSession, sf_dir: str, ivl_ms: int) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    deduped = dedup_keep_last(ev, ["event_type", "ts"], order_col="event_id")
+    out = resample_ohlcv(
+        deduped,
+        interval_ms=ivl_ms,
+        keys=["event_type"],
+        ts_col="ts",
+        open_col="value",
+        high_col="value",
+        low_col="value",
+        close_col="value",
+        volume_col="value",
+        tiebreak_col="event_id",
+        exact_sums=True,
+    )
+    return out
+
+
+def _flagship_oracle(ivl_ms: int) -> str:
+    return f"""
+WITH dedup AS (
+  SELECT * EXCLUDE (rn) FROM (
+    SELECT *, row_number() OVER (PARTITION BY event_type, ts ORDER BY event_id DESC) AS rn
+    FROM events
+  ) WHERE rn = 1
+)
+SELECT
+  {obucket('ts', ivl_ms)} AS bucket_ts,
+  event_type,
+  arg_min(value, ts) AS open,
+  max(value) AS high,
+  min(value) AS low,
+  arg_max(value, ts) AS close,
+  {osum('value')} AS volume,
+  count(*) AS n_rows
+FROM dedup
+GROUP BY bucket_ts, event_type
+"""
+
+
+_register(
+    QuerySpec(
+        name="ohlcv_resample_1h",
+        survey_ids=("A1", "D2", "A2"),
+        description="keep-last dedup + 1h tumbling OHLCV over events "
+        "(reference save path crypto_collector.py:523-558 + interval agg)",
+        spark=lambda s, d: _flagship(s, d, 3_600_000),
+        oracle=_flagship_oracle(3_600_000),
+    )
+)
+
+_register(
+    QuerySpec(
+        name="ohlcv_resample_15m",
+        survey_ids=("A1",),
+        description="15-minute variant of the OHLCV resample",
+        spark=lambda s, d: _flagship(s, d, 900_000),
+        oracle=_flagship_oracle(900_000),
+    )
+)
+
+
+# --------------------------------------------------------------------------
+# D2 keep-last dedup, observable row-level
+# --------------------------------------------------------------------------
+
+def _keep_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return dedup_keep_last(ev, ["event_type", "ts"], order_col="event_id")
+
+
+_register(
+    QuerySpec(
+        name="dedup_keep_last",
+        survey_ids=("D2",),
+        description="keep-last dedup on (event_type, ts), arrival order = "
+        "event_id (reference drop_duplicates keep='last', 550-553)",
+        spark=_keep_last,
+        oracle="""
+SELECT event_type, ts, event_id, user_id, value, props
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY event_type, ts ORDER BY event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+""",
+    )
+)
+
+
+# --------------------------------------------------------------------------
+# D3+D2 merge upsert: corrected redelivery wins (reference 542-553)
+# --------------------------------------------------------------------------
+
+def _merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    existing = ev.filter(F.col("event_id") % 2 == 0).select(
+        "event_id", "ts", "event_type", "value"
+    )
+    corrected = (
+        ev.filter(F.col("event_id") % 3 == 0)
+        .select("event_id", "ts", "event_type", (F.col("value") * 2.0).alias("value"))
+    )
+    return merge_keep_last(existing, corrected, keys=["event_id"])
+
+
+_register(
+    QuerySpec(
+        name="merge_upsert_keep_last",
+        survey_ids=("D3", "D2", "K2"),
+        description="union existing+corrected batches, newest arrival wins "
+        "per key (reference read-union-dedup-write, 542-556)",
+        spark=_merge_upsert,
+        oracle="""
+WITH existing AS (
+  SELECT event_id, ts, event_type, value, CAST(0 AS BIGINT) AS _ingest_seq
+  FROM events WHERE event_id % 2 = 0
+), corrected AS (
+  SELECT event_id, ts, event_type, value * 2.0 AS value, CAST(1 AS BIGINT) AS _ingest_seq
+  FROM events WHERE event_id % 3 = 0
+), unioned AS (
+  SELECT * FROM existing UNION ALL SELECT * FROM corrected
+)
+SELECT event_id, ts, event_type, value, _ingest_seq
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY event_id ORDER BY _ingest_seq DESC) AS rn
+  FROM unioned
+) WHERE rn = 1
+""",
+    )
+)
+
+
+# --------------------------------------------------------------------------
+# D4 watermark progress table (reference last_collected_ts, 500-512, 652)
+# --------------------------------------------------------------------------
+
+_register(
+    QuerySpec(
+        name="watermark_progress",
+        survey_ids=("D4", "T3"),
+        description="max collected ts per key — the backfill progress table",
+        spark=lambda s, d: _t(s, d, "events")
+        .groupBy("event_type")
+        .agg(F.max("ts").alias("last_collected_ts"), F.count(F.lit(1)).alias("n_rows")),
+        oracle="""
+SELECT event_type, max(ts) AS last_collected_ts, count(*) AS n_rows
+FROM events GROUP BY event_type
+""",
+    )
+)
+
+
+# --------------------------------------------------------------------------
+# D5/A3/P6 group by derived partition date (reference 533-538)
+# --------------------------------------------------------------------------
+
+_register(
+    QuerySpec(
+        name="partition_date_counts",
+        survey_ids=("D5", "A3", "P6"),
+        description="derive yyyyMMdd partition date, count rows per "
+        "(date, event_type) — one output file per group in the reference",
+        spark=lambda s, d: _t(s, d, "events")
+        .withColumn("date", F.date_format("ts", "yyyyMMdd"))
+        .groupBy("date", "event_type")
+        .agg(F.count(F.lit(1)).alias("n_rows"), dsum(F.col("value")).alias("sum_value")),
+        oracle=f"""
+SELECT strftime(ts, '%Y%m%d') AS date, event_type,
+       count(*) AS n_rows, {osum('value')} AS sum_value
+FROM events GROUP BY date, event_type
+""",
+    )
+)
+
+
+# --------------------------------------------------------------------------
+# D6 top-k: last N candles in range (reference limit + newest-first)
+# --------------------------------------------------------------------------
+
+_register(
+    QuerySpec(
+        name="topk_latest_per_type",
+        survey_ids=("D6", "D1"),
+        description="last 5 events per event_type by (ts, event_id), "
+        "re-sorted ascending (reference limit semantics, 82/117-118)",
+        spark=lambda s, d: _t(s, d, "events")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("event_type").orderBy(
+                    F.col("ts").desc(), F.col("event_id").desc()
+                )
+            ),
+        )
+        .filter(F.col("rn") <= 5)
+        .select("event_type", "ts", "event_id", "value", "rn"),
+        oracle="""
+SELECT event_type, ts, event_id, value, rn
+FROM (
+  SELECT event_type, ts, event_id, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn <= 5
+""",
+    )
+)
+
+
+# --------------------------------------------------------------------------
+# F1 time-range predicate (pushed to the parquet scan)
+# --------------------------------------------------------------------------
+
+_register(
+    QuerySpec(
+        name="time_range_filter",
+        survey_ids=("F1", "P2"),
+        description="bounded start<=ts<end scan, the shape every fetch "
+        "pushes into its source (reference 93-100 etc.)",
+        spark=lambda s, d: _t(s, d, "events")
+        .filter(
+            (F.col("ts") >= F.lit("2024-02-01 00:00:00").cast("timestamp"))
+            & (F.col("ts") < F.lit("2024-03-01 00:00:00").cast("timestamp"))
+        )
+        .select("event_id", "ts", "event_type", "value"),
+        oracle="""
+SELECT event_id, ts, event_type, value FROM events
+WHERE ts >= TIMESTAMP '2024-02-01 00:00:00' AND ts < TIMESTAMP '2024-03-01 00:00:00'
+""",
+    )
+)
+
+
+# --------------------------------------------------------------------------
+# F3 interval-boundary gate (reference should_collect_interval, 719-739)
+# --------------------------------------------------------------------------
+
+_register(
+    QuerySpec(
+        name="interval_boundary_gate",
+        survey_ids=("F3",),
+        description="which intervals would collect at each event ts "
+        "(minute==0, hour%4, hour%6, midnight gates)",
+        spark=lambda s, d: _t(s, d, "events").select(
+            "event_id",
+            "ts",
+            should_collect("ts", "15m").alias("gate_15m"),
+            should_collect("ts", "1h").alias("gate_1h"),
+            should_collect("ts", "4h").alias("gate_4h"),
+            should_collect("ts", "6h").alias("gate_6h"),
+            should_collect("ts", "1d").alias("gate_1d"),
+        ),
+        oracle="""
+SELECT event_id, ts,
+  minute(ts) % 15 = 0 AS gate_15m,
+  minute(ts) = 0 AS gate_1h,
+  minute(ts) = 0 AND hour(ts) % 4 = 0 AS gate_4h,
+  minute(ts) = 0 AND hour(ts) % 6 = 0 AS gate_6h,
+  minute(ts) = 0 AND hour(ts) = 0 AS gate_1d
+FROM events
+""",
+    )
+)
+
+
+# --------------------------------------------------------------------------
+# P3/P4 epoch conversions round-trip
+# --------------------------------------------------------------------------
+
+_register(
+    QuerySpec(
+        name="epoch_conversions",
+        survey_ids=("P3", "P4", "P6", "P11"),
+        description="ts → epoch ms → seconds → back, + yyyyMMdd and ISO-8601 "
+        "formats (reference 122/204/281/360/450, 480/502, 533)",
+        spark=lambda s, d: _t(s, d, "events").select(
+            "event_id",
+            F.unix_millis("ts").alias("epoch_ms"),
+            F.floor(F.unix_millis("ts") / 1000).cast("long").alias("epoch_s"),
+            F.timestamp_millis(F.unix_millis("ts")).alias("ts_roundtrip"),
+            F.date_format("ts", "yyyyMMdd").alias("date"),
+            F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss+00:00").alias("iso8601"),
+        ),
+        oracle="""
+SELECT event_id,
+  epoch_ms(ts) AS epoch_ms,
+  epoch_ms(ts) // 1000 AS epoch_s,
+  make_timestamp(epoch_ms(ts) * 1000) AS ts_roundtrip,
+  strftime(ts, '%Y%m%d') AS date,
+  strftime(ts, '%Y-%m-%dT%H:%M:%S+00:00') AS iso8601
+FROM events
+""",
+    )
+)
+
+
+# --------------------------------------------------------------------------
+# P8 symbol dialect mapping over a literal symbol universe
+# --------------------------------------------------------------------------
+
+_SYMBOLS = [
+    "BTC-USDT", "ETH-USDT", "SOL-USDT", "ADA-USDT", "XRP-USDT",
+    "DOGE-USDT", "BTC-USD", "ETH-BTC", "WEIRDPAIR", "LTC-EUR",
+]
+
+
+def _values_df(spark: SparkSession, rows: str, cols: str) -> DataFrame:
+    """Literal inline table via SQL VALUES — stays JVM-side (no Python
+    worker spin-up, unlike createDataFrame)."""
+    return spark.sql(f"SELECT * FROM (VALUES {rows}) AS t({cols})")
+
+
+def _symbol_dialects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _values_df(spark, ", ".join(f"('{x}')" for x in _SYMBOLS), "symbol")
+    return df.select(
+        "symbol",
+        sym.to_coinbase("symbol").alias("coinbase"),
+        sym.to_bitstamp("symbol").alias("bitstamp"),
+        sym.to_bitfinex("symbol").alias("bitfinex"),
+        sym.to_kucoin("symbol").alias("kucoin"),
+        sym.to_binanceus("symbol").alias("binanceus"),
+    )
+
+
+_SYM_VALUES = ", ".join(f"('{x}')" for x in _SYMBOLS)
+
+_register(
+    QuerySpec(
+        name="symbol_dialects",
+        survey_ids=("P8",),
+        description="canonical BASE-QUOTE → the 5 venue dialects "
+        "(reference 103-111, 176-184, 252-261, 426)",
+        spark=_symbol_dialects,
+        oracle=f"""
+WITH syms(symbol) AS (VALUES {_SYM_VALUES}),
+parts AS (
+  SELECT symbol, string_split(symbol, '-') AS p FROM syms
+), norm AS (
+  SELECT symbol, p,
+    CASE WHEN len(p) = 2 THEN p[1] END AS base,
+    CASE WHEN len(p) = 2 THEN (CASE WHEN p[2] = 'USDT' THEN 'USD' ELSE p[2] END) END AS quote
+  FROM parts
+)
+SELECT symbol,
+  CASE WHEN base IS NOT NULL THEN base || '-' || quote
+       ELSE replace(symbol, 'USDT', 'USD') END AS coinbase,
+  CASE WHEN base IS NOT NULL THEN lower(base || quote)
+       ELSE replace(lower(symbol), 'usdt', 'usd') END AS bitstamp,
+  CASE WHEN base IS NOT NULL THEN 't' || base || quote
+       ELSE replace('t' || replace(symbol, '-', ''), 'USDT', 'USD') END AS bitfinex,
+  symbol AS kucoin,
+  replace(symbol, '-', '') AS binanceus
+FROM norm
+""",
+    )
+)
+
+
+# --------------------------------------------------------------------------
+# P10 interval string parse
+# --------------------------------------------------------------------------
+
+_INTERVALS = ["15m", "1h", "4h", "6h", "1d", "30s", "2d", "90m", "bogus", "7x"]
+
+
+def _interval_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _values_df(
+        spark, ", ".join(f"('{x}')" for x in _INTERVALS), "`interval`"
+    )
+    return df.select("interval", interval_ms_col("interval").alias("interval_ms"))
+
+
+_IVL_VALUES = ", ".join(f"('{x}')" for x in _INTERVALS)
+
+_register(
+    QuerySpec(
+        name="interval_parse_ms",
+        survey_ids=("P10", "P9"),
+        description="'15m'-style interval → milliseconds, unknown → 15m "
+        "default (reference get_interval_ms, 741-752)",
+        spark=_interval_parse,
+        oracle=f"""
+WITH ivls("interval") AS (VALUES {_IVL_VALUES})
+SELECT "interval",
+  coalesce(
+    TRY_CAST(regexp_extract("interval", '^([0-9]+)', 1) AS BIGINT) *
+    CASE regexp_extract("interval", '([smhd])$', 1)
+      WHEN 's' THEN 1000 WHEN 'm' THEN 60000
+      WHEN 'h' THEN 3600000 WHEN 'd' THEN 86400000
+      ELSE NULL END,
+    900000) AS interval_ms
+FROM ivls
+""",
+    )
+)
+
+
+# --------------------------------------------------------------------------
+# F2 venue-availability filter via broadcast dim join
+# --------------------------------------------------------------------------
+
+_AVAILABILITY = [
+    ("click", "2024-01-10 00:00:00"),
+    ("view", "2024-02-01 00:00:00"),
+    ("purchase", "2024-01-01 00:00:00"),
+]
+
+
+def _availability_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    dim = _values_df(
+        spark,
+        ", ".join(f"('{t}', TIMESTAMP '{ts}')" for t, ts in _AVAILABILITY),
+        "event_type, available_from",
+    )
+    return (
+        ev.join(F.broadcast(dim), "event_type", "inner")
+        .filter(F.col("ts") >= F.col("available_from"))
+        .select("event_id", "ts", "event_type", "value")
+    )
+
+
+_AVAIL_VALUES = ", ".join(f"('{t}', TIMESTAMP '{ts}')" for t, ts in _AVAILABILITY)
+
+_register(
+    QuerySpec(
+        name="availability_filter",
+        survey_ids=("F2",),
+        description="per-venue availability clamp as a broadcast dim join "
+        "(reference BinanceUS BTC clamp, 565-572)",
+        spark=_availability_filter,
+        oracle=f"""
+WITH dim(event_type, available_from) AS (VALUES {_AVAIL_VALUES})
+SELECT e.event_id, e.ts, e.event_type, e.value
+FROM events e JOIN dim USING (event_type)
+WHERE e.ts >= dim.available_from
+""",
+    )
+)
+
+
+# --------------------------------------------------------------------------
+# A2/A3 + joins: TPC-H-style relational core proving partial/final agg,
+# broadcast join chains, predicate pushdown
+# --------------------------------------------------------------------------
+
+_register(
+    QuerySpec(
+        name="pricing_summary",
+        survey_ids=("A2", "A3", "P2", "F1"),
+        description="TPC-H Q1-shaped pricing summary: filtered scan, "
+        "grouped exact sums/avgs (partial+final agg on a cluster)",
+        spark=lambda s, d: _t(s, d, "lineitem")
+        .filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .withColumn("disc_price", F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        .withColumn("charge", F.col("disc_price") * (1 + F.col("l_tax")))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(F.col("l_quantity")).alias("sum_qty"),
+            dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+            dsum(F.col("disc_price")).alias("sum_disc_price"),
+            dsum(F.col("charge")).alias("sum_charge"),
+            (dsum(F.col("l_quantity")) / F.count(F.lit(1))).alias("avg_qty"),
+            (dsum(F.col("l_extendedprice")) / F.count(F.lit(1))).alias("avg_price"),
+            (dsum(F.col("l_discount")) / F.count(F.lit(1))).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        ),
+        oracle=f"""
+SELECT l_returnflag, l_linestatus,
+  {osum('l_quantity')} AS sum_qty,
+  {osum('l_extendedprice')} AS sum_base_price,
+  {osum('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+  {osum('(l_extendedprice * (1 - l_discount)) * (1 + l_tax)')} AS sum_charge,
+  {osum('l_quantity')} / count(*) AS avg_qty,
+  {osum('l_extendedprice')} / count(*) AS avg_price,
+  {osum('l_discount')} / count(*) AS avg_disc,
+  count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+    )
+)
+
+_register(
+    QuerySpec(
+        name="revenue_by_nation",
+        survey_ids=("A2", "P5"),
+        description="orders⨝customer⨝nation⨝region revenue rollup — "
+        "broadcast-join chain over the dims (SURVEY §2.5)",
+        spark=lambda s, d: _t(s, d, "orders")
+        .join(F.broadcast(_t(s, d, "customer")), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(_t(s, d, "nation")), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(_t(s, d, "region")), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            dsum(F.col("o_totalprice")).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        ),
+        oracle=f"""
+SELECT r_name AS region, n_name AS nation,
+  {osum('o_totalprice')} AS revenue, count(*) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+""",
+    )
+)

@@ -1,0 +1,114 @@
+"""SparkSession construction and testdata loading.
+
+The engine targets a large multi-executor cluster; locally it runs on
+``local[$SPARK_GRAFT_CPUS]``.  All scale-sensitive knobs live here so a
+cluster deployment only overrides this one module.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: Tables the driver materializes at /root/testdata/sf*/ (TESTDATA.md).
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+#: Build-time configs (must be set before the JVM starts).
+BUILD_CONF = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.shuffle.partitions": "32",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.parquet.compression.codec": "snappy",
+    # local[N] has one JVM; give it room.
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"),
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    "spark.ui.enabled": "false",
+    "spark.sql.sources.partitionOverwriteMode": "dynamic",
+}
+
+#: Runtime-settable configs — safe to apply to a session we did not build
+#: (e.g. the driver's).  Correctness-critical: the DuckDB oracle reads
+#: parquet timestamps as naive-UTC, so the Spark session MUST be UTC.
+RUNTIME_CONF = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.sources.partitionOverwriteMode": "dynamic",
+    # Parquet TIMESTAMP(NANOS) (pandas/pyarrow default) is otherwise
+    # unreadable by Spark; read as long and convert in load_table.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+}
+
+
+def get_spark(app_name: str = "crypto-spark", cpus: str | int | None = None) -> SparkSession:
+    """Build (or fetch) the session with the engine's default tuning."""
+    cpus = cpus or os.environ.get("SPARK_GRAFT_CPUS", "*")
+    builder = SparkSession.builder.master(f"local[{cpus}]").appName(app_name)
+    for k, v in BUILD_CONF.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    configure(spark)
+    return spark
+
+
+def configure(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable conf to an externally-provided session."""
+    for k, v in RUNTIME_CONF.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:  # pragma: no cover - static conf on a locked session
+            pass
+    return spark
+
+
+_NANO_TS_CACHE: dict[str, tuple[str, ...]] = {}
+
+
+def _nano_ts_columns(path: str) -> tuple[str, ...]:
+    """Columns stored as parquet TIMESTAMP(NANOS) (footer inspection,
+    driver-side, cached).  Spark reads them as LongType under
+    ``nanosAsLong``; we convert back to TimestampType at µs precision."""
+    if path not in _NANO_TS_CACHE:
+        import pyarrow.parquet as pq
+
+        schema = pq.read_schema(path)
+        _NANO_TS_CACHE[path] = tuple(
+            f.name for f in schema if str(f.type).startswith("timestamp[ns")
+        )
+    return _NANO_TS_CACHE[path]
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Schema-on-read parquet scan of one driver table.
+
+    Nanosecond-timestamp columns (pyarrow default) come back as long
+    nanos under ``nanosAsLong``; convert to TimestampType here so every
+    downstream operator sees real timestamps.
+    """
+    configure(spark)
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = spark.read.parquet(path)
+    for col in _nano_ts_columns(path):
+        df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
