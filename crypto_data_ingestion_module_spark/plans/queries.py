@@ -3,10 +3,10 @@
 
 Cross-engine determinism rules (the driver hash-compares values):
 
-- Double SUMs go through ``DECIMAL(38,10)`` in BOTH engines: per-row double
-  arithmetic is IEEE-identical everywhere, and decimal addition is exact,
-  so aggregation order (Spark partial aggs vs DuckDB) cannot change the
-  result.  AVG = exact decimal sum cast to double, divided by count.
+- Double SUMs use fixed-point micro-units (``dsum``): round(x*1e6) is the
+  same integer-valued double in BOTH engines, summed exactly as
+  DECIMAL(38,0), so aggregation order (Spark partial aggs vs DuckDB)
+  cannot change the result.  AVG = dsum / count.
 - Every first/last/top-k pick is ordered by a key that is unique within
   its group (or a struct tie-break), never "whatever comes first".
 - Window starts are integer math on epoch millis (``floor(ms/ivl)*ivl``),
@@ -625,5 +625,208 @@ JOIN nation ON c_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
 GROUP BY r_name, n_name
 """,
+    )
+)
+
+
+# --------------------------------------------------------------------------
+# P1/P2/P3/P5/P7/D3 — per-exchange raw-kline normalization into the
+# canonical candle schema, over the deterministic payload fixtures
+# --------------------------------------------------------------------------
+
+def _normalize_candles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crypto_data_ingestion_module_spark.operators.normalize import (
+        normalize_binanceus,
+        normalize_bitfinex,
+        normalize_bitstamp,
+        normalize_coinbase,
+        normalize_kucoin,
+    )
+    from crypto_data_ingestion_module_spark.sources import fixtures as FX
+
+    def arr_df(klines):
+        return _values_df(spark, FX.spark_array_values(klines), "kline, symbol")
+
+    bs_rows = ", ".join(
+        "(named_struct("
+        + ", ".join(f"'{k}', '{v}'" for k, v in row.items())
+        + f"), '{FX.FIXTURE_SYMBOL}')"
+        for row in FX.BITSTAMP_OHLC
+    )
+    bs = _values_df(spark, bs_rows, "ohlc, symbol")
+
+    parts = [
+        normalize_coinbase(arr_df(FX.COINBASE_KLINES)),
+        normalize_bitstamp(bs),
+        normalize_bitfinex(arr_df(FX.BITFINEX_KLINES)),
+        normalize_kucoin(arr_df(FX.KUCOIN_KLINES)),
+        normalize_binanceus(arr_df(FX.BINANCEUS_KLINES)),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _normalize_oracle() -> str:
+    from crypto_data_ingestion_module_spark.sources import fixtures as FX
+
+    bs_rows = ", ".join(
+        "(" + ", ".join(f"'{row[k]}'" for k in ["timestamp", "open", "high", "low", "close", "volume"])
+        + f", '{FX.FIXTURE_SYMBOL}')"
+        for row in FX.BITSTAMP_OHLC
+    )
+    return f"""
+WITH cb(kline, symbol) AS (VALUES {FX.duck_array_values(FX.COINBASE_KLINES)}),
+bf(kline, symbol) AS (VALUES {FX.duck_array_values(FX.BITFINEX_KLINES)}),
+kc(kline, symbol) AS (VALUES {FX.duck_array_values(FX.KUCOIN_KLINES)}),
+bn(kline, symbol) AS (VALUES {FX.duck_array_values(FX.BINANCEUS_KLINES)}),
+bs(ts, o, h, l, c, v, symbol) AS (VALUES {bs_rows})
+SELECT CAST(kline[4] AS DOUBLE) AS "open", CAST(kline[3] AS DOUBLE) AS high,
+       CAST(kline[2] AS DOUBLE) AS low, CAST(kline[5] AS DOUBLE) AS "close",
+       CAST(kline[6] AS DOUBLE) AS volume,
+       make_timestamp(CAST(kline[1] AS BIGINT) * 1000000) AS "timestamp",
+       symbol, 'coinbase' AS exchange
+FROM cb
+UNION ALL
+SELECT CAST(o AS DOUBLE), CAST(h AS DOUBLE), CAST(l AS DOUBLE), CAST(c AS DOUBLE),
+       CAST(v AS DOUBLE), make_timestamp(CAST(ts AS BIGINT) * 1000000),
+       symbol, 'bitstamp'
+FROM bs
+UNION ALL
+SELECT CAST(kline[2] AS DOUBLE), CAST(kline[4] AS DOUBLE), CAST(kline[5] AS DOUBLE),
+       CAST(kline[3] AS DOUBLE), CAST(kline[6] AS DOUBLE),
+       make_timestamp(CAST(kline[1] AS BIGINT) * 1000), symbol, 'bitfinex'
+FROM bf
+UNION ALL
+SELECT CAST(kline[2] AS DOUBLE), CAST(kline[4] AS DOUBLE), CAST(kline[5] AS DOUBLE),
+       CAST(kline[3] AS DOUBLE), CAST(kline[6] AS DOUBLE),
+       make_timestamp(CAST(kline[1] AS BIGINT) * 1000000), symbol, 'kucoin'
+FROM kc
+UNION ALL
+SELECT CAST(kline[2] AS DOUBLE), CAST(kline[3] AS DOUBLE), CAST(kline[4] AS DOUBLE),
+       CAST(kline[5] AS DOUBLE), CAST(kline[6] AS DOUBLE),
+       make_timestamp(CAST(kline[1] AS BIGINT) * 1000), symbol, 'binanceus'
+FROM bn
+"""
+
+
+_register(
+    QuerySpec(
+        name="normalize_candles",
+        survey_ids=("P1", "P2", "P3", "P5", "P7", "D3", "S1", "S2", "S3", "S4", "S5"),
+        description="all five exchange kline dialects → canonical candle "
+        "schema (reference 121-131, 202-213, 279-290, 359-369, 444-459)",
+        spark=_normalize_candles,
+        oracle=_normalize_oracle(),
+    )
+)
+
+
+# --------------------------------------------------------------------------
+# P9 — venue×interval config dim (replaces per-exchange class constants)
+# --------------------------------------------------------------------------
+
+def _venue_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crypto_data_ingestion_module_spark.sources.venues import venue_config_df
+
+    return venue_config_df(spark).withColumn(
+        "page_span_ms",
+        F.col("granularity_s") * F.lit(1000) * F.col("page_limit"),
+    )
+
+
+def _venue_lookup_oracle() -> str:
+    from crypto_data_ingestion_module_spark.sources.venues import (
+        VENUE_COLS,
+        VENUE_INTERVALS,
+        oracle_values,
+    )
+
+    inner = oracle_values(VENUE_INTERVALS, VENUE_COLS)
+    return f"""
+SELECT *, granularity_s * 1000 * page_limit AS page_span_ms
+FROM ({inner}) AS venue
+"""
+
+
+_register(
+    QuerySpec(
+        name="venue_interval_lookup",
+        survey_ids=("P9",),
+        description="interval → native unit per venue + page time-span "
+        "(reference interval maps 68-75/160-166/238-243/315-321/408-416)",
+        spark=_venue_lookup,
+        oracle=_venue_lookup_oracle(),
+    )
+)
+
+
+# --------------------------------------------------------------------------
+# T1/P12/F2 — backfill chunk manifest: the sequential chunk loop as a
+# cluster-parallel fetch-task DataFrame
+# --------------------------------------------------------------------------
+
+_MANIFEST_END_MS = 1622505600000  # 2021-06-01 UTC
+_MANIFEST_SYMBOLS = "('BTC-USDT', CAST(1514764800000 AS BIGINT)), ('ETH-USDT', CAST(1609459200000 AS BIGINT))"
+_MANIFEST_IVLS = "('15m', CAST(96 AS BIGINT)), ('1h', CAST(24 AS BIGINT)), ('4h', CAST(6 AS BIGINT)), ('6h', CAST(4 AS BIGINT)), ('1d', CAST(1 AS BIGINT))"
+
+
+def _chunk_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crypto_data_ingestion_module_spark.sources.manifest import backfill_manifest
+
+    symbols = _values_df(spark, _MANIFEST_SYMBOLS, "symbol, start_ms")
+    intervals = _values_df(spark, _MANIFEST_IVLS, "`interval`, candles_per_day")
+    return backfill_manifest(spark, symbols, intervals, end_ms=_MANIFEST_END_MS)
+
+
+def _chunk_manifest_oracle() -> str:
+    from crypto_data_ingestion_module_spark.sources.venues import (
+        AVAIL_COLS,
+        AVAILABILITY,
+        VENUE_COLS,
+        VENUE_INTERVALS,
+        oracle_values,
+    )
+
+    venue = oracle_values(VENUE_INTERVALS, VENUE_COLS)
+    avail = oracle_values(AVAILABILITY, AVAIL_COLS)
+    return f"""
+WITH symbols(symbol, start_ms) AS (VALUES {_MANIFEST_SYMBOLS}),
+ivl("interval", candles_per_day) AS (VALUES {_MANIFEST_IVLS}),
+venue AS ({venue}),
+avail AS ({avail}),
+grid AS (
+  SELECT symbol, start_ms, "interval",
+         greatest(least(300 // candles_per_day, 300), 1) * 86400000 AS chunk_ms
+  FROM symbols CROSS JOIN ivl
+),
+chunks AS (
+  SELECT symbol, "interval", chunk_ms,
+         unnest(range(start_ms, {_MANIFEST_END_MS}, chunk_ms)) AS chunk_start_ms
+  FROM grid
+)
+SELECT c.symbol, c."interval", v.exchange, v.native_interval, v.page_limit,
+  CASE WHEN a.available_from_ms IS NOT NULL
+       THEN greatest(c.chunk_start_ms, a.available_from_ms)
+       ELSE c.chunk_start_ms END AS chunk_start_ms,
+  least(c.chunk_start_ms + c.chunk_ms, {_MANIFEST_END_MS}) AS chunk_end_ms
+FROM chunks c
+JOIN venue v ON c."interval" = v."interval"
+LEFT JOIN avail a ON v.exchange = a.exchange AND c.symbol = a.symbol
+WHERE a.available_from_ms IS NULL
+   OR least(c.chunk_start_ms + c.chunk_ms, {_MANIFEST_END_MS}) > a.available_from_ms
+"""
+
+
+_register(
+    QuerySpec(
+        name="backfill_chunk_manifest",
+        survey_ids=("T1", "P12", "F2", "P9", "T6"),
+        description="symbols×intervals×chunks×venues fetch-task manifest "
+        "with days_per_chunk sizing (638-640), unsupported-interval drop, "
+        "and availability clamp (566-572)",
+        spark=_chunk_manifest,
+        oracle=_chunk_manifest_oracle(),
     )
 )
