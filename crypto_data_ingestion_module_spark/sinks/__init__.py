@@ -1,0 +1,5 @@
+from crypto_data_ingestion_module_spark.sinks.parquet_lake import (  # noqa: F401
+    read_lake,
+    upsert_lake,
+    write_lake,
+)

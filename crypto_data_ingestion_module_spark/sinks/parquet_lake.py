@@ -1,0 +1,119 @@
+"""Partitioned Parquet lake sink (K1) + keep-last upsert (K2).
+
+Reference semantics (crypto_collector.py):
+- path scheme ``{DATA_DIR}/crypto/{symbol}/{interval}/{data_type}/{exchange}/
+  {date}_{interval}_{symbol}.parquet`` (514-521) → Hive-style
+  ``partitionBy(symbol, interval, data_type, exchange, date)``; partition
+  pruning then gives the same one-file-per-day read locality for free.
+- upsert (542-556): if the day-file exists, read → concat → sort →
+  drop_duplicates(keep='last') → overwrite.  Here: read only the touched
+  partitions (pruned scan), union, keep-last dedup on the logical key
+  ``(symbol, interval, data_type, exchange, timestamp)``, and rewrite
+  *only those partitions* via dynamic partition overwrite — the MERGE
+  touches the same files the reference would, no full-table rewrite.
+
+At 100 TB: the merge shuffles only the touched partitions' rows (pruned by
+partition predicates pushed into the parquet scan), dedup partial-aggregates
+map-side, and dynamic overwrite keeps the write incremental.  Late/corrected
+data of any age lands correctly (unbounded-lateness corrections, T4).
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from crypto_data_ingestion_module_spark.operators.merge import INGEST_SEQ
+from crypto_data_ingestion_module_spark.operators.dedup import dedup_keep_last
+
+PARTITION_COLS = ("symbol", "interval", "data_type", "exchange", "date")
+LOGICAL_KEY = ("symbol", "interval", "data_type", "exchange", "timestamp")
+
+
+def _with_date(df: DataFrame) -> DataFrame:
+    """Derive the yyyyMMdd partition date (reference 533)."""
+    if "date" in df.columns:
+        return df
+    return df.withColumn("date", F.date_format("timestamp", "yyyyMMdd"))
+
+
+def write_lake(
+    df: DataFrame,
+    root: str,
+    mode: str = "append",
+    partition_cols: Sequence[str] = PARTITION_COLS,
+) -> None:
+    """K1: partitioned Parquet write of canonical candles."""
+    out = _with_date(df)
+    if INGEST_SEQ not in out.columns:
+        out = out.withColumn(INGEST_SEQ, F.lit(0).cast("long"))
+    out.write.partitionBy(*partition_cols).mode(mode).parquet(root)
+
+
+def read_lake(spark: SparkSession, root: str) -> DataFrame:
+    """Schema-on-read scan of the lake; partition filters prune to files."""
+    return spark.read.parquet(root)
+
+
+def upsert_lake(
+    spark: SparkSession,
+    incoming: DataFrame,
+    root: str,
+    key_cols: Sequence[str] = LOGICAL_KEY,
+    batch_seq: int | None = None,
+) -> None:
+    """K2: MERGE-style keep-last upsert into the lake.
+
+    Newest arrival wins per logical key.  ``batch_seq`` stamps the
+    incoming batch's arrival order; by default it is one greater than the
+    current lake maximum, so successive upserts strictly supersede.
+    Re-delivering an identical batch with the same ``batch_seq`` is
+    idempotent (ties resolve by payload, which is then equal).
+    """
+    incoming = _with_date(incoming)
+
+    if not os.path.exists(root):
+        write_lake(incoming, root, mode="overwrite")
+        return
+
+    existing = read_lake(spark, root)
+
+    if batch_seq is None:
+        row = existing.agg(F.max(INGEST_SEQ).alias("m")).first()
+        batch_seq = int(row["m"] or 0) + 1
+    if INGEST_SEQ not in incoming.columns:
+        incoming = incoming.withColumn(INGEST_SEQ, F.lit(batch_seq).cast("long"))
+
+    # Prune the merge to the partitions the batch touches: collect the
+    # (small) distinct partition tuples driver-side and push them down as
+    # partition predicates — the scan then reads only those directories.
+    touched = [
+        tuple(r)
+        for r in incoming.select(*PARTITION_COLS).distinct().collect()
+    ]
+    pred = F.lit(False)
+    for t in touched:
+        clause = F.lit(True)
+        for c, v in zip(PARTITION_COLS, t):
+            clause = clause & (F.col(c) == F.lit(v))
+        pred = pred | clause
+    existing_touched = existing.filter(pred)
+
+    merged = dedup_keep_last(
+        existing_touched.unionByName(incoming.select(*existing_touched.columns)),
+        keys=list(key_cols),
+        order_col=INGEST_SEQ,
+    )
+
+    # Dynamic partition overwrite rewrites only the touched partitions.
+    # Pinned as a per-write option: a consumer session left in the default
+    # STATIC mode would otherwise wipe every untouched partition.
+    (
+        merged.write.partitionBy(*PARTITION_COLS)
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite")
+        .parquet(root)
+    )
