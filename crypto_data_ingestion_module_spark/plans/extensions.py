@@ -1,0 +1,452 @@
+"""North-star extension queries (SURVEY §2.10 X1-X5): dedup, similarity
+search, text analysis, multimodal columns — registered into the same
+oracle-checked registry as the reference-derived operators.
+
+Imported at the bottom of ``plans.queries`` (registration side effect).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from crypto_data_ingestion_module_spark.functions import text as TX
+from crypto_data_ingestion_module_spark.plans.queries import (
+    QuerySpec,
+    _register,
+    _t,
+)
+
+# --------------------------------------------------------------------------
+# X1 exact dedup
+# --------------------------------------------------------------------------
+
+def _exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crypto_data_ingestion_module_spark.operators.text_dedup import exact_dedup
+
+    return exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+_register(
+    QuerySpec(
+        name="dedup_exact_documents",
+        survey_ids=("X1",),
+        description="exact text dedup: one representative (min doc_id) per "
+        "distinct document text, with duplicate count",
+        spark=_exact_dedup,
+        oracle="""
+SELECT min(doc_id) AS rep_id, count(*) AS dup_count, text
+FROM documents GROUP BY text
+""",
+    )
+)
+
+
+# --------------------------------------------------------------------------
+# X4 text statistics
+# --------------------------------------------------------------------------
+
+def _text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        TX.char_count("text").alias("n_chars_calc"),
+        TX.word_count("text").alias("n_words"),
+        TX.token_count("text").alias("n_tokens"),
+        TX.punct_count("text").alias("n_punct"),
+        TX.stopword_count("text").alias("n_stopwords"),
+        (
+            TX.alnum_char_count("text").cast("double")
+            / F.greatest(TX.word_count("text"), F.lit(1)).cast("double")
+        ).alias("mean_word_len"),
+    )
+
+
+_SW = "|".join(TX.STOPWORDS)
+
+_register(
+    QuerySpec(
+        name="text_stats",
+        survey_ids=("X4",),
+        description="per-document token/word/punct/stopword counts and "
+        "mean word length (whitespace + BPE-ish regex tokenization)",
+        spark=_text_stats,
+        oracle=f"""
+SELECT doc_id,
+  CAST(length(text) AS BIGINT) AS n_chars_calc,
+  CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS n_words,
+  CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_tokens,
+  CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS BIGINT) AS n_punct,
+  CAST(len(regexp_extract_all(lower(text), '\\b({_SW})\\b')) AS BIGINT) AS n_stopwords,
+  CAST(length(array_to_string(regexp_extract_all(text, '[A-Za-z0-9]+'), '')) AS DOUBLE)
+    / CAST(greatest(len(regexp_extract_all(text, '[A-Za-z0-9]+')), 1) AS DOUBLE) AS mean_word_len
+FROM documents
+""",
+    )
+)
+
+
+# --------------------------------------------------------------------------
+# X4 quality scoring
+# --------------------------------------------------------------------------
+
+def _quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    q = TX.quality_score("text")
+    return d.select(
+        "doc_id",
+        q.alias("quality"),
+        F.when(q >= 0.7, "high").when(q >= 0.4, "medium").otherwise("low").alias(
+            "quality_bucket"
+        ),
+    )
+
+
+_register(
+    QuerySpec(
+        name="text_quality",
+        survey_ids=("X4",),
+        description="heuristic quality score (length/stopword/punct bands) "
+        "+ bucket, engine-exact double arithmetic",
+        spark=_quality,
+        oracle=f"""
+SELECT doc_id,
+  {TX.oracle_quality_sql('text')} AS quality,
+  CASE WHEN {TX.oracle_quality_sql('text')} >= 0.7 THEN 'high'
+       WHEN {TX.oracle_quality_sql('text')} >= 0.4 THEN 'medium'
+       ELSE 'low' END AS quality_bucket
+FROM documents
+""",
+    )
+)
+
+
+# --------------------------------------------------------------------------
+# X4 language-ID heuristic (marker-word scoring)
+# --------------------------------------------------------------------------
+
+_LANGS = ["en", "de", "fr", "es", "zh"]
+
+
+def _lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    scores = {
+        lang: TX.marker_count("text", TX.LANG_MARKERS[lang]).alias(f"score_{lang}")
+        for lang in _LANGS
+    }
+    out = d.select("doc_id", "lang", *scores.values())
+    # deterministic argmax with fixed tie order en > de > fr > es > zh
+    pred = F.lit(None).cast("string")
+    best = F.lit(-1).cast("long")
+    for lang in _LANGS:
+        s = F.col(f"score_{lang}")
+        pred = F.when(s > best, F.lit(lang)).otherwise(pred)
+        best = F.when(s > best, s).otherwise(best)
+    return out.withColumn("predicted_lang", pred)
+
+
+def _lang_id_oracle() -> str:
+    score_cols = ",\n  ".join(
+        f"CAST(len(regexp_extract_all(lower(text), '\\b({'|'.join(TX.LANG_MARKERS[lang])})\\b')) AS BIGINT) AS score_{lang}"
+        for lang in _LANGS
+    )
+    # same sequential argmax: later lang wins only on strictly greater
+    pred = "CASE"
+    conds = []
+    for i, lang in enumerate(_LANGS):
+        later = [f"score_{o} <= score_{lang}" for o in _LANGS[i + 1 :]]
+        earlier = [f"score_{e} < score_{lang}" for e in _LANGS[:i]]
+        cond = " AND ".join(earlier + later) or "TRUE"
+        conds.append(f" WHEN {cond} THEN '{lang}'")
+    pred += "".join(conds) + " END"
+    return f"""
+WITH scored AS (
+  SELECT doc_id, lang,
+  {score_cols}
+  FROM documents
+)
+SELECT *, {pred} AS predicted_lang FROM scored
+"""
+
+
+_register(
+    QuerySpec(
+        name="lang_id",
+        survey_ids=("X4",),
+        description="marker-word language-ID heuristic with deterministic "
+        "argmax (fixed tie order)",
+        spark=_lang_id,
+        oracle=_lang_id_oracle(),
+    )
+)
+
+
+# --------------------------------------------------------------------------
+# X4 document fingerprint
+# --------------------------------------------------------------------------
+
+_register(
+    QuerySpec(
+        name="doc_fingerprint",
+        survey_ids=("X4", "X1"),
+        description="md5 fingerprint of whitespace-normalized lowercase "
+        "text (dedup key; identical hex in both engines)",
+        spark=lambda s, d: _t(s, d, "documents").select(
+            "doc_id", TX.fingerprint("text").alias("fp")
+        ),
+        oracle="""
+SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+FROM documents
+""",
+    )
+)
+
+
+# --------------------------------------------------------------------------
+# X2 exact n-gram Jaccard near-dup pairs
+# --------------------------------------------------------------------------
+
+def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crypto_data_ingestion_module_spark.operators.text_dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.5, n=3)
+
+
+_register(
+    QuerySpec(
+        name="ngram_jaccard_pairs",
+        survey_ids=("X2",),
+        description="exact word-3-gram Jaccard ≥ 0.5 document pairs "
+        "(shingle explode + equi-join; ground truth for the sketches)",
+        spark=_jaccard_pairs,
+        oracle="""
+WITH w AS (
+  SELECT doc_id, regexp_extract_all(text, '[A-Za-z0-9]+') AS ws FROM documents
+),
+sh AS (
+  SELECT doc_id AS id, unnest(list_distinct(
+    CASE WHEN len(ws) >= 3
+         THEN list_transform(range(1, len(ws) - 1), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+         ELSE [array_to_string(ws, ' ')] END)) AS shingle
+  FROM w
+),
+sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY a.id, b.id
+)
+SELECT id_a, id_b, n_common, sa.sz AS sz_a, sb.sz AS sz_b,
+  CAST(n_common AS DOUBLE) / CAST(sa.sz + sb.sz - n_common AS DOUBLE) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.id = id_a
+JOIN sizes sb ON sb.id = id_b
+WHERE CAST(n_common AS DOUBLE) / CAST(sa.sz + sb.sz - n_common AS DOUBLE) >= 0.5
+""",
+    )
+)
+
+
+# --------------------------------------------------------------------------
+# X3 brute-force cosine top-k (engine-exact fixed-point dots)
+# --------------------------------------------------------------------------
+
+def _cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crypto_data_ingestion_module_spark.operators.similarity import cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    return cosine_topk(emb, queries, k=10, exact=True)
+
+
+_COS_DOT = (
+    "CAST(SUM(CAST(round(CAST({a} AS DOUBLE) * CAST({b} AS DOUBLE) * 1e12)"
+    " AS DECIMAL(38,0))) AS DOUBLE) / 1e12"
+)
+
+_register(
+    QuerySpec(
+        name="cosine_topk",
+        survey_ids=("X3", "X5"),
+        description="brute-force cosine top-10 neighbors for query vectors "
+        "(vec_id%100==0), fixed-point dot products for cross-engine parity",
+        spark=_cosine_topk,
+        oracle=f"""
+WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id % 100 = 0),
+c AS (SELECT vec_id AS nid, embedding AS nv FROM embeddings),
+qn AS (
+  SELECT qid, sqrt({_COS_DOT.format(a='x', b='x')}) AS qnorm
+  FROM (SELECT qid, unnest(qv) AS x FROM q) GROUP BY qid
+),
+cn AS (
+  SELECT nid, sqrt({_COS_DOT.format(a='x', b='x')}) AS nnorm
+  FROM (SELECT nid, unnest(nv) AS x FROM c) GROUP BY nid
+),
+dots AS (
+  SELECT qid, nid, {_COS_DOT.format(a='xq', b='xn')} AS dot
+  FROM (
+    SELECT qid, nid, unnest(qv) AS xq, unnest(nv) AS xn
+    FROM q JOIN c ON qid <> nid
+  ) GROUP BY qid, nid
+),
+ranked AS (
+  SELECT d.qid, d.nid, d.dot / (qn.qnorm * cn.nnorm) AS cosine,
+         row_number() OVER (PARTITION BY d.qid ORDER BY d.dot / (qn.qnorm * cn.nnorm) DESC, d.nid) AS rank
+  FROM dots d JOIN qn ON d.qid = qn.qid JOIN cn ON d.nid = cn.nid
+)
+SELECT qid, nid, CAST(rank AS INT) AS rank, cosine FROM ranked WHERE rank <= 10
+""",
+    )
+)
+
+
+# --------------------------------------------------------------------------
+# X5 array-typed columns: per-label centroids (element-wise mean)
+# --------------------------------------------------------------------------
+
+def _label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "label", F.posexplode("embedding").alias("pos0", "x")
+    ).withColumn("pos", F.col("pos0") + 1)
+    return ex.groupBy("label", "pos").agg(
+        (
+            (
+                F.sum(
+                    F.round(F.col("x").cast("double") * 1e12).cast("decimal(38,0)")
+                ).cast("double")
+                / 1e12
+            )
+            / F.count(F.lit(1)).cast("double")
+        ).alias("centroid"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+_register(
+    QuerySpec(
+        name="label_centroids",
+        survey_ids=("X5", "A2"),
+        description="element-wise mean embedding per label — array-typed "
+        "aggregate over posexplode (multimodal column arithmetic)",
+        spark=_label_centroids,
+        oracle="""
+SELECT label, pos,
+  (CAST(SUM(CAST(round(CAST(x AS DOUBLE) * 1e12) AS DECIMAL(38,0))) AS DOUBLE) / 1e12)
+    / CAST(count(*) AS DOUBLE) AS centroid,
+  count(*) AS n
+FROM (
+  SELECT label,
+         unnest(range(1, len(embedding) + 1)) AS pos,
+         unnest(embedding) AS x
+  FROM embeddings
+)
+GROUP BY label, pos
+""",
+    )
+)
+
+
+# --------------------------------------------------------------------------
+# X5 multimodal metadata over opaque binary payloads
+# --------------------------------------------------------------------------
+
+def _multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "UTF-8")
+    modality = (
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+    )
+    return d.select(
+        F.col("doc_id").alias("asset_id"),
+        modality.alias("modality"),
+        F.octet_length(payload).cast("long").alias("n_bytes"),
+        F.sha2(payload, 256).alias("sha256"),
+    )
+
+
+_register(
+    QuerySpec(
+        name="multimodal_meta",
+        survey_ids=("X5",),
+        description="opaque binary payload column: modality tag, byte "
+        "length, sha256 — the metadata plane of the multimodal pipeline",
+        spark=_multimodal_meta,
+        oracle="""
+SELECT doc_id AS asset_id,
+  CASE WHEN doc_id % 3 = 0 THEN 'image'
+       WHEN doc_id % 3 = 1 THEN 'audio'
+       ELSE 'video' END AS modality,
+  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+  sha256(text) AS sha256
+FROM documents
+""",
+    )
+)
+
+
+# --------------------------------------------------------------------------
+# rows-only sketch operators (no SQL-expressible oracle): MinHash LSH,
+# SimHash, LSH ANN — quality measured against exact ground truth in tests
+# --------------------------------------------------------------------------
+
+def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crypto_data_ingestion_module_spark.operators.text_dedup import (
+        minhash_lsh_pairs,
+    )
+
+    return minhash_lsh_pairs(_t(spark, sf_dir, "documents"), num_hashes=32, bands=8)
+
+
+_register(
+    QuerySpec(
+        name="minhash_lsh_pairs",
+        survey_ids=("X2",),
+        description="MinHash(32)+LSH(8 bands) candidate near-dup pairs with "
+        "estimated Jaccard (hash-based; verified against exact pairs in tests)",
+        spark=_minhash_pairs,
+        oracle=None,
+    )
+)
+
+
+def _simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crypto_data_ingestion_module_spark.operators.text_dedup import simhash
+
+    return simhash(_t(spark, sf_dir, "documents"))
+
+
+_register(
+    QuerySpec(
+        name="simhash_fingerprints",
+        survey_ids=("X2",),
+        description="64-bit SimHash fingerprints over word tokens "
+        "(bit-majority vote, single projection)",
+        spark=_simhash_q,
+        oracle=None,
+    )
+)
+
+
+def _ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crypto_data_ingestion_module_spark.operators.similarity import ann_lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    return ann_lsh_topk(emb, queries, k=10, n_planes=4, n_tables=16, dim=64)
+
+
+_register(
+    QuerySpec(
+        name="ann_lsh_topk",
+        survey_ids=("X3",),
+        description="approximate top-10 via random-hyperplane LSH buckets "
+        "(recall vs brute force measured in tests)",
+        spark=_ann_topk,
+        oracle=None,
+    )
+)

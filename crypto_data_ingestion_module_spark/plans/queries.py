@@ -830,3 +830,7 @@ _register(
         oracle=_chunk_manifest_oracle(),
     )
 )
+
+
+# registration side effect: north-star extension queries (X1-X5)
+from crypto_data_ingestion_module_spark.plans import extensions as _extensions  # noqa: E402,F401
