@@ -48,6 +48,19 @@ def parse_interval_ms(interval: str) -> int:
     return DEFAULT_INTERVAL_MS
 
 
+def parse_native_interval_ms(native: str) -> int:
+    """Parse any venue's native interval form to milliseconds:
+    ``'900'``/``'21600'`` (seconds — Coinbase/Bitstamp), ``'15m'``/``'1D'``
+    (Bitfinex/Binance), ``'15min'``/``'6hour'``/``'1day'`` (Kucoin)."""
+    if native.isdigit():
+        return int(native) * 1_000
+    low = native.lower()
+    for suffix, unit in (("min", "m"), ("hour", "h"), ("day", "d")):
+        if low.endswith(suffix):
+            return parse_interval_ms(low[: -len(suffix)] + unit)
+    return parse_interval_ms(low)
+
+
 def interval_ms_col(interval: Column | str) -> Column:
     """Column-level interval parse (P10): regexp + CASE on the unit char."""
     c = F.col(interval) if isinstance(interval, str) else interval

@@ -44,6 +44,7 @@ def _canonical(
     vol: Column,
     symbol: Column,
     exchange: str,
+    extra: tuple[str, ...] = (),
 ) -> list[Column]:
     return [
         o.alias("open"),
@@ -54,11 +55,12 @@ def _canonical(
         ts.alias("timestamp"),
         symbol.alias("symbol"),
         F.lit(exchange).alias("exchange"),
+        *[F.col(c) for c in extra],
     ]
 
 
 def normalize_coinbase(
-    df: DataFrame, raw_col: str = "kline", symbol_col: str = "symbol", strict: bool = True
+    df: DataFrame, raw_col: str = "kline", symbol_col: str = "symbol", strict: bool = True, extra: tuple[str, ...] = ()
 ) -> DataFrame:
     k, s = F.col(raw_col), F.col(symbol_col)
     return df.select(
@@ -71,12 +73,13 @@ def normalize_coinbase(
             _cast(k[5], strict),
             s,
             "coinbase",
+            extra,
         )
     )
 
 
 def normalize_bitstamp(
-    df: DataFrame, raw_col: str = "ohlc", symbol_col: str = "symbol", strict: bool = True
+    df: DataFrame, raw_col: str = "ohlc", symbol_col: str = "symbol", strict: bool = True, extra: tuple[str, ...] = ()
 ) -> DataFrame:
     """Bitstamp returns named string fields (202-213)."""
     r, s = F.col(raw_col), F.col(symbol_col)
@@ -90,12 +93,13 @@ def normalize_bitstamp(
             _cast(r["volume"], strict),
             s,
             "bitstamp",
+            extra,
         )
     )
 
 
 def normalize_bitfinex(
-    df: DataFrame, raw_col: str = "kline", symbol_col: str = "symbol", strict: bool = True
+    df: DataFrame, raw_col: str = "kline", symbol_col: str = "symbol", strict: bool = True, extra: tuple[str, ...] = ()
 ) -> DataFrame:
     k, s = F.col(raw_col), F.col(symbol_col)
     return df.select(
@@ -108,12 +112,13 @@ def normalize_bitfinex(
             _cast(k[5], strict),
             s,
             "bitfinex",
+            extra,
         )
     )
 
 
 def normalize_kucoin(
-    df: DataFrame, raw_col: str = "kline", symbol_col: str = "symbol", strict: bool = True
+    df: DataFrame, raw_col: str = "kline", symbol_col: str = "symbol", strict: bool = True, extra: tuple[str, ...] = ()
 ) -> DataFrame:
     """Kucoin: string values; trailing turnover field dropped (359-369)."""
     k, s = F.col(raw_col), F.col(symbol_col)
@@ -127,12 +132,13 @@ def normalize_kucoin(
             _cast(k[5], strict),
             s,
             "kucoin",
+            extra,
         )
     )
 
 
 def normalize_binanceus(
-    df: DataFrame, raw_col: str = "kline", symbol_col: str = "symbol", strict: bool = True
+    df: DataFrame, raw_col: str = "kline", symbol_col: str = "symbol", strict: bool = True, extra: tuple[str, ...] = ()
 ) -> DataFrame:
     """Binance.US 12-field kline; 6 trailing fields dropped (444-459)."""
     k, s = F.col(raw_col), F.col(symbol_col)
@@ -146,6 +152,7 @@ def normalize_binanceus(
             _cast(k[5], strict),
             s,
             "binanceus",
+            extra,
         )
     )
 

@@ -68,6 +68,45 @@ def get_spark(app_name: str = "crypto-spark", cpus: str | int | None = None) -> 
     return spark
 
 
+def _ship_package(spark: SparkSession) -> None:
+    """Make this package importable on executor Python workers.
+
+    Closures in mapInPandas/pandas_udf kernels reference module-level
+    functions; workers unpickle them by importing the module, which only
+    works if the package is on the *worker's* PYTHONPATH.  Shipping a zip
+    via ``addPyFile`` covers any launch directory locally and is exactly
+    what a real cluster deployment needs.
+    """
+    sc = spark.sparkContext
+    if getattr(sc, "_cdim_pkg_shipped", False):
+        return
+    import tempfile
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    pkg_name = os.path.basename(pkg_dir)
+    zpath = os.path.join(
+        tempfile.gettempdir(), f"{pkg_name}_{abs(hash(pkg_dir)) % 99999}.zip"
+    )
+    if not os.path.exists(zpath):
+        with zipfile.ZipFile(zpath, "w") as zf:
+            for root, _dirs, files in os.walk(pkg_dir):
+                if "__pycache__" in root:
+                    continue
+                for f in files:
+                    if f.endswith(".py"):
+                        full = os.path.join(root, f)
+                        rel = os.path.join(
+                            pkg_name, os.path.relpath(full, pkg_dir)
+                        )
+                        zf.write(full, rel)
+    try:
+        sc.addPyFile(zpath)
+    except Exception:  # pragma: no cover - e.g. Connect sessions
+        pass
+    sc._cdim_pkg_shipped = True
+
+
 def configure(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable conf to an externally-provided session."""
     for k, v in RUNTIME_CONF.items():
@@ -75,6 +114,7 @@ def configure(spark: SparkSession) -> SparkSession:
             spark.conf.set(k, v)
         except Exception:  # pragma: no cover - static conf on a locked session
             pass
+    _ship_package(spark)
     return spark
 
 

@@ -1,0 +1,171 @@
+"""Structured Streaming: the reference's live collection loop (T2-T5,
+crypto_collector.py:659-717) as checkpointed micro-batch queries.
+
+Mapping:
+- the reference's sleep-to-boundary loop (664-667, 712-717) → a
+  processing-time trigger; each micro-batch freezes its cycle boundary
+  from the tick timestamps (672-673 analog)
+- per-interval gating (719-739) → ``should_collect`` on the boundary
+- fetch + normalize + keep-last save (693 → 523-558) → ``foreachBatch``
+  running the same fetch kernel and MERGE upsert as the batch path —
+  one code path for both drive modes
+- late/re-delivered data (T4): the MERGE accepts unbounded lateness;
+  :func:`watermark_dedup` is the bounded-state in-stream alternative
+  (``dropDuplicatesWithinWatermark``)
+- progress state (T3): the streaming checkpoint owns offsets; the lake's
+  watermark table (max ts per key) is derivable at any time
+
+The exact wall-clock boundary alignment of the reference (ceil to the
+next 15-minute mark) is stricter than Spark's phase-free processing-time
+trigger; each batch therefore computes the boundary from event time, so
+results are alignment-correct even if the trigger fires off-phase.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from crypto_data_ingestion_module_spark.functions.timeutil import (
+    parse_interval_ms,
+    should_collect,
+)
+from crypto_data_ingestion_module_spark.sinks.parquet_lake import upsert_lake
+from crypto_data_ingestion_module_spark.sources.fetch import (
+    Adapter,
+    fetch_pages,
+    normalize_mock_pages,
+)
+
+
+def stream_upsert_to_lake(
+    spark: SparkSession,
+    source: DataFrame,
+    lake_root: str,
+    checkpoint: str,
+    available_now: bool = True,
+    key_cols: Sequence[str] = ("symbol", "interval", "data_type", "exchange", "timestamp"),
+) -> StreamingQuery:
+    """Stream canonical candles into the lake via foreachBatch MERGE.
+
+    Re-delivered keys resolve keep-last (batch_seq = micro-batch id), so
+    replays after checkpoint recovery are idempotent — the streaming
+    version of the reference's read-merge-dedup-write (542-556).
+    """
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        upsert_lake(
+            batch_df.sparkSession,
+            batch_df,
+            lake_root,
+            key_cols=key_cols,
+            batch_seq=batch_id,
+        )
+
+    writer = source.writeStream.foreachBatch(_sink).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime="15 minutes")
+    return writer.start()
+
+
+def watermark_dedup(
+    stream: DataFrame,
+    ts_col: str = "timestamp",
+    keys: Sequence[str] = ("symbol", "interval", "exchange", "timestamp"),
+    lateness: str = "1 hour",
+) -> DataFrame:
+    """Bounded-state in-stream dedup (T4): accept each logical key once
+    within the watermark horizon.  State size is bounded by ``lateness``
+    — the 100 TB-safe alternative to unbounded MERGE corrections."""
+    return stream.withWatermark(ts_col, lateness).dropDuplicatesWithinWatermark(
+        list(keys)
+    )
+
+
+def live_collection_stream(
+    spark: SparkSession,
+    adapter: Adapter,
+    symbols: Sequence[str],
+    intervals: Sequence[str],
+    lake_root: str,
+    checkpoint: str,
+    tick_seconds: int = 900,
+    rows_per_second: int = 1,
+    available_now: bool = False,
+    pacing: dict[str, float] | None = None,
+    exchanges: Sequence[str] = ("coinbase", "bitstamp", "bitfinex", "kucoin", "binanceus"),
+    ticks: DataFrame | None = None,
+) -> StreamingQuery:
+    """Live collection: rate-source ticks → per-cycle fetch + MERGE.
+
+    Each micro-batch: freeze the cycle boundary (max tick floored to
+    ``tick_seconds``), gate each interval on that boundary (719-739),
+    synthesize the fetch manifest for ``[boundary - interval, boundary)``
+    (686-690), run the same fetch/normalize/upsert path as backfill.
+
+    ``ticks`` may inject any streaming DataFrame with a ``timestamp``
+    column (tests use ``rate-micro-batch`` with a pinned start time for
+    deterministic cycles); defaults to the wall-clock rate source.
+    """
+    if ticks is None:
+        ticks = (
+            spark.readStream.format("rate")
+            .option("rowsPerSecond", rows_per_second)
+            .load()
+        )
+
+    def _cycle(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        sess = batch_df.sparkSession
+        max_ts = batch_df.agg(F.max("timestamp")).first()[0]
+        boundary_ms = (
+            int(max_ts.timestamp() * 1000) // (tick_seconds * 1000)
+        ) * (tick_seconds * 1000)
+        boundary = F.timestamp_millis(F.lit(boundary_ms))
+
+        tasks = []
+        for interval in intervals:
+            gate = sess.range(1).select(
+                should_collect(boundary, interval).alias("go")
+            ).first()["go"]
+            if not gate:
+                continue
+            ivl_ms = parse_interval_ms(interval)
+            for symbol in symbols:
+                for exchange in exchanges:
+                    tasks.append(
+                        (symbol, interval, exchange, interval,
+                         300, boundary_ms - ivl_ms, boundary_ms)
+                    )
+        if not tasks:
+            return
+        manifest = sess.createDataFrame(
+            tasks,
+            "symbol string, interval string, exchange string, "
+            "native_interval string, page_limit int, "
+            "chunk_start_ms long, chunk_end_ms long",
+        )
+        raw = fetch_pages(sess, manifest, adapter, pacing=pacing)
+        candles = normalize_mock_pages(raw)
+        if candles.isEmpty():
+            return
+        upsert_lake(sess, candles, lake_root, batch_seq=batch_id)
+
+    writer = ticks.writeStream.foreachBatch(_cycle).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=f"{tick_seconds} seconds")
+    return writer.start()
