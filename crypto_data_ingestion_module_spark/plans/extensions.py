@@ -211,15 +211,16 @@ def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ngram_jaccard_pairs,
     )
 
-    return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.5, n=3)
+    return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.5, n=4)
 
 
 _register(
     QuerySpec(
         name="ngram_jaccard_pairs",
         survey_ids=("X2",),
-        description="exact word-3-gram Jaccard ≥ 0.5 document pairs "
-        "(shingle explode + equi-join; ground truth for the sketches)",
+        description="exact word-4-gram Jaccard ≥ 0.5 document pairs "
+        "(shingle explode + equi-join; ground truth for the sketches; "
+        "4-grams thin frequent-shingle join skew vs 3-grams)",
         spark=_jaccard_pairs,
         oracle="""
 WITH w AS (
@@ -227,8 +228,8 @@ WITH w AS (
 ),
 sh AS (
   SELECT doc_id AS id, unnest(list_distinct(
-    CASE WHEN len(ws) >= 3
-         THEN list_transform(range(1, len(ws) - 1), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+    CASE WHEN len(ws) >= 4
+         THEN list_transform(range(1, len(ws) - 2), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])
          ELSE [array_to_string(ws, ' ')] END)) AS shingle
   FROM w
 ),

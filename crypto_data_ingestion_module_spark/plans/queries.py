@@ -330,21 +330,28 @@ FROM (
 # F1 time-range predicate (pushed to the parquet scan)
 # --------------------------------------------------------------------------
 
+def _time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # raw-domain predicate → parquet row-group skipping even on the
+    # driver's TIMESTAMP(NANOS) files (see session.scan_time_range)
+    from crypto_data_ingestion_module_spark.session import scan_time_range
+
+    lo = 1_704_844_800_000  # 2024-01-10 UTC (events span Jan 2024)
+    hi = 1_705_708_800_000  # 2024-01-20 UTC
+    return scan_time_range(spark, sf_dir, "events", "ts", lo, hi).select(
+        "event_id", "ts", "event_type", "value"
+    )
+
+
 _register(
     QuerySpec(
         name="time_range_filter",
         survey_ids=("F1", "P2"),
-        description="bounded start<=ts<end scan, the shape every fetch "
-        "pushes into its source (reference 93-100 etc.)",
-        spark=lambda s, d: _t(s, d, "events")
-        .filter(
-            (F.col("ts") >= F.lit("2024-02-01 00:00:00").cast("timestamp"))
-            & (F.col("ts") < F.lit("2024-03-01 00:00:00").cast("timestamp"))
-        )
-        .select("event_id", "ts", "event_type", "value"),
+        description="bounded start<=ts<end scan with the predicate pushed "
+        "into the parquet scan (reference 93-100 etc.)",
+        spark=_time_range,
         oracle="""
 SELECT event_id, ts, event_type, value FROM events
-WHERE ts >= TIMESTAMP '2024-02-01 00:00:00' AND ts < TIMESTAMP '2024-03-01 00:00:00'
+WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-20 00:00:00'
 """,
     )
 )
@@ -520,7 +527,7 @@ FROM ivls
 
 _AVAILABILITY = [
     ("click", "2024-01-10 00:00:00"),
-    ("view", "2024-02-01 00:00:00"),
+    ("view", "2024-01-15 00:00:00"),
     ("purchase", "2024-01-01 00:00:00"),
 ]
 
@@ -834,3 +841,146 @@ _register(
 
 # registration side effect: north-star extension queries (X1-X5)
 from crypto_data_ingestion_module_spark.plans import extensions as _extensions  # noqa: E402,F401
+
+
+# --------------------------------------------------------------------------
+# As-of join (SURVEY §2.5 extension): last view at-or-before each purchase
+# --------------------------------------------------------------------------
+
+def _asof_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crypto_data_ingestion_module_spark.operators.asof import asof_join
+    from crypto_data_ingestion_module_spark.operators.dedup import dedup_keep_last
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    # right side must be unique per (user_id, ts) for deterministic picks
+    views = dedup_keep_last(views, ["user_id", "ts"], order_col="event_id").select(
+        "user_id", "ts", F.col("value").alias("view_value")
+    )
+    out = asof_join(
+        purchases,
+        views,
+        on="ts",
+        by=["user_id"],
+        right_cols=["view_value"],
+        suffix="_view",
+    )
+    return out.select(
+        "user_id", "ts", "event_id", "value", F.col("ts_view"), F.col("view_value_view").alias("view_value")
+    )
+
+
+_register(
+    QuerySpec(
+        name="asof_last_view_before_purchase",
+        survey_ids=("A1", "D2"),
+        description="as-of join via the union+running-last trick: latest "
+        "view at-or-before each purchase per user (one shuffle, no range "
+        "cross product)",
+        spark=_asof_events,
+        oracle="""
+WITH purchases AS (
+  SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase'
+),
+views AS (
+  SELECT user_id, ts, value AS view_value FROM (
+    SELECT user_id, ts, value,
+           row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+    FROM events WHERE event_type = 'view'
+  ) WHERE rn = 1
+)
+SELECT p.user_id, p.ts, p.event_id, p.value,
+       v.ts AS ts_view, v.view_value
+FROM purchases p ASOF LEFT JOIN views v
+  ON p.user_id = v.user_id AND p.ts >= v.ts
+""",
+    )
+)
+
+
+# --------------------------------------------------------------------------
+# Cross-venue comparison join (SURVEY §2.5): same bucket, two streams
+# --------------------------------------------------------------------------
+
+def _cross_stream_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    bucket = bucket_start(F.col("ts"), 86_400_000).alias("bucket_ts")
+
+    def side(event_type: str, prefix: str) -> DataFrame:
+        return (
+            ev.filter(F.col("event_type") == event_type)
+            .groupBy(bucket)
+            .agg(
+                (dsum(F.col("value")) / F.count(F.lit(1))).alias(f"{prefix}_avg"),
+                F.count(F.lit(1)).alias(f"{prefix}_n"),
+            )
+        )
+
+    a, b = side("click", "click"), side("view", "view")
+    return (
+        a.join(b, "bucket_ts", "inner")
+        .withColumn("avg_spread", F.col("click_avg") - F.col("view_avg"))
+    )
+
+
+_register(
+    QuerySpec(
+        name="cross_stream_compare",
+        survey_ids=("A1", "A2"),
+        description="cross-venue-style comparison: two event streams "
+        "aggregated to the same daily grid, equi-joined on bucket, spread "
+        "computed (same symbol/ts across venues analog)",
+        spark=_cross_stream_compare,
+        oracle=f"""
+WITH a AS (
+  SELECT {obucket('ts', 86_400_000)} AS bucket_ts,
+         {osum('value')} / count(*) AS click_avg, count(*) AS click_n
+  FROM events WHERE event_type = 'click' GROUP BY bucket_ts
+),
+b AS (
+  SELECT {obucket('ts', 86_400_000)} AS bucket_ts,
+         {osum('value')} / count(*) AS view_avg, count(*) AS view_n
+  FROM events WHERE event_type = 'view' GROUP BY bucket_ts
+)
+SELECT a.bucket_ts, a.click_avg, a.click_n, b.view_avg, b.view_n,
+       a.click_avg - b.view_avg AS avg_spread
+FROM a JOIN b USING (bucket_ts)
+""",
+    )
+)
+
+
+# --------------------------------------------------------------------------
+# Large shuffle join: lineitem ⨝ orders revenue rollup (AQE exercise)
+# --------------------------------------------------------------------------
+
+_register(
+    QuerySpec(
+        name="order_revenue_by_priority",
+        survey_ids=("A2", "A3"),
+        description="lineitem⨝orders shuffle join + revenue rollup per "
+        "order priority (fact-to-fact join; AQE plans the strategy)",
+        spark=lambda s, d: _t(s, d, "lineitem")
+        .join(_t(s, d, "orders"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .withColumn("revenue", F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        .groupBy("o_orderpriority")
+        .agg(
+            dsum(F.col("revenue")).alias("total_revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        ),
+        oracle=f"""
+SELECT o_orderpriority,
+  {osum('l_extendedprice * (1 - l_discount)')} AS total_revenue,
+  count(*) AS n_items,
+  count(DISTINCT o_orderkey) AS n_orders
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+""",
+    )
+)

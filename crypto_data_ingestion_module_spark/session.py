@@ -152,3 +152,41 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def scan_time_range(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    ts_col: str,
+    lo_ms: int,
+    hi_ms: int,
+) -> DataFrame:
+    """Time-range scan with guaranteed parquet pushdown.
+
+    For TIMESTAMP(NANOS) columns the normal path filters on
+    ``timestamp_micros(raw div 1000)`` — an expression parquet cannot
+    push, so every row group is read.  Here the predicate is applied in
+    the RAW domain (long nanos) before conversion, so it reaches
+    ``PushedFilters`` and row groups outside the range are skipped —
+    the difference between scanning a day and scanning 100 TB.
+    """
+    configure(spark)
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = spark.read.parquet(path)
+    nano_cols = _nano_ts_columns(path)
+    if ts_col in nano_cols:
+        df = df.filter(
+            (F.col(ts_col) >= F.lit(lo_ms * 1_000_000))
+            & (F.col(ts_col) < F.lit(hi_ms * 1_000_000))
+        )
+        for col in nano_cols:
+            df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+    else:
+        for col in nano_cols:
+            df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+        df = df.filter(
+            (F.col(ts_col) >= F.timestamp_millis(F.lit(lo_ms)))
+            & (F.col(ts_col) < F.timestamp_millis(F.lit(hi_ms)))
+        )
+    return df

@@ -158,3 +158,54 @@ def test_manifest_chunk_math(spark):
     # chunks tile the range without gaps
     for a, b in zip(one_d, one_d[1:]):
         assert a.chunk_end_ms == b.chunk_start_ms
+
+
+def test_asof_join_semantics(spark):
+    from crypto_data_ingestion_module_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [("x", 10, "L1"), ("x", 20, "L2"), ("x", 5, "L0"), ("y", 100, "L3")],
+        "k string, ts long, tag string",
+    )
+    right = spark.createDataFrame(
+        [("x", 5, 50.0), ("x", 15, 60.0), ("x", 20, 70.0), ("z", 1, 99.0)],
+        "k string, ts long, p double",
+    )
+    out = {
+        (r.k, r.ts): (r.ts_right, r.p_right)
+        for r in asof_join(left, right, on="ts", by=["k"], right_cols=["p"]).collect()
+    }
+    assert out[("x", 5)] == (5, 50.0)      # exact-ts tie matches (<=)
+    assert out[("x", 10)] == (5, 50.0)     # latest at-or-before
+    assert out[("x", 20)] == (20, 70.0)    # equal ts wins over 15
+    assert out[("y", 100)] == (None, None)  # no right rows for key → NULLs
+
+
+def test_derivatives_stub_surface(spark):
+    from crypto_data_ingestion_module_spark.sources.derivatives import (
+        derivatives_scan,
+        options_scan,
+    )
+
+    d, o = derivatives_scan(spark), options_scan(spark)
+    assert d.count() == 0 and o.count() == 0
+    assert "open_interest" in d.columns and "funding_rate" in d.columns
+    assert {"strike", "expiry", "option_type"} <= set(o.columns)
+    # unions cleanly with real candles (the reference concatenates
+    # spot+deriv+options, 622)
+    from crypto_data_ingestion_module_spark.schema import CANDLE_SCHEMA
+
+    candles = spark.createDataFrame([], CANDLE_SCHEMA)
+    merged = candles.unionByName(d.drop("open_interest", "funding_rate"))
+    assert merged.count() == 0
+
+
+def test_metrics_listener(spark):
+    from crypto_data_ingestion_module_spark.streaming.metrics import (
+        log_event,
+        register_listener,
+    )
+
+    listener = register_listener(spark)
+    log_event("test_stage", rows=3, table="lake")
+    spark.streams.removeListener(listener)
