@@ -106,6 +106,20 @@ def bucket_start(ts: Column | str, interval_ms: int | Column) -> Column:
     return F.timestamp_millis((F.floor(ms / ivl) * ivl).cast("long"))
 
 
+def next_boundary_ms(now_ms: int, interval_ms: int = 900_000) -> int:
+    """Next exact wall-clock interval boundary strictly after ``now_ms``
+    (reference alignment ``ceil(now/900)*900``, 664-667).  Already on a
+    boundary → the NEXT one (the reference sleeps ≥1 cycle)."""
+    return (now_ms // interval_ms + 1) * interval_ms
+
+
+def sleep_to_boundary_s(now_ms: int, interval_ms: int = 900_000) -> float:
+    """Seconds until the next boundary — drives a boundary-aligned
+    trigger loop for deployments that need the reference's exact phase
+    (Spark's processing-time trigger is phase-free; T2)."""
+    return (next_boundary_ms(now_ms, interval_ms) - now_ms) / 1000.0
+
+
 def should_collect(ts: Column | str, interval: str) -> Column:
     """Interval-boundary gate (F3; reference should_collect_interval 719-739).
 

@@ -984,3 +984,81 @@ GROUP BY o_orderpriority
 """,
     )
 )
+
+
+# --------------------------------------------------------------------------
+# S1-S5 as a Spark 4 Python DataSource: format("crypto_candles") scan,
+# arithmetic-exact oracle (the mock emits a closed-form candle function)
+# --------------------------------------------------------------------------
+
+_DS_START = 1_704_067_200_000  # 2024-01-01, aligned to 1d and 6h grids
+_DS_END = 1_704_326_400_000  # +3 days
+
+
+def _datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crypto_data_ingestion_module_spark.sources.datasource import register
+
+    register(spark)
+    return (
+        spark.read.format("crypto_candles")
+        .option("symbols", "BTC-USDT,ETH-USDT")
+        .option("intervals", "1d,6h")
+        .option("start_ms", str(_DS_START))
+        .option("end_ms", str(_DS_END))
+        .load()
+    )
+
+
+def _datasource_oracle() -> str:
+    import zlib
+
+    from crypto_data_ingestion_module_spark.sources.venues import VENUE_INTERVALS
+
+    rows = []
+    for exchange, interval, _native, gran_s, _limit, _pace in VENUE_INTERVALS:
+        if interval not in ("1d", "6h"):
+            continue
+        for symbol in ("BTC-USDT", "ETH-USDT"):
+            seed = zlib.crc32(f"{exchange}|{symbol}".encode())
+            rows.append(
+                f"('{exchange}', '{interval}', CAST({gran_s * 1000} AS BIGINT), "
+                f"CAST({seed} AS BIGINT), '{symbol}')"
+            )
+    values = ", ".join(rows)
+    # exact double op order of the mock: base = 1000.0 + (seed%1000)/10.0;
+    # wob = ((ts//ivl)%97)/10.0; o = base+wob; c = o+0.5; hi = c+1; lo = o-1
+    return f"""
+WITH venues(exchange, "interval", ivl_ms, seed, symbol) AS (VALUES {values}),
+grid AS (
+  SELECT exchange, "interval", ivl_ms, seed, symbol,
+         unnest(range({_DS_START}, {_DS_END}, ivl_ms)) AS ts_ms
+  FROM venues
+),
+calc AS (
+  SELECT *,
+    (1000.0 + (CAST(seed % 1000 AS DOUBLE) / 10.0))
+      + (CAST((ts_ms // ivl_ms) % 97 AS DOUBLE) / 10.0) AS o
+  FROM grid
+)
+SELECT o AS "open",
+       (o + 0.5) + 1.0 AS high,
+       o - 1.0 AS low,
+       o + 0.5 AS "close",
+       CAST(10 + (ts_ms // ivl_ms) % 13 AS DOUBLE) AS volume,
+       make_timestamp(ts_ms * 1000) AS "timestamp",
+       symbol, exchange, "interval"
+FROM calc
+"""
+
+
+_register(
+    QuerySpec(
+        name="datasource_candles",
+        survey_ids=("S1", "S2", "S3", "S4", "S5", "T1"),
+        description="exchange candle scan as a Spark 4 Python DataSource "
+        "(format 'crypto_candles'): per-task input partitions, range/venue "
+        "options pushed into the task grid; arithmetic-exact oracle",
+        spark=_datasource_scan,
+        oracle=_datasource_oracle(),
+    )
+)

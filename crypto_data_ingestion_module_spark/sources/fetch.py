@@ -77,8 +77,13 @@ class MockExchangeAdapter:
         first = ((start_ms + ivl_ms - 1) // ivl_ms) * ivl_ms
         out: list[list[str]] = []
         ts = first
+        import zlib
+
+        # crc32, NOT hash(): str hashes are salted per process, and the
+        # mock must emit identical candles on every executor/run
+        seed = zlib.crc32(f"{exchange}|{symbol}".encode())
         while ts < end_ms and len(out) < limit:
-            base = 1000.0 + (hash((exchange, symbol)) % 1000) / 10.0
+            base = 1000.0 + (seed % 1000) / 10.0
             wob = ((ts // ivl_ms) % 97) / 10.0
             o, c = base + wob, base + wob + 0.5
             hi, lo = c + 1.0, o - 1.0

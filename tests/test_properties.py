@@ -1,0 +1,111 @@
+"""Property-based tests (hypothesis) for the pure time/interval math, a
+randomized column-level check of bucket alignment, and the Python
+DataSource binding."""
+
+import datetime as dt
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from crypto_data_ingestion_module_spark.functions.timeutil import (
+    bucket_start,
+    next_boundary_ms,
+    parse_interval_ms,
+    parse_native_interval_ms,
+    sleep_to_boundary_s,
+)
+
+_UNIT_MS = {"s": 1_000, "m": 60_000, "h": 3_600_000, "d": 86_400_000}
+
+
+@given(v=st.integers(min_value=1, max_value=999), u=st.sampled_from("smhd"))
+def test_parse_interval_roundtrip(v, u):
+    assert parse_interval_ms(f"{v}{u}") == v * _UNIT_MS[u]
+
+
+@given(v=st.integers(min_value=1, max_value=999), u=st.sampled_from("smhd"))
+def test_native_forms_agree(v, u):
+    canonical = parse_interval_ms(f"{v}{u}")
+    # seconds form (coinbase/bitstamp dialect)
+    assert parse_native_interval_ms(str(canonical // 1000)) == canonical
+    # long-suffix form (kucoin dialect)
+    suffix = {"m": "min", "h": "hour", "d": "day"}.get(u)
+    if suffix:
+        assert parse_native_interval_ms(f"{v}{suffix}") == canonical
+    # capitalized form (bitfinex 1D)
+    assert parse_native_interval_ms(f"{v}{u.upper()}") == canonical
+
+
+@given(s=st.text(max_size=8))
+def test_parse_interval_never_raises(s):
+    out = parse_interval_ms(s)
+    assert out > 0  # unknown → 15m default, never an exception
+
+
+@given(
+    now=st.integers(min_value=0, max_value=4_000_000_000_000),
+    ivl=st.sampled_from([60_000, 900_000, 3_600_000, 21_600_000, 86_400_000]),
+)
+def test_boundary_properties(now, ivl):
+    b = next_boundary_ms(now, ivl)
+    assert b > now  # strictly in the future
+    assert b % ivl == 0  # exactly on the grid
+    assert b - now <= ivl  # within one interval
+    assert 0 < sleep_to_boundary_s(now, ivl) <= ivl / 1000.0
+
+
+@settings(deadline=None, max_examples=5)
+@given(seed=st.integers(min_value=0, max_value=2**31 - 1))
+def test_mock_adapter_deterministic_across_calls(seed):
+    from crypto_data_ingestion_module_spark.sources.fetch import MockExchangeAdapter
+
+    a, b = MockExchangeAdapter(), MockExchangeAdapter()
+    lo = (seed % 1_000_000) * 900_000
+    page1 = a("kucoin", "BTC-USDT", "15min", lo, lo + 3_600_000, 300)
+    page2 = b("kucoin", "BTC-USDT", "15min", lo, lo + 3_600_000, 300)
+    assert page1 == page2
+    assert all(int(k[0]) % 900_000 == 0 for k in page1)  # on the grid
+
+
+def test_bucket_start_alignment_random(spark):
+    """Column-level property over 10k random timestamps: bucket ≤ ts <
+    bucket+ivl and bucket on the epoch grid, for every interval."""
+    rng = np.random.RandomState(7)
+    ms = rng.randint(1_500_000_000_000, 1_800_000_000_000, size=10_000)
+    df = spark.createDataFrame(
+        [(int(m),) for m in ms], "ms long"
+    ).withColumn("ts", F.timestamp_millis("ms"))
+    for ivl in (900_000, 3_600_000, 86_400_000):
+        checked = df.select(
+            "ms", F.unix_millis(bucket_start(F.col("ts"), ivl)).alias("b")
+        ).filter(
+            ~((F.col("b") % ivl == 0) & (F.col("b") <= F.col("ms")) & (F.col("ms") < F.col("b") + ivl))
+        )
+        assert checked.count() == 0, f"alignment violated for {ivl}"
+
+
+def test_python_datasource(spark):
+    from crypto_data_ingestion_module_spark.sources.datasource import register
+
+    register(spark)
+    df = (
+        spark.read.format("crypto_candles")
+        .option("symbols", "BTC-USDT")
+        .option("intervals", "1d")
+        .option("start_ms", "1704067200000")
+        .option("end_ms", "1704326400000")  # 3 days
+        .load()
+    )
+    rows = df.collect()
+    # 3 daily candles × 5 venues
+    assert len(rows) == 15
+    assert {r.exchange for r in rows} == {
+        "coinbase", "bitstamp", "bitfinex", "kucoin", "binanceus"
+    }
+    assert all(r.interval == "1d" for r in rows)
+    assert min(r.timestamp for r in rows) == dt.datetime(2024, 1, 1)
+    # composes with DataFrame ops downstream (it's a real relation)
+    agg = df.groupBy("symbol").agg(F.sum("volume").alias("v")).collect()
+    assert len(agg) == 1
