@@ -1062,3 +1062,43 @@ _register(
         oracle=_datasource_oracle(),
     )
 )
+
+
+# --------------------------------------------------------------------------
+# Skew-resistant salted aggregation (100 TB hot-key defense) — exact
+# decimal partials make the result bit-equal to the plain aggregation
+# --------------------------------------------------------------------------
+
+def _salted_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crypto_data_ingestion_module_spark.operators.skew import salted_agg
+
+    ev = _t(spark, sf_dir, "events")
+    return salted_agg(
+        ev,
+        ["event_type"],
+        {
+            "s": F.sum(F.round(F.col("value") * 1_000_000.0).cast("decimal(38,0)")),
+            "n": F.count(F.lit(1)),
+        },
+        {
+            "total_value": (F.sum("s").cast("double") / 1_000_000.0),
+            "n_rows": F.sum("n"),
+        },
+        n_salts=16,
+    )
+
+
+_register(
+    QuerySpec(
+        name="salted_totals",
+        survey_ids=("A2", "T6"),
+        description="two-phase salted group-by (hot-key skew defense): "
+        "per-(key,salt) exact decimal partials, then per-key combine — "
+        "bit-equal to the unsalted aggregate",
+        spark=_salted_totals,
+        oracle=f"""
+SELECT event_type, {osum('value')} AS total_value, count(*) AS n_rows
+FROM events GROUP BY event_type
+""",
+    )
+)

@@ -27,12 +27,18 @@ from __future__ import annotations
 
 from collections.abc import Iterator, Sequence
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 from pyspark.sql.types import StructType
 
 from crypto_data_ingestion_module_spark.functions.timeutil import (
     parse_interval_ms,
 )
+from crypto_data_ingestion_module_spark.sources.fetch import MockExchangeAdapter
 from crypto_data_ingestion_module_spark.sources.venues import (
     AVAILABILITY,
     CANDLES_PER_DAY,
@@ -113,10 +119,6 @@ class CandleReader(DataSourceReader):
             return
         import datetime as dt
 
-        from crypto_data_ingestion_module_spark.sources.fetch import (
-            MockExchangeAdapter,
-        )
-
         adapter = MockExchangeAdapter()
         page = adapter(
             part.exchange, part.symbol, part.native, part.start_ms, part.end_ms, part.limit
@@ -138,8 +140,52 @@ class CandleReader(DataSourceReader):
             )
 
 
+class CandleStreamReader(SimpleDataSourceStreamReader):
+    """Streaming variant: each micro-batch advances the time cursor one
+    interval across every (venue, symbol) — the reference's live loop
+    (659-717) as a *native* streaming source with replayable offsets.
+
+    Offsets are ``{"ts": epoch_ms}``; the mock adapter is deterministic,
+    so ``readBetweenOffsets`` (checkpoint recovery replay) reproduces the
+    original batch exactly.
+    """
+
+    def __init__(self, options: dict):
+        self.symbols = [s for s in options.get("symbols", "BTC-USDT").split(",") if s]
+        self.interval = options.get("intervals", "15m").split(",")[0]
+        self.start_ms = int(options.get("start_ms", "1704067200000"))
+        self.end_ms = int(options.get("end_ms", str(self.start_ms + 4 * DAY_MS)))
+        ex = options.get("exchanges", "")
+        self.exchanges = [e for e in ex.split(",") if e] or None
+        self.ivl_ms = parse_interval_ms(self.interval)
+
+    def initialOffset(self) -> dict:  # noqa: N802
+        return {"ts": self.start_ms}
+
+    def _rows(self, lo: int, hi: int) -> list[tuple]:
+        out = []
+        for task in plan_tasks(self.symbols, [self.interval], lo, hi, self.exchanges):
+            reader = CandleReader.__new__(CandleReader)
+            out.extend(CandleReader.read(reader, task))
+        return out
+
+    def read(self, start: dict):  # noqa: N802
+        lo = int(start["ts"])
+        if lo >= self.end_ms:  # bounded demo stream: idle at the end
+            return iter([]), {"ts": lo}
+        hi = min(lo + self.ivl_ms, self.end_ms)
+        return iter(self._rows(lo, hi)), {"ts": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):  # noqa: N802
+        return iter(self._rows(int(start["ts"]), int(end["ts"])))
+
+    def commit(self, end: dict) -> None:  # noqa: N802
+        pass
+
+
 class CryptoCandleDataSource(DataSource):
-    """``format("crypto_candles")`` — candle scan as a first-class source."""
+    """``format("crypto_candles")`` — candle scan as a first-class source,
+    batch (``spark.read``) and streaming (``spark.readStream``)."""
 
     @classmethod
     def name(cls) -> str:
@@ -151,6 +197,31 @@ class CryptoCandleDataSource(DataSource):
     def reader(self, schema: StructType) -> CandleReader:
         return CandleReader(schema, self.options)
 
+    def simpleStreamReader(self, schema: StructType) -> CandleStreamReader:  # noqa: N802
+        return CandleStreamReader(self.options)
+
 
 def register(spark) -> None:
+    """Register the source, deployable from ANY launch directory.
+
+    Two distinct Python runtimes must resolve this code:
+    - executor workers → covered by configure()'s addPyFile zip;
+    - the driver-side (micro-batch) source runner process, which does NOT
+      see addPyFile → covered by registering the package's modules with
+      cloudpickle for BY-VALUE serialization, so the pickled DataSource
+      carries its own code.
+    """
+    import sys
+
+    from crypto_data_ingestion_module_spark.session import configure
+
+    configure(spark)
+    try:
+        from pyspark import cloudpickle
+
+        for name, module in list(sys.modules.items()):
+            if name.startswith("crypto_data_ingestion_module_spark") and module:
+                cloudpickle.register_pickle_by_value(module)
+    except Exception:  # pragma: no cover - older pickle fallback
+        pass
     spark.dataSource.register(CryptoCandleDataSource)

@@ -109,3 +109,67 @@ def test_python_datasource(spark):
     # composes with DataFrame ops downstream (it's a real relation)
     agg = df.groupBy("symbol").agg(F.sum("volume").alias("v")).collect()
     assert len(agg) == 1
+
+
+def test_streaming_datasource(spark, tmp_path):
+    import time
+
+    from crypto_data_ingestion_module_spark.sources.datasource import register
+
+    register(spark)
+    stream = (
+        spark.readStream.format("crypto_candles")
+        .option("symbols", "BTC-USDT")
+        .option("intervals", "1d")
+        .option("start_ms", "1704067200000")
+        .option("end_ms", "1704240000000")  # 2 days
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("sds_test")
+        .outputMode("append")
+        .trigger(processingTime="1 second")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    deadline = time.time() + 90
+    while time.time() < deadline:
+        if spark.sql("SELECT count(*) c FROM sds_test").first().c >= 10:
+            break
+        time.sleep(1)
+    q.stop()
+    rows = spark.sql("SELECT * FROM sds_test").collect()
+    assert len(rows) == 10  # 2 days x 5 venues
+    assert {r.exchange for r in rows} == {
+        "coinbase", "bitstamp", "bitfinex", "kucoin", "binanceus"
+    }
+
+
+def test_salted_agg_equals_plain(spark):
+    from pyspark.sql import functions as F2
+
+    from crypto_data_ingestion_module_spark.operators.skew import salted_agg
+    from crypto_data_ingestion_module_spark.session import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    plain = {
+        r.event_type: (r.total, r.rows)
+        for r in ev.groupBy("event_type")
+        .agg(F2.sum("value").alias("total"), F2.count(F2.lit(1)).alias("rows"))
+        .collect()
+    }
+    salted = {
+        r.event_type: (r.total, r.rows)
+        for r in salted_agg(
+            ev,
+            ["event_type"],
+            {"s": F2.sum("value"), "n": F2.count(F2.lit(1))},
+            {"total": F2.sum("s"), "rows": F2.sum("n")},
+            n_salts=8,
+        ).collect()
+    }
+    assert set(plain) == set(salted)
+    for k in plain:
+        assert plain[k][1] == salted[k][1]
+        assert abs(plain[k][0] - salted[k][0]) < 1e-6
