@@ -184,3 +184,98 @@ def test_live_collection_cycle(spark, tmp_path):
     # each (interval, exchange): exactly the one cycle's candle(s)
     c15 = got.filter((F.col("interval") == "15m") & (F.col("exchange") == "kucoin"))
     assert c15.count() == 1  # [boundary-15m, boundary) holds one 15m candle
+
+
+def test_normalize_real_pages_dialects(spark):
+    """Raw venue pages (positional string arrays) through the per-dialect
+    normalizers: every venue must yield identical canonical candles."""
+    from crypto_data_ingestion_module_spark.sources import fixtures as FX
+    from crypto_data_ingestion_module_spark.sources.fetch import (
+        RAW_SCHEMA,
+        normalize_real_pages,
+    )
+
+    rows = []
+    # bitstamp arrives positionally at the fetch layer: [ts,o,h,l,c,v]
+    bs_positional = [
+        [r["timestamp"], r["open"], r["high"], r["low"], r["close"], r["volume"]]
+        for r in FX.BITSTAMP_OHLC
+    ]
+    for exchange, klines in [
+        ("coinbase", FX.COINBASE_KLINES),
+        ("bitstamp", bs_positional),
+        ("bitfinex", FX.BITFINEX_KLINES),
+        ("kucoin", FX.KUCOIN_KLINES),
+        ("binanceus", FX.BINANCEUS_KLINES),
+    ]:
+        for k in klines:
+            rows.append((exchange, "BTC-USDT", "15m", k, None, 1))
+    raw = spark.createDataFrame(rows, RAW_SCHEMA)
+    out = normalize_real_pages(raw)
+    got = out.collect()
+    assert len(got) == 10
+    by_ex = {}
+    for r in got:
+        by_ex.setdefault(r.exchange, {})[r.timestamp] = (
+            r.open, r.high, r.low, r.close, r.volume, r.interval, r.data_type,
+        )
+    ref = by_ex["kucoin"]
+    assert len(by_ex) == 5
+    for ex, vals in by_ex.items():
+        assert vals == ref, ex  # all dialects agree on canonical values
+    assert all(v[6] == "spot" for v in ref.values())
+
+
+def test_stateful_candle_builder(spark, tmp_path):
+    """applyInPandasWithState tick→candle: bucket finalizes exactly once
+    when the watermark passes, late-but-in-watermark ticks fold in."""
+    import time as _time
+
+    from crypto_data_ingestion_module_spark.streaming.stateful import (
+        candles_from_ticks,
+    )
+
+    src = str(tmp_path / "ticks")
+    os.makedirs(src)
+    ddl = "symbol string, ts timestamp, price double, qty double, tick_id long"
+    m0 = dt.datetime(2024, 1, 1, 0, 0)
+
+    def write_file(rows, name):
+        spark.createDataFrame(rows, ddl).coalesce(1).write.mode("append").parquet(src)
+
+    # minute-0 ticks (bucket 00:00): open=10 @ :05, high=14, low=9, close=12
+    write_file(
+        [
+            ("BTC", m0 + dt.timedelta(seconds=5), 10.0, 1.0, 1),
+            ("BTC", m0 + dt.timedelta(seconds=20), 14.0, 2.0, 2),
+            ("BTC", m0 + dt.timedelta(seconds=40), 9.0, 1.0, 3),
+            ("BTC", m0 + dt.timedelta(seconds=55), 12.0, 1.0, 4),
+        ],
+        "f1",
+    )
+    # a tick far in the future: advances the watermark past bucket 00:00
+    write_file([("BTC", m0 + dt.timedelta(minutes=10), 99.0, 1.0, 5)], "f2")
+
+    ticks = (
+        spark.readStream.schema(ddl).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    candles = candles_from_ticks(ticks, interval_ms=60_000, lateness="10 seconds")
+    q = (
+        candles.writeStream.format("memory")
+        .queryName("stateful_candles")
+        .outputMode("append")
+        .trigger(processingTime="1 second")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    deadline = _time.time() + 120
+    while _time.time() < deadline:
+        if spark.sql("SELECT count(*) c FROM stateful_candles").first().c >= 1:
+            break
+        _time.sleep(1)
+    q.stop()
+    rows = spark.sql("SELECT * FROM stateful_candles").collect()
+    assert len(rows) >= 1, "no candle finalized"
+    r = {x.bucket_ts: x for x in rows}[m0]
+    assert (r.open, r.high, r.low, r.close) == (10.0, 14.0, 9.0, 12.0)
+    assert r.volume == 5.0 and r.n_ticks == 4
