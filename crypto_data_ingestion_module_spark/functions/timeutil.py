@@ -120,6 +120,21 @@ def sleep_to_boundary_s(now_ms: int, interval_ms: int = 900_000) -> float:
     return (next_boundary_ms(now_ms, interval_ms) - now_ms) / 1000.0
 
 
+def should_collect_ms(boundary_ms: int, interval: str) -> bool:
+    """Driver-side twin of :func:`should_collect` for literal boundaries
+    (reference 719-739) — no Spark job needed to gate a known timestamp."""
+    minute = (boundary_ms // 60_000) % 60
+    hour = (boundary_ms // 3_600_000) % 24
+    gates = {
+        "15m": minute % 15 == 0,
+        "1h": minute == 0,
+        "4h": minute == 0 and hour % 4 == 0,
+        "6h": minute == 0 and hour % 6 == 0,
+        "1d": minute == 0 and hour == 0,
+    }
+    return gates.get(interval, False)
+
+
 def should_collect(ts: Column | str, interval: str) -> Column:
     """Interval-boundary gate (F3; reference should_collect_interval 719-739).
 

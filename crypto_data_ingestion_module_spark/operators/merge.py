@@ -30,14 +30,23 @@ def merge_keep_last(
     arrival order); if absent one is synthesized (existing=0, incoming=1).
     The result keeps ``_ingest_seq`` so successive merges stay ordered.
     """
-    def _seq(df: DataFrame, base: int) -> DataFrame:
-        if INGEST_SEQ in df.columns:
-            return df
-        return df.withColumn(INGEST_SEQ, F.lit(base).cast("long"))
-
-    incoming = _seq(incoming, 1)
     if existing is None:
-        combined = incoming
-    else:
-        combined = _seq(existing, 0).unionByName(incoming, allowMissingColumns=True)
+        if INGEST_SEQ not in incoming.columns:
+            incoming = incoming.withColumn(INGEST_SEQ, F.lit(1).cast("long"))
+        return dedup_keep_last(incoming, keys, INGEST_SEQ)
+
+    if INGEST_SEQ not in existing.columns:
+        existing = existing.withColumn(INGEST_SEQ, F.lit(0).cast("long"))
+    if INGEST_SEQ not in incoming.columns:
+        # stamp STRICTLY ABOVE the existing maximum — a constant (e.g. 1)
+        # would tie with survivors of a previous merge and let the stale
+        # payload win the deterministic tie-break, silently dropping
+        # corrections.  Lazy: one agg + broadcast join, no driver action.
+        mx = existing.agg(
+            F.coalesce(F.max(INGEST_SEQ), F.lit(0)).alias("_max_seq")
+        )
+        incoming = incoming.crossJoin(F.broadcast(mx)).withColumn(
+            INGEST_SEQ, (F.col("_max_seq") + 1).cast("long")
+        ).drop("_max_seq")
+    combined = existing.unionByName(incoming, allowMissingColumns=True)
     return dedup_keep_last(combined, keys, INGEST_SEQ)

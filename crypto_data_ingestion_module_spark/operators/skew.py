@@ -37,15 +37,16 @@ def salted_agg(
                    {"s": F.sum("value"), "n": F.count(F.lit(1))},
                    {"total": F.sum("s"), "rows": F.sum("n")})
 
-    The salt is a deterministic spread (pmod of a hash of the full row's
-    monotonically increasing id would be non-deterministic; instead we
-    hash stable payload columns), so re-runs produce identical plans.
+    The salt hashes EVERY column of the row: deterministic across
+    re-runs, and the spread degrades only if entire rows are duplicates.
+    (Hashing a subset of payload columns looked cheaper but silently
+    gave a near-constant salt for low-cardinality payloads — no skew
+    mitigation while the caller believes it's active.)
     """
     keys = list(keys)
-    payload = [c for c in df.columns if c not in keys][:2] or keys
-    salt = F.pmod(F.xxhash64(*[F.col(c) for c in payload]), F.lit(n_salts)).alias(
-        "_salt"
-    )
+    salt = F.pmod(
+        F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_salts)
+    ).alias("_salt")
     phase1 = df.groupBy(*keys, salt).agg(
         *[c.alias(name) for name, c in partial_aggs.items()]
     )

@@ -29,6 +29,7 @@ def backfill(
     adapter: Adapter,
     lake_root: str,
     pacing: dict[str, float] | None = None,
+    normalizer=normalize_mock_pages,
 ) -> tuple[DataFrame, DataFrame]:
     """Historical backfill: manifest → distributed fetch → canonical
     candles → keep-last MERGE into the lake.
@@ -36,10 +37,17 @@ def backfill(
     Returns (progress, quarantine): the per-(symbol, interval, exchange)
     max collected timestamp (the reference's ``last_collected_ts`` state,
     500-512/652) and the failed-task side channel.
+
+    ``normalizer`` must match the adapter's page layout: the mock layout
+    for :class:`MockExchangeAdapter`, ``normalize_real_pages`` for real
+    venue payloads — a mismatch scrambles OHLC column order silently.
     """
     manifest = backfill_manifest(spark, symbols_df, intervals_df, end_ms)
     raw = fetch_pages(spark, manifest, adapter, pacing=pacing)
-    candles = normalize_mock_pages(raw)
+    # drop the chunk-provenance seq: the lake stamps a monotone
+    # (max existing + 1) arrival order, so a re-fetch of the same range
+    # strictly supersedes prior data and corrections always win
+    candles = normalizer(raw).drop("_ingest_seq")
     upsert_lake(spark, candles, lake_root)
 
     from crypto_data_ingestion_module_spark.sinks.parquet_lake import read_lake

@@ -82,24 +82,28 @@ def _ship_package(spark: SparkSession) -> None:
         return
     import tempfile
     import zipfile
+    import zlib
 
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
     pkg_name = os.path.basename(pkg_dir)
-    zpath = os.path.join(
-        tempfile.gettempdir(), f"{pkg_name}_{abs(hash(pkg_dir)) % 99999}.zip"
-    )
+    # cache key = path + content mtimes: crc32 (NOT salted hash()) so the
+    # path is stable across processes, and source edits invalidate the
+    # cached zip instead of shipping stale code to executors
+    sources = []
+    for root, _dirs, files in os.walk(pkg_dir):
+        if "__pycache__" in root:
+            continue
+        for f in sorted(files):
+            if f.endswith(".py"):
+                full = os.path.join(root, f)
+                sources.append((full, int(os.path.getmtime(full))))
+    digest = zlib.crc32(repr((pkg_dir, sources)).encode())
+    zpath = os.path.join(tempfile.gettempdir(), f"{pkg_name}_{digest:08x}.zip")
     if not os.path.exists(zpath):
         with zipfile.ZipFile(zpath, "w") as zf:
-            for root, _dirs, files in os.walk(pkg_dir):
-                if "__pycache__" in root:
-                    continue
-                for f in files:
-                    if f.endswith(".py"):
-                        full = os.path.join(root, f)
-                        rel = os.path.join(
-                            pkg_name, os.path.relpath(full, pkg_dir)
-                        )
-                        zf.write(full, rel)
+            for full, _mt in sources:
+                rel = os.path.join(pkg_name, os.path.relpath(full, pkg_dir))
+                zf.write(full, rel)
     try:
         sc.addPyFile(zpath)
     except Exception:  # pragma: no cover - e.g. Connect sessions

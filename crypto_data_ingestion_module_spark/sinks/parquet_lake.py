@@ -46,11 +46,33 @@ def write_lake(
     mode: str = "append",
     partition_cols: Sequence[str] = PARTITION_COLS,
 ) -> None:
-    """K1: partitioned Parquet write of canonical candles."""
+    """K1: partitioned Parquet write of canonical candles.
+
+    Dynamic partition overwrite is pinned per-write so an overwrite from
+    a STATIC-mode consumer session never wipes untouched partitions.
+    """
     out = _with_date(df)
     if INGEST_SEQ not in out.columns:
         out = out.withColumn(INGEST_SEQ, F.lit(0).cast("long"))
-    out.write.partitionBy(*partition_cols).mode(mode).parquet(root)
+    (
+        out.write.partitionBy(*partition_cols)
+        .option("partitionOverwriteMode", "dynamic")
+        .mode(mode)
+        .parquet(root)
+    )
+
+
+def _lake_exists(spark: SparkSession, root: str) -> bool:
+    """Filesystem-agnostic existence check via the Hadoop FS API —
+    ``os.path.exists`` is always False for s3a://, hdfs://, etc., which
+    would silently route every upsert to the bootstrap overwrite."""
+    try:
+        jvm = spark._jvm
+        path = jvm.org.apache.hadoop.fs.Path(root)
+        fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+        return bool(fs.exists(path))
+    except Exception:
+        return os.path.exists(root)
 
 
 def read_lake(spark: SparkSession, root: str) -> DataFrame:
@@ -75,7 +97,7 @@ def upsert_lake(
     """
     incoming = _with_date(incoming)
 
-    if not os.path.exists(root):
+    if not _lake_exists(spark, root):
         write_lake(incoming, root, mode="overwrite")
         return
 

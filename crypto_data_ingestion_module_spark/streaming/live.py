@@ -31,7 +31,7 @@ from pyspark.sql.streaming import StreamingQuery
 
 from crypto_data_ingestion_module_spark.functions.timeutil import (
     parse_interval_ms,
-    should_collect,
+    should_collect_ms,
 )
 from crypto_data_ingestion_module_spark.sinks.parquet_lake import upsert_lake
 from crypto_data_ingestion_module_spark.sources.fetch import (
@@ -59,12 +59,16 @@ def stream_upsert_to_lake(
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        # batch_seq defaults to lake-max+1: monotone regardless of what
+        # seq domain earlier writers used (a raw batch_id like 0,1,2
+        # could never supersede epoch-scale seqs already in the lake);
+        # replaying a failed batch yields a higher seq but an identical
+        # payload, so recovery stays idempotent under keep-last
         upsert_lake(
             batch_df.sparkSession,
-            batch_df,
+            batch_df.drop("_ingest_seq") if "_ingest_seq" in batch_df.columns else batch_df,
             lake_root,
             key_cols=key_cols,
-            batch_seq=batch_id,
         )
 
     writer = source.writeStream.foreachBatch(_sink).option(
@@ -104,6 +108,7 @@ def live_collection_stream(
     pacing: dict[str, float] | None = None,
     exchanges: Sequence[str] = ("coinbase", "bitstamp", "bitfinex", "kucoin", "binanceus"),
     ticks: DataFrame | None = None,
+    normalizer=normalize_mock_pages,
 ) -> StreamingQuery:
     """Live collection: rate-source ticks → per-cycle fetch + MERGE.
 
@@ -131,14 +136,13 @@ def live_collection_stream(
         boundary_ms = (
             int(max_ts.timestamp() * 1000) // (tick_seconds * 1000)
         ) * (tick_seconds * 1000)
-        boundary = F.timestamp_millis(F.lit(boundary_ms))
 
         tasks = []
         for interval in intervals:
-            gate = sess.range(1).select(
-                should_collect(boundary, interval).alias("go")
-            ).first()["go"]
-            if not gate:
+            # pure driver-side arithmetic — launching a Spark job per
+            # interval just to evaluate a literal gate wastes a
+            # scheduler round-trip every cycle
+            if not should_collect_ms(boundary_ms, interval):
                 continue
             ivl_ms = parse_interval_ms(interval)
             for symbol in symbols:
@@ -156,10 +160,10 @@ def live_collection_stream(
             "chunk_start_ms long, chunk_end_ms long",
         )
         raw = fetch_pages(sess, manifest, adapter, pacing=pacing)
-        candles = normalize_mock_pages(raw)
+        candles = normalizer(raw).drop("_ingest_seq")
         if candles.isEmpty():
             return
-        upsert_lake(sess, candles, lake_root, batch_seq=batch_id)
+        upsert_lake(sess, candles, lake_root)
 
     writer = ticks.writeStream.foreachBatch(_cycle).option(
         "checkpointLocation", checkpoint

@@ -27,8 +27,8 @@ OUTPUT_SCHEMA = (
     "low double, close double, volume double, n_ticks long"
 )
 STATE_SCHEMA = (
-    "open_ts_us long, open double, high double, low double, close double, "
-    "volume double, n long"
+    "open_ts_us long, open double, high double, low double, "
+    "close_ts_us long, close double, volume double, n long"
 )
 
 
@@ -39,7 +39,7 @@ def _make_update(interval_ms: int):
         symbol, bucket_ts = key
         if state.hasTimedOut:
             # watermark passed the bucket: finalize exactly once
-            (_open_ts_us, o, h, lo, c, v, n) = state.get
+            (_open_ts_us, o, h, lo, _close_ts_us, c, v, n) = state.get
             state.remove()
             yield pd.DataFrame(
                 [
@@ -58,9 +58,11 @@ def _make_update(interval_ms: int):
             return
 
         if state.exists:
-            open_ts_us, o, h, lo, c, v, n = state.get
+            open_ts_us, o, h, lo, close_ts_us, c, v, n = state.get
         else:
-            open_ts_us, o, h, lo, c, v, n = None, None, None, None, None, 0.0, 0
+            open_ts_us, o, h, lo, close_ts_us, c, v, n = (
+                None, None, None, None, None, None, 0.0, 0,
+            )
 
         for pdf in pdfs:
             pdf = pdf.sort_values(["ts", "tick_id"])
@@ -74,11 +76,14 @@ def _make_update(interval_ms: int):
                     h = float(p)
                 if lo is None or p < lo:
                     lo = float(p)
-                c = float(p)  # rows arrive ts-sorted within the batch
+                # close by EVENT time: a late tick arriving in a later
+                # micro-batch must not overwrite a newer close
+                if close_ts_us is None or t_us >= close_ts_us:
+                    close_ts_us, c = int(t_us), float(p)
                 v += float(q)
                 n += 1
 
-        state.update((open_ts_us, o, h, lo, c, v, n))
+        state.update((open_ts_us, o, h, lo, close_ts_us, c, v, n))
         # finalize when the watermark passes the end of this bucket
         bucket_end_ms = int(pd.Timestamp(bucket_ts).value // 1_000_000) + interval_ms
         state.setTimeoutTimestamp(bucket_end_ms)

@@ -209,3 +209,24 @@ def test_metrics_listener(spark):
     listener = register_listener(spark)
     log_event("test_stage", rows=3, table="lake")
     spark.streams.removeListener(listener)
+
+
+def test_merge_keep_last_successive_corrections(spark):
+    """Regression: a second merge's corrections must beat survivors of the
+    first merge (seq must be stamped above the existing max, not a
+    constant that ties and lets the larger stale payload win)."""
+    from crypto_data_ingestion_module_spark.operators.merge import merge_keep_last
+
+    first = merge_keep_last(
+        None, spark.createDataFrame([(1, 100.0)], "k long, v double"), ["k"]
+    )
+    # correction with a SMALLER value — a payload tie-break would keep 100
+    corrected = merge_keep_last(
+        first, spark.createDataFrame([(1, 50.0)], "k long, v double"), ["k"]
+    )
+    assert {r.k: r.v for r in corrected.collect()} == {1: 50.0}
+    # and a third round still supersedes
+    third = merge_keep_last(
+        corrected, spark.createDataFrame([(1, 75.0)], "k long, v double"), ["k"]
+    )
+    assert {r.k: r.v for r in third.collect()} == {1: 75.0}

@@ -279,3 +279,43 @@ def test_stateful_candle_builder(spark, tmp_path):
     r = {x.bucket_ts: x for x in rows}[m0]
     assert (r.open, r.high, r.low, r.close) == (10.0, 14.0, 9.0, 12.0)
     assert r.volume == 5.0 and r.n_ticks == 4
+
+
+def test_stateful_candle_late_tick_does_not_overwrite_close(spark, tmp_path):
+    """Regression: a late tick arriving in a LATER micro-batch must not
+    become the close — close is by event time, not arrival order."""
+    import time as _time
+
+    from crypto_data_ingestion_module_spark.streaming.stateful import (
+        candles_from_ticks,
+    )
+
+    src = str(tmp_path / "ticks")
+    os.makedirs(src)
+    ddl = "symbol string, ts timestamp, price double, qty double, tick_id long"
+    m0 = dt.datetime(2024, 1, 1, 0, 0)
+
+    def write(rows):
+        spark.createDataFrame(rows, ddl).coalesce(1).write.mode("append").parquet(src)
+
+    write([("BTC", m0 + dt.timedelta(seconds=1), 100.0, 1.0, 1),
+           ("BTC", m0 + dt.timedelta(seconds=50), 110.0, 1.0, 2)])
+    write([("BTC", m0 + dt.timedelta(seconds=20), 90.0, 1.0, 3)])  # late arrival
+    write([("BTC", m0 + dt.timedelta(minutes=5), 1.0, 1.0, 4)])  # wm jump
+
+    ticks = spark.readStream.schema(ddl).option("maxFilesPerTrigger", 1).parquet(src)
+    q = (
+        candles_from_ticks(ticks, interval_ms=60_000, lateness="10 seconds")
+        .writeStream.format("memory").queryName("late_close")
+        .outputMode("append").trigger(processingTime="1 second")
+        .option("checkpointLocation", str(tmp_path / "ck")).start()
+    )
+    deadline = _time.time() + 120
+    while _time.time() < deadline:
+        if spark.sql("SELECT count(*) c FROM late_close").first().c >= 1:
+            break
+        _time.sleep(1)
+    q.stop()
+    r = {x.bucket_ts: x for x in spark.sql("SELECT * FROM late_close").collect()}[m0]
+    assert r.close == 110.0, f"late tick overwrote close: {r.close}"
+    assert (r.low, r.open, r.n_ticks) == (90.0, 100.0, 3)
