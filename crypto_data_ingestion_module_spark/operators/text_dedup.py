@@ -61,6 +61,42 @@ def word_shingles(col: Column | str, n: int = 3) -> Column:
     )
 
 
+def _shingle_rows(
+    df: DataFrame, n: int, text_col: str, id_col: str
+) -> DataFrame:
+    """Exploded ``(id, sz, shingle)`` rows in ONE evaluation pass.
+
+    Tokenization is materialized in its own projection before the gram
+    transform: referencing ``words(text)`` directly inside the transform
+    lambda re-evaluates the regexp per gram (measured 5× slower; Catalyst
+    keeps the projections separate because collapsing would duplicate the
+    non-cheap regexp).  The set size rides along on every exploded row, so
+    downstream consumers never need a second pass or a sizes join.
+
+    The set is wrapped in ``F.shuffle`` as a deliberate optimizer barrier:
+    ``InferFiltersFromGenerate`` synthesizes ``size(_s)>0 AND
+    isnotnull(_s)`` for the explode and pushes it below the projections,
+    re-inlining the whole gram construction (regexp included) into a
+    per-row scan filter — measured ~5.5× slower.  The filter is vacuous
+    (the set is non-empty by construction) and filters cannot push through
+    a non-deterministic projection; element order is irrelevant to every
+    consumer (set join / min-hash aggregate), so results stay
+    deterministic.
+    """
+    w = F.col("_w")
+    cnt = F.size(w)
+    idx = F.sequence(F.lit(0), cnt - n)
+    grams = F.transform(idx, lambda i: F.array_join(F.slice(w, i + 1, n), " "))
+    sset = F.when(cnt >= n, F.array_distinct(grams)).otherwise(
+        F.array(F.array_join(w, " "))
+    )
+    return (
+        df.select(F.col(id_col).alias("id"), words(text_col).alias("_w"))
+        .select("id", F.shuffle(sset).alias("_s"))
+        .select("id", F.size("_s").alias("sz"), F.explode("_s").alias("shingle"))
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     threshold: float = 0.5,
@@ -71,24 +107,28 @@ def ngram_jaccard_pairs(
     """X2 (exact): pairs of docs with word-n-gram Jaccard ≥ threshold.
 
     shingle-explode → equi-join on shingle → |∩| per pair → Jaccard with
-    |A|+|B|−|∩|.  At scale: the join key is the shingle; frequent shingles
-    are the skew risk — AQE skew-join handles moderate skew, and raising
-    ``n`` thins frequent shingles exponentially.
+    |A|+|B|−|∩|.  Physical shape: the self-join's two sides are the SAME
+    subplan hash-partitioned on ``shingle``, so Spark computes the shingle
+    scan once and reuses the exchange; set sizes are carried on the
+    exploded rows (no sizes join).  At scale the join key is the shingle;
+    frequent shingles are the skew risk — AQE skew-join handles moderate
+    skew, and raising ``n`` thins frequent shingles exponentially.
     """
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(word_shingles(text_col, n)).alias("shingle"),
-    )
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    sh = _shingle_rows(df, n, text_col, id_col)
     a, b = sh.alias("a"), sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+    return (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sz").alias("sz_a"),
+            F.col("b.sz").alias("sz_b"),
+        )
         .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    out = (
-        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
-        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
         .withColumn(
             "jaccard",
             F.col("n_common").cast("double")
@@ -97,7 +137,6 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "n_common", "sz_a", "sz_b", "jaccard")
     )
-    return out
 
 
 def _hash_i(shingle: Column, i: int) -> Column:
@@ -122,10 +161,7 @@ def minhash_signatures(
     aggregate combines map-side, so shuffle volume is one signature row
     per doc at any scale.
     """
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(word_shingles(text_col, shingle_n)).alias("shingle"),
-    )
+    sh = _shingle_rows(df, shingle_n, text_col, id_col).drop("sz")
     mins = [
         F.min(F.xxhash64(F.concat(F.col("shingle"), F.lit(f"#{i}")))).alias(f"h{i}")
         for i in range(num_hashes)
