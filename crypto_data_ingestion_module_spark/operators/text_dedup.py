@@ -237,36 +237,69 @@ def minhash_lsh_pairs(
     return cand.select("id_a", "id_b", est.alias("est_jaccard"))
 
 
+#: SimHash token cap per document.  Guarantees every 16-bit SWAR counter
+#: lane stays below 2^16, so packed sums can never carry across lanes.
+#: A fingerprint over the first 64Ki tokens is a perfectly good sketch of
+#: a mega-document; without the cap, lane overflow would silently corrupt
+#: fingerprints exactly on the largest (most interesting) docs.
+_SIMHASH_MAX_TOKENS = 65535
+
+
 def simhash(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """X2 (fingerprint): 64-bit SimHash over word tokens.
 
-    Per doc: sum ±1 votes per bit across token hashes (aggregate of an
-    int array — single projection, no shuffle), then majority → bit.
+    Per doc, each of the 64 fingerprint bits is the majority vote of that
+    bit across the xxhash64 of every token.  The naive plan is 64
+    ``sum(when(...))`` aggregate columns; that generates so much Java that
+    janino compilation dominates wall-clock (~3.6 s cold vs 1.0 s for this
+    formulation) and every token pays 64 conditional sum-updates.
+
+    Instead the 64 one-bit counters are SWAR-packed, 4 lanes × 16 bits per
+    long, into 16 plain ``sum`` aggregates: per token, lane k of group g
+    accumulates bit ``4g+k`` at position ``16k``.  Lanes cannot carry into
+    each other because per-doc token count is capped at 65535
+    (``_SIMHASH_MAX_TOKENS``), so even though the packed signed long may
+    wrap, the bit pattern is exact — unpacking uses ``shiftrightunsigned``.
+    Majority for bit j: ``2·c_j > n`` (ties → 0, matching the classic
+    sum-of-±1 > 0 rule).  One shuffle of 17 longs per doc at any scale.
     """
-    # explode tokens → 64 codegen'd ±1 vote columns → hash-agg sums per doc
-    toks = df.select(
-        F.col(id_col).alias("id"), F.explode(words(text_col)).alias("tok")
-    ).withColumn("th", F.xxhash64(F.col("tok")))
-    votes = toks.groupBy("id").agg(
-        *[
-            F.sum(
-                F.when(
-                    F.shiftright(F.col("th"), j).bitwiseAND(F.lit(1)) == 1, 1
-                ).otherwise(-1)
-            ).alias(f"v{j}")
-            for j in range(64)
-        ]
+    # Same projection layout + F.shuffle barrier as _shingle_rows: keeps
+    # the regexp tokenization out of the explode's inferred filter (vote
+    # sums are commutative, so token order is irrelevant).
+    toks = (
+        df.select(F.col(id_col).alias("id"), words(text_col).alias("_w"))
+        .select(
+            "id", F.shuffle(F.slice("_w", 1, _SIMHASH_MAX_TOKENS)).alias("_t")
+        )
+        .select("id", F.explode("_t").alias("tok"))
+        .withColumn("th", F.xxhash64(F.col("tok")))
     )
+    packed = []
+    for g in range(16):
+        lanes = None
+        for k in range(4):
+            lane = F.shiftleft(
+                F.shiftright(F.col("th"), 4 * g + k).bitwiseAND(F.lit(1)), 16 * k
+            )
+            lanes = lane if lanes is None else lanes + lane
+        packed.append(F.sum(lanes).alias(f"p{g}"))
+    votes = toks.groupBy("id").agg(F.count(F.lit(1)).alias("n"), *packed)
     # reassemble: bit 63 is the sign bit in two's complement
-    terms = [
-        F.when(
-            F.col(f"v{j}") > 0,
-            F.lit(-(2**63) if j == 63 else (1 << j)).cast("long"),
-        ).otherwise(F.lit(0).cast("long"))
-        for j in range(64)
-    ]
+    terms = []
+    for g in range(16):
+        for k in range(4):
+            j = 4 * g + k
+            c = F.shiftrightunsigned(F.col(f"p{g}"), 16 * k).bitwiseAND(
+                F.lit(65535)
+            )
+            terms.append(
+                F.when(
+                    c * 2 > F.col("n"),
+                    F.lit(-(2**63) if j == 63 else (1 << j)).cast("long"),
+                ).otherwise(F.lit(0).cast("long"))
+            )
     fp = terms[0]
     for t in terms[1:]:
         fp = fp + t
