@@ -842,6 +842,9 @@ _register(
 # registration side effect: north-star extension queries (X1-X5)
 from crypto_data_ingestion_module_spark.plans import extensions as _extensions  # noqa: E402,F401
 
+# registration side effect: TPC-H-shaped relational breadth suite
+from crypto_data_ingestion_module_spark.plans import relational as _relational  # noqa: E402,F401
+
 
 # --------------------------------------------------------------------------
 # As-of join (SURVEY §2.5 extension): last view at-or-before each purchase

@@ -1,0 +1,434 @@
+"""TPC-H-shaped relational breadth suite.
+
+The reference performs no relational joins (SURVEY.md §2.5 — exchanges are
+concatenated, not joined), so these queries are capability extensions: they
+prove the engine's Catalyst surface on the join/subquery shapes a warehouse
+user actually runs — semi/anti joins, decorrelated scalar subqueries,
+grouped HAVING-style thresholds, top-k with deterministic tie-breaks,
+count-distinct rollups, and max-subquery selection.
+
+Scale notes (100 TB):
+- Dims (``nation``, ``region``, single-row thresholds, the max-revenue row)
+  are explicitly ``broadcast()`` — they are small at ANY scale.
+- Fact⨝fact joins (orders⨝lineitem, customer⨝orders) are left to
+  shuffle-hash/sort-merge under AQE: at 100 TB neither side broadcasts, and
+  both sides hash-partition on the join key so Catalyst can reuse the
+  exchange for the downstream group-by on the same key.
+- Every double SUM goes through the fixed-point ``dsum``/``osum`` pair
+  (micro-unit DECIMAL(38,0) arithmetic) so partial/final aggregation order
+  can never drift from the DuckDB oracle — see plans.queries docstring.
+
+All date literals sit inside the testdata span (orders 1995-01→2001-08,
+lineitem shipdate 1995-01→2001-11) and every query returns >0 rows at
+sf0.01 and sf0.1 (verified against DuckDB at both SFs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from crypto_data_ingestion_module_spark.plans.queries import (
+    QuerySpec,
+    _register,
+    _t,
+    dsum,
+    osum,
+)
+
+_TS = lambda s: F.lit(s).cast("timestamp")  # noqa: E731
+
+
+# --------------------------------------------------------------------------
+# Q3 shape: shipping-priority top-k (customer ⨝ orders ⨝ lineitem)
+# --------------------------------------------------------------------------
+
+def _shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < _TS("1998-06-01 00:00:00")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > _TS("1998-06-01 00:00:00")
+    )
+    return (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
+        )
+        # LIMIT requires a total order that is unique: revenue ties are
+        # broken by l_orderkey, so both engines pick the same 10 rows.
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+_register(
+    QuerySpec(
+        name="shipping_priority_topk",
+        survey_ids=("A2", "D6"),
+        description="TPC-H Q3 shape: 3-way join, grouped revenue, "
+        "deterministic top-10 (tie-break by order key)",
+        spark=_shipping_priority,
+        oracle=f"""
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+  {osum('l_extendedprice * (1 - l_discount)')} AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+  AND l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+""",
+    )
+)
+
+
+# --------------------------------------------------------------------------
+# Semi join: customers with at least one open order, rolled up by nation
+# --------------------------------------------------------------------------
+
+def _open_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    open_orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "O"
+    )
+    return (
+        _t(spark, sf_dir, "customer")
+        .join(
+            open_orders,
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left_semi",
+        )
+        .join(
+            F.broadcast(_t(spark, sf_dir, "nation")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_custs"),
+            dsum(F.col("c_acctbal")).alias("acctbal_total"),
+        )
+    )
+
+
+_register(
+    QuerySpec(
+        name="open_order_customers_by_nation",
+        survey_ids=("A2",),
+        description="left-semi join (EXISTS): customers holding an open "
+        "order, counted per nation (broadcast nation dim)",
+        spark=_open_order_customers,
+        oracle=f"""
+SELECT n_name AS nation, count(*) AS n_custs, {osum('c_acctbal')} AS acctbal_total
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+WHERE EXISTS (
+  SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'O'
+)
+GROUP BY n_name
+""",
+    )
+)
+
+
+# --------------------------------------------------------------------------
+# Q22 shape: anti join + scalar subquery (above-average balance, no open
+# orders)
+# --------------------------------------------------------------------------
+
+def _rich_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    # scalar subquery: one row, broadcast to every executor.  AVG is
+    # dsum/count so the threshold double is bit-identical to the oracle.
+    thresh = F.broadcast(
+        cust.filter(F.col("c_acctbal") > 0).agg(
+            (dsum(F.col("c_acctbal")) / F.count(F.lit(1))).alias("_avg_bal")
+        )
+    )
+    open_orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "O"
+    )
+    return (
+        cust.crossJoin(thresh)
+        .filter(F.col("c_acctbal") > F.col("_avg_bal"))
+        .join(
+            open_orders,
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left_anti",
+        )
+        .join(
+            F.broadcast(_t(spark, sf_dir, "nation")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_custs"),
+            dsum(F.col("c_acctbal")).alias("acctbal_total"),
+        )
+    )
+
+
+_register(
+    QuerySpec(
+        name="rich_idle_customers",
+        survey_ids=("A2",),
+        description="TPC-H Q22 shape: scalar-subquery threshold "
+        "(broadcast single row) + left-anti join (NOT EXISTS open order)",
+        spark=_rich_idle_customers,
+        oracle=f"""
+SELECT n_name AS nation, count(*) AS n_custs, {osum('c_acctbal')} AS acctbal_total
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+WHERE c_acctbal > (
+  SELECT {osum('c_acctbal')} / count(*) FROM customer WHERE c_acctbal > 0
+)
+AND NOT EXISTS (
+  SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'O'
+)
+GROUP BY n_name
+""",
+    )
+)
+
+
+# --------------------------------------------------------------------------
+# Q17 shape: decorrelated per-group scalar subquery (small-quantity revenue)
+# --------------------------------------------------------------------------
+
+def _small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    brand_parts = _t(spark, sf_dir, "part").filter(
+        F.col("p_brand") == "Brand#1"
+    )
+    # The correlated `l_quantity < 0.5 * (SELECT avg(..) WHERE same part)`
+    # decorrelates into one per-part aggregate joined back on l_partkey —
+    # the exact rewrite Catalyst would do for the subquery form, written
+    # explicitly so the per-part AVG uses fixed-point dsum/count.
+    per_part_avg = li.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        (dsum(F.col("l_quantity")) / F.count(F.lit(1))).alias("_avg_qty")
+    )
+    return (
+        li.join(brand_parts, F.col("l_partkey") == F.col("p_partkey"))
+        .join(per_part_avg, F.col("l_partkey") == F.col("_pk"))
+        .filter(F.col("l_quantity") < 0.5 * F.col("_avg_qty"))
+        .agg(
+            dsum(F.col("l_extendedprice")).alias("total_price"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+_register(
+    QuerySpec(
+        name="small_qty_part_revenue",
+        survey_ids=("A2",),
+        description="TPC-H Q17 shape: decorrelated per-part avg-quantity "
+        "subquery, revenue of below-half-average lineitems",
+        spark=_small_qty_revenue,
+        oracle=f"""
+SELECT {osum('l_extendedprice')} AS total_price, count(*) AS n_rows
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN (
+  SELECT l_partkey AS _pk, {osum('l_quantity')} / count(*) AS _avg_qty
+  FROM lineitem GROUP BY l_partkey
+) ON l_partkey = _pk
+WHERE p_brand = 'Brand#1' AND l_quantity < 0.5 * _avg_qty
+""",
+    )
+)
+
+
+# --------------------------------------------------------------------------
+# Q14 shape: promo revenue share over one ship month
+# --------------------------------------------------------------------------
+
+def _promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _TS("1997-09-01 00:00:00"))
+        & (F.col("l_shipdate") < _TS("1997-10-01 00:00:00"))
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", disc_price).otherwise(F.lit(0.0))
+    return (
+        li.join(
+            _t(spark, sf_dir, "part"), F.col("l_partkey") == F.col("p_partkey")
+        )
+        .agg(
+            dsum(promo).alias("promo_revenue"),
+            dsum(disc_price).alias("total_revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .select(
+            (F.lit(100.0) * F.col("promo_revenue") / F.col("total_revenue")).alias(
+                "promo_share"
+            ),
+            "promo_revenue",
+            "total_revenue",
+            "n_rows",
+        )
+    )
+
+
+_register(
+    QuerySpec(
+        name="promo_revenue_share",
+        survey_ids=("A2",),
+        description="TPC-H Q14 shape: conditional revenue share over one "
+        "ship month (two fixed-point sums, then one double division)",
+        spark=_promo_revenue,
+        oracle=f"""
+SELECT 100.0 * promo_revenue / total_revenue AS promo_share,
+       promo_revenue, total_revenue, n_rows
+FROM (
+  SELECT
+    {osum("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END")} AS promo_revenue,
+    {osum('l_extendedprice * (1 - l_discount)')} AS total_revenue,
+    count(*) AS n_rows
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1997-10-01 00:00:00'
+)
+""",
+    )
+)
+
+
+# --------------------------------------------------------------------------
+# Q13 shape: outer join + double aggregation (order-count distribution)
+# --------------------------------------------------------------------------
+
+def _order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") != "P"
+    )
+    per_cust = (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count(F.col("o_orderkey")).alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+_register(
+    QuerySpec(
+        name="customer_order_counts_dist",
+        survey_ids=("A2", "A3"),
+        description="TPC-H Q13 shape: left-outer join then two-level "
+        "aggregation — orders-per-customer histogram (all-integer output)",
+        spark=_order_count_distribution,
+        oracle="""
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer
+  LEFT JOIN orders ON c_custkey = o_custkey AND o_orderstatus <> 'P'
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+""",
+    )
+)
+
+
+# --------------------------------------------------------------------------
+# Q16 shape: count-distinct rollup (supplier breadth per part class)
+# --------------------------------------------------------------------------
+
+def _supplier_part_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    parts = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & F.col("p_size").isin(1, 5, 9, 13, 17, 21, 25)
+    )
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .join(parts, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct(F.col("l_suppkey")).alias("supplier_cnt"))
+    )
+
+
+_register(
+    QuerySpec(
+        name="supplier_part_breadth",
+        survey_ids=("A2", "A3"),
+        description="TPC-H Q16 shape: exact count-distinct suppliers per "
+        "(brand, type, size) class, lineitem as the part-supplier relation",
+        spark=_supplier_part_breadth,
+        oracle="""
+SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1' AND p_size IN (1, 5, 9, 13, 17, 21, 25)
+GROUP BY p_brand, p_type, p_size
+""",
+    )
+)
+
+
+# --------------------------------------------------------------------------
+# Q15 shape: max-subquery selection (top supplier by quarterly revenue)
+# --------------------------------------------------------------------------
+
+def _top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _TS("1997-01-01 00:00:00"))
+        & (F.col("l_shipdate") < _TS("1997-04-01 00:00:00"))
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "total_revenue"
+        )
+    )
+    # max is exact over fixed-point sums; equality-select keeps ALL tied
+    # suppliers (no limit), so no tie-break is needed.
+    max_rev = F.broadcast(
+        revenue.agg(F.max("total_revenue").alias("_max_rev"))
+    )
+    return (
+        revenue.crossJoin(max_rev)
+        .filter(F.col("total_revenue") == F.col("_max_rev"))
+        .join(
+            _t(spark, sf_dir, "supplier"),
+            F.col("supplier_no") == F.col("s_suppkey"),
+        )
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+_register(
+    QuerySpec(
+        name="top_supplier_revenue",
+        survey_ids=("A2", "D4", "D6"),
+        description="TPC-H Q15 shape: quarterly revenue per supplier, "
+        "select the max via broadcast single-row join (ties all kept)",
+        spark=_top_supplier,
+        oracle=f"""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+    {osum('l_extendedprice * (1 - l_discount)')} AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM revenue
+JOIN supplier ON supplier_no = s_suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+""",
+    )
+)
