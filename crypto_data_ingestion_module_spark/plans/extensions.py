@@ -453,6 +453,27 @@ _register(
 )
 
 
+def _ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crypto_data_ingestion_module_spark.operators.similarity import ann_ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    return ann_ivf_topk(emb, queries, k=10, n_lists=16, nprobe=4)
+
+
+_register(
+    QuerySpec(
+        name="ann_ivf_topk",
+        survey_ids=("X3",),
+        description="approximate top-10 via IVF coarse quantizer "
+        "(Spark ML KMeans lists, nprobe probing; nprobe=n_lists is "
+        "proven exact in tests)",
+        spark=_ann_ivf,
+        oracle=None,
+    )
+)
+
+
 # --------------------------------------------------------------------------
 # X2/X3: embedding-cosine near-duplicate pairs (exact, fp-deterministic)
 # --------------------------------------------------------------------------

@@ -83,6 +83,32 @@ def test_ann_recall_vs_brute_force(spark):
         assert abs(ex_sim[(r.qid, r.nid)] - r.cosine) < 1e-9
 
 
+def test_ann_ivf_exact_when_probing_all_lists(spark):
+    from crypto_data_ingestion_module_spark.operators.similarity import ann_ivf_topk
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    exact = {
+        (r.qid, r.nid, r.rank)
+        for r in cosine_topk(emb, queries, k=10, exact=False).collect()
+    }
+    # nprobe == n_lists must reproduce brute force EXACTLY (same ranks):
+    # every corpus vector sits in some probed list.
+    full = {
+        (r.qid, r.nid, r.rank)
+        for r in ann_ivf_topk(emb, queries, k=10, n_lists=8, nprobe=8).collect()
+    }
+    assert full == exact
+    # partial probing: valid subset with true cosines, monotone recall
+    exact_pairs = {(q, n) for q, n, _ in exact}
+    r2 = {(r.qid, r.nid) for r in ann_ivf_topk(emb, queries, k=10, n_lists=8, nprobe=2).collect()}
+    r4 = {(r.qid, r.nid) for r in ann_ivf_topk(emb, queries, k=10, n_lists=8, nprobe=4).collect()}
+    recall2 = len(exact_pairs & r2) / len(exact_pairs)
+    recall4 = len(exact_pairs & r4) / len(exact_pairs)
+    assert recall4 >= recall2 - 0.05, (recall2, recall4)
+    assert recall2 > 0.1, recall2
+
+
 def test_multimodal_decode_plumbing(spark):
     docs = load_table(spark, SF_SMALL, "documents").limit(50)
     assets = documents_as_assets(docs)
