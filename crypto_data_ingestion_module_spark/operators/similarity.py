@@ -19,10 +19,32 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def _dot_fp(a: Column, b: Column, scale: float) -> Column:
+def _dot_fp(
+    a: Column, b: Column, scale: float, long_safe: bool = False
+) -> Column:
     """Exact fixed-point dot product: per-element double products rounded
-    to ``scale`` units, summed as DECIMAL(38,0) — bit-identical across
-    engines and aggregation orders (same policy as plans.queries.dsum)."""
+    to ``scale`` units, summed as integers — bit-identical across engines
+    and aggregation orders (same policy as plans.queries.dsum).
+
+    ``long_safe=True`` accumulates in LONG instead of DECIMAL(38,0) —
+    same exact integers, ~1.5× faster (higher-order-function lambdas
+    evaluate interpreted, and BigDecimal adds dominate; an unrolled
+    ``element_at`` codegen chain measured SLOWER than either lambda, so
+    the lambda stays).  Callers opting in assert
+    dim · max|x·y| · scale ≪ 2^63 — true for unit-scale embeddings at
+    scale 1e12 with dim ≤ ~10^5.  Default stays DECIMAL, overflow-safe
+    for any input."""
+    if long_safe:
+        prods = F.zip_with(
+            a,
+            b,
+            lambda x, y: F.round(
+                x.cast("double") * y.cast("double") * F.lit(scale)
+            ).cast("long"),
+        )
+        return F.aggregate(prods, F.lit(0).cast("long"), lambda acc, v: acc + v).cast(
+            "decimal(38,0)"
+        )
     prods = F.zip_with(
         a, b, lambda x, y: F.round(x.cast("double") * y.cast("double") * F.lit(scale))
     )
@@ -45,10 +67,17 @@ def _dot_double(a: Column, b: Column) -> Column:
 FP_SCALE = 1e12  # dot precision 1e-12; |v|≲1 keeps round() inside 2^53
 
 
-def with_norm(df: DataFrame, vec_col: str = "embedding", exact: bool = True) -> DataFrame:
+def with_norm(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    exact: bool = True,
+    long_safe: bool = False,
+) -> DataFrame:
     v = F.col(vec_col)
     if exact:
-        norm = F.sqrt(_dot_fp(v, v, FP_SCALE).cast("double") / F.lit(FP_SCALE))
+        norm = F.sqrt(
+            _dot_fp(v, v, FP_SCALE, long_safe).cast("double") / F.lit(FP_SCALE)
+        )
     else:
         norm = F.sqrt(_dot_double(v, v))
     return df.withColumn("_norm", norm)
@@ -61,27 +90,33 @@ def cosine_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     exact: bool = True,
+    long_safe: bool = False,
 ) -> DataFrame:
     """Brute-force cosine top-k: for each query vector, the k nearest
     corpus vectors (self excluded), rank-deterministic via (sim desc, id).
 
     ``exact=True`` computes fixed-point dots (oracle-parity); False keeps
-    plain double accumulation for the bench path.
+    plain double accumulation for the bench path.  ``long_safe=True``
+    speeds the exact path for bounded inputs (see ``_dot_fp``).
     """
     q = with_norm(
         queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")),
         "qv",
         exact,
+        long_safe,
     ).withColumnRenamed("_norm", "qnorm")
     c = with_norm(
         corpus.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nv")),
         "nv",
         exact,
+        long_safe,
     ).withColumnRenamed("_norm", "nnorm")
 
     pairs = F.broadcast(q).crossJoin(c).filter(F.col("qid") != F.col("nid"))
     if exact:
-        dot = _dot_fp(F.col("qv"), F.col("nv"), FP_SCALE).cast("double") / F.lit(FP_SCALE)
+        dot = _dot_fp(F.col("qv"), F.col("nv"), FP_SCALE, long_safe).cast(
+            "double"
+        ) / F.lit(FP_SCALE)
     else:
         dot = _dot_double(F.col("qv"), F.col("nv"))
     sim = dot / (F.col("qnorm") * F.col("nnorm"))
@@ -208,13 +243,6 @@ def ann_lsh_topk(
     )
 
 
-def _unit(vec: Column, norm: Column) -> Column:
-    """Unit-normalize (zero vectors pass through unscaled)."""
-    return F.when(norm == 0, F.transform(vec, lambda x: x.cast("double"))).otherwise(
-        F.transform(vec, lambda x: x.cast("double") / norm)
-    )
-
-
 def ann_ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -225,7 +253,7 @@ def ann_ivf_topk(
     id_col: str = "vec_id",
     seed: int = 42,
     max_iter: int = 10,
-    train_fraction: float = 1.0,
+    train_limit: int = 100_000,
 ) -> DataFrame:
     """Approximate top-k via an IVF (inverted-file) index.
 
@@ -237,19 +265,24 @@ def ann_ivf_topk(
     that equivalence against :func:`cosine_topk`.
 
     Spark shape, and why it holds at 100 TB:
-    - Training runs Spark ML KMeans (JVM, distributed) on a sample —
-      ``train_fraction`` bounds the training set independently of corpus
-      size (IVF quantizers train on ~10^5 vectors regardless of corpus).
-    - Assignment is ``model.transform`` — one narrow JVM pass, no shuffle.
-    - The centroid table is ``n_lists`` rows — broadcast literally; probe
-      selection touches queries × n_lists rows, never the corpus.
+    - Training is driver-side vectorized Lloyd's over a BOUNDED sample
+      (``train_limit`` rows, one collect) — IVF quantizers train on ~10^5
+      vectors regardless of corpus size, so distributing the trainer buys
+      nothing and costs a scheduled job per iteration (a Spark ML KMeans
+      formulation measured ~10 s of job overhead on the same data).
+    - Assignment is ONE Arrow-batched matmul pass over the corpus
+      (centroids ride along in the closure, n_lists × dim floats) — no
+      shuffle, no join-back.
+    - Probe selection is the same matmul on the (small) query side,
+      emitting each query's ``nprobe`` nearest lists.
     - The candidate join is an equi-join on ``list_id``: at rest the
       corpus would be partitioned/bucketed by ``list_id``, so a probe
       scans ``nprobe/n_lists`` of the data (the whole point of IVF) and
       the shuffle carries only probed buckets.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
 
     c = with_norm(
         corpus.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nv")),
@@ -262,37 +295,48 @@ def ann_ivf_topk(
         exact=False,
     ).withColumnRenamed("_norm", "qnorm")
 
-    feat = c.select(
-        "nid", array_to_vector(_unit(F.col("nv"), F.col("nnorm"))).alias("features")
-    )
-    train = feat if train_fraction >= 1.0 else feat.sample(train_fraction, seed)
-    km = KMeans(k=n_lists, seed=seed, maxIter=max_iter).fit(train)
-    inverted = c.join(
-        km.transform(feat).select("nid", F.col("prediction").alias("list_id")),
-        "nid",
-    )
+    def _unit_np(rows: "pd.Series") -> "np.ndarray":
+        M = np.vstack(rows.to_numpy()).astype(np.float64)
+        nrm = np.linalg.norm(M, axis=1, keepdims=True)
+        return M / np.where(nrm == 0, 1.0, nrm)  # zero vectors pass through
 
-    spark = corpus.sparkSession
-    cdf = spark.createDataFrame(
-        [(i, [float(x) for x in ctr]) for i, ctr in enumerate(km.clusterCenters())],
-        "list_id int, centroid array<double>",
-    )
-    dist2 = F.aggregate(
-        F.zip_with(
-            _unit(F.col("qv"), F.col("qnorm")),
-            F.col("centroid"),
-            lambda x, y: (x - y) * (x - y),
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    pw = Window.partitionBy("qid").orderBy(F.asc("_d2"), F.asc("list_id"))
-    probes = (
-        q.crossJoin(F.broadcast(cdf))
-        .withColumn("_d2", dist2)
-        .withColumn("_pr", F.row_number().over(pw))
-        .filter(F.col("_pr") <= nprobe)
-        .select("qid", "qv", "qnorm", "list_id")
+    # --- train: bounded sample → driver-side Lloyd's (vectorized) ---
+    sample = corpus.select(F.col(vec_col).alias("v")).limit(train_limit).toPandas()
+    X = _unit_np(sample["v"])
+    rng = np.random.RandomState(seed)
+    C = X[rng.choice(len(X), size=min(n_lists, len(X)), replace=False)].copy()
+    for _ in range(max_iter):
+        # d²(x,c) = |x|² − 2x·c + |c|²; argmin needs only −2x·c + |c|²
+        scores = -2.0 * (X @ C.T) + (C * C).sum(axis=1)
+        assign = scores.argmin(axis=1)
+        for j in range(len(C)):
+            members = X[assign == j]
+            if len(members):  # empty cluster keeps its old centroid
+                C[j] = members.mean(axis=0)
+
+    cw = C.T.copy()  # (dim, n_lists)
+    half_c2 = 0.5 * (C * C).sum(axis=1)  # (n_lists,)
+
+    def _assign_fn(vecs: "pd.Series") -> "pd.Series":
+        U = _unit_np(vecs)
+        return pd.Series((U @ cw - half_c2).argmax(axis=1).astype(np.int32))
+
+    def _probe_fn(vecs: "pd.Series") -> "pd.Series":
+        U = _unit_np(vecs)
+        scores = U @ cw - half_c2
+        # stable argsort: ties break toward the lower list_id, matching
+        # the (asc d2, asc list_id) rank order of the SQL formulation
+        order = np.argsort(-scores, axis=1, kind="stable")[:, :nprobe]
+        return pd.Series(list(order.astype(np.int32)))
+
+    # explicit SCALAR eval type: `from __future__ import annotations`
+    # stringifies hints, which pandas_udf's type inference can't read
+    assign_udf = pandas_udf(_assign_fn, "int", PandasUDFType.SCALAR)
+    probe_udf = pandas_udf(_probe_fn, "array<int>", PandasUDFType.SCALAR)
+
+    inverted = c.withColumn("list_id", assign_udf(F.col("nv")))
+    probes = q.select(
+        "qid", "qv", "qnorm", F.explode(probe_udf(F.col("qv"))).alias("list_id")
     )
 
     cand = (

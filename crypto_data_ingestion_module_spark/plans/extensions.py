@@ -259,7 +259,7 @@ def _cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 100 == 0)
-    return cosine_topk(emb, queries, k=10, exact=True)
+    return cosine_topk(emb, queries, k=10, exact=True, long_safe=True)
 
 
 _COS_DOT = (
@@ -466,7 +466,7 @@ _register(
         name="ann_ivf_topk",
         survey_ids=("X3",),
         description="approximate top-10 via IVF coarse quantizer "
-        "(Spark ML KMeans lists, nprobe probing; nprobe=n_lists is "
+        "(bounded-sample k-means lists, nprobe probing; nprobe=n_lists is "
         "proven exact in tests)",
         spark=_ann_ivf,
         oracle=None,
@@ -524,7 +524,7 @@ def _embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cand = emb.mapInPandas(_prefilter, schema="id_a long, id_b long")
 
-    norms = with_norm(emb, "embedding", exact=True).select(
+    norms = with_norm(emb, "embedding", exact=True, long_safe=True).select(
         "vec_id", "embedding", "_norm"
     )
     a = norms.select(
@@ -539,7 +539,7 @@ def _embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pairs = cand.join(F.broadcast(a), "id_a").join(F.broadcast(b), "id_b")
     cos = (
-        _dot_fp(F.col("va"), F.col("vb"), FP_SCALE).cast("double") / F.lit(FP_SCALE)
+        _dot_fp(F.col("va"), F.col("vb"), FP_SCALE, long_safe=True).cast("double") / F.lit(FP_SCALE)
     ) / (F.col("na") * F.col("nb"))
     return (
         pairs.withColumn("cosine", cos)
