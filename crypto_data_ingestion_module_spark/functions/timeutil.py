@@ -115,8 +115,9 @@ def next_boundary_ms(now_ms: int, interval_ms: int = 900_000) -> int:
 
 def sleep_to_boundary_s(now_ms: int, interval_ms: int = 900_000) -> float:
     """Seconds until the next boundary — drives a boundary-aligned
-    trigger loop for deployments that need the reference's exact phase
-    (Spark's processing-time trigger is phase-free; T2)."""
+    start for deployments that need the reference's exact phase (T2).
+    Spark's processing-time trigger is epoch-aligned in steady state;
+    only the first batch fires unaligned — see streaming.triggers."""
     return (next_boundary_ms(now_ms, interval_ms) - now_ms) / 1000.0
 
 

@@ -959,6 +959,113 @@ FROM a JOIN b USING (bucket_ts)
 
 
 # --------------------------------------------------------------------------
+# Session windows: gap-based user sessionization.  Capability extension —
+# the reference has no session concept (SURVEY §2.8) — but it is the
+# canonical stateful-streaming aggregation a tick engine must own.
+# Spark: native session_window (streaming-state operator; in batch one
+# shuffle on user_id + in-partition merge — holds at 100 TB because state
+# is per open session, not per event).  Oracle: gaps-and-islands SQL.
+# --------------------------------------------------------------------------
+
+def _user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    sw = F.session_window(F.col("ts"), "30 minutes")
+    return (
+        ev.groupBy(sw, F.col("user_id"))
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value")).alias("total_value"),
+        )
+        .select(
+            "user_id", "session_start", "session_end", "n_events", "total_value"
+        )
+    )
+
+
+_register(
+    QuerySpec(
+        name="user_sessions_30m",
+        survey_ids=("A1", "T3"),
+        description="gap-based sessionization (30-min inactivity gap) per "
+        "user: native session_window vs gaps-and-islands oracle",
+        spark=_user_sessions,
+        oracle=f"""
+WITH marked AS (
+  SELECT user_id, ts, event_id, value,
+    CASE WHEN lag(ts) OVER w IS NULL
+          OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) >= 1800000
+         THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, ts, value,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+)
+SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+       count(*) AS n_events, {osum('value')} AS total_value
+FROM sess GROUP BY user_id, sid
+""",
+    )
+)
+
+
+# --------------------------------------------------------------------------
+# Sliding windows: 1h window advancing every 15m (window/slide = 4 windows
+# per event).  Spark explodes each row into its windows before the hash
+# agg — shuffle volume is windows_per_event × rows, the honest cost of
+# sliding aggregation at any scale.  Oracle: explicit offset cross join.
+# --------------------------------------------------------------------------
+
+def _sliding_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = F.window(F.col("ts"), "1 hour", "15 minutes")
+    return (
+        ev.groupBy(w, F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+            dsum(F.col("value")).alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_rows",
+            "min_value",
+            "max_value",
+            "total_value",
+        )
+    )
+
+
+_register(
+    QuerySpec(
+        name="sliding_value_stats_1h_15m",
+        survey_ids=("A1",),
+        description="sliding-window stats (1h window, 15m slide): each "
+        "event contributes to window/slide = 4 windows",
+        spark=_sliding_value_stats,
+        oracle=f"""
+SELECT make_timestamp(((epoch_ms(ts) // 900000) * 900000 - o.k * 900000) * 1000)
+         AS window_start,
+       event_type,
+       count(*) AS n_rows,
+       min(value) AS min_value,
+       max(value) AS max_value,
+       {osum('value')} AS total_value
+FROM events CROSS JOIN (SELECT unnest(range(4)) AS k) o
+GROUP BY window_start, event_type
+""",
+    )
+)
+
+
+# --------------------------------------------------------------------------
 # Large shuffle join: lineitem ⨝ orders revenue rollup (AQE exercise)
 # --------------------------------------------------------------------------
 
