@@ -1066,6 +1066,32 @@ GROUP BY window_start, event_type
 
 
 # --------------------------------------------------------------------------
+# Grouping sets: ROLLUP subtotals (the reference has no grouping sets —
+# SURVEY §2.6 — this owns them natively; one expand + hash agg in Spark)
+# --------------------------------------------------------------------------
+
+_register(
+    QuerySpec(
+        name="order_rollup_priority_status",
+        survey_ids=("A2", "A3"),
+        description="ROLLUP(o_orderpriority, o_orderstatus): per-group, "
+        "per-priority subtotal, and grand-total rows in one aggregation",
+        spark=lambda s, d: _t(s, d, "orders")
+        .rollup("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice")).alias("total_price"),
+        ),
+        oracle=f"""
+SELECT o_orderpriority, o_orderstatus, count(*) AS n_orders,
+       {osum('o_totalprice')} AS total_price
+FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+""",
+    )
+)
+
+
+# --------------------------------------------------------------------------
 # Large shuffle join: lineitem ⨝ orders revenue rollup (AQE exercise)
 # --------------------------------------------------------------------------
 
