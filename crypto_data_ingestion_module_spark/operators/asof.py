@@ -29,10 +29,18 @@ def asof_join(
     by: Sequence[str] = ("symbol",),
     right_cols: Sequence[str] | None = None,
     suffix: str = "_right",
+    right_tiebreak: str | None = None,
 ) -> DataFrame:
     """Left as-of join: latest right row with ``right[on] <= left[on]``
     per ``by`` group.  Right payload columns come back suffixed; rows with
     no prior right row keep NULLs (LEFT semantics).
+
+    **Right-side uniqueness**: if the right side has duplicate
+    ``(by, on)`` keys the picked row is whichever sorts last in the
+    shuffle — nondeterministic run-to-run.  Either pre-dedup the right
+    side (``dedup_keep_last``, what plans.queries does) or pass
+    ``right_tiebreak``: a right column appended to the window ordering so
+    the *greatest* tiebreak value wins deterministically at equal ts.
     """
     by = list(by)
     right_cols = list(right_cols or [c for c in right.columns if c not in (*by, on)])
@@ -42,6 +50,11 @@ def asof_join(
         *by,
         F.col(on),
         *[F.col(c) for c in right_cols],
+        *(
+            [F.col(right_tiebreak)]
+            if right_tiebreak and right_tiebreak not in (*by, on, *right_cols)
+            else []
+        ),
     ).withColumn("_side", F.lit(0))
 
     # union with NULL-padded missing columns on each side
@@ -51,7 +64,15 @@ def asof_join(
         F.struct(F.col(on).alias("_r_ts"), *[F.col(c).alias(c) for c in right_cols]),
     )
     rhs_packed = rhs.select(
-        *by, F.col(on), F.lit(0).alias("_side"), packed.alias("_rpay")
+        *by,
+        F.col(on),
+        F.lit(0).alias("_side"),
+        packed.alias("_rpay"),
+        *(
+            [F.col(right_tiebreak).alias("_tb")]
+            if right_tiebreak
+            else []
+        ),
     )
     lhs_packed = lhs.select(
         *lhs.columns, F.lit(None).cast(rhs_packed.schema["_rpay"].dataType).alias("_rpay")
@@ -60,10 +81,16 @@ def asof_join(
     ])
     unioned = rhs_packed.unionByName(lhs_packed, allowMissingColumns=True)
 
-    # right rows sort before left rows at equal ts → '<=' tie semantics
+    # right rows sort before left rows at equal ts → '<=' tie semantics;
+    # optional _tb makes the greatest-tiebreak right row the one carried
+    # when right has duplicate (by, on) keys (left rows union in with a
+    # NULL _tb via allowMissingColumns, ordered first so _side still wins)
+    order_cols = [F.col(on).asc(), F.col("_side").asc()]
+    if right_tiebreak:
+        order_cols.append(F.col("_tb").asc_nulls_first())
     w = (
         Window.partitionBy(*by)
-        .orderBy(F.col(on).asc(), F.col("_side").asc())
+        .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned.withColumn(

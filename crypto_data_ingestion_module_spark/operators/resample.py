@@ -41,9 +41,13 @@ def resample_ohlcv(
     """Resample candles (or ticks: pass the price for all four OHLC cols)
     into ``interval_ms`` tumbling windows per ``keys``.
 
-    ``exact_sums`` routes the volume sum through DECIMAL(38,10) so the
-    result is bit-identical regardless of aggregation order (used by the
+    ``exact_sums`` routes the volume sum through the micro-unit
+    fixed-point policy — ``round(x·1e6)`` summed as DECIMAL(38,0), cast
+    back to double (same as ``plans.queries.dsum``) — so the result is
+    bit-identical across engines and aggregation orders (used by the
     correctness harness; the bench path keeps native double sums).
+    A DECIMAL(38,10) *cast* would NOT work: Spark rounds the exact binary
+    expansion while DuckDB multiplies in double, drifting ~1e-8.
     """
     ts = F.col(ts_col)
     order = F.struct(ts, F.col(tiebreak_col)) if tiebreak_col else ts

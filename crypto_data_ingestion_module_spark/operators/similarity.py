@@ -154,6 +154,204 @@ def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     return out
 
 
+def _hyperplane_bucket_udf(dim: int, n_planes: int, n_tables: int, seed: int):
+    """Arrow-batched all-tables bucket assignment: one (batch, dim) @
+    (dim, tables*planes) matmul → sign bits → packed per-table bucket ids.
+
+    The legitimate Pandas-UDF case — tables×planes per-element aggregate
+    expressions evaluate interpreted (measured ~10× slower), while one
+    numpy matmul per Arrow batch stays vectorized end-to-end."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    all_planes = np.concatenate(
+        [np.array(random_hyperplanes(dim, n_planes, seed + t)).T for t in range(n_tables)],
+        axis=1,
+    )  # (dim, n_tables*n_planes)
+    weights = 2 ** np.arange(n_planes, dtype=np.int64)
+
+    def _bucket_fn(vecs):
+        M = np.vstack(vecs.to_numpy())
+        signs = (M.astype(np.float64) @ all_planes) >= 0
+        signs = signs.reshape(len(M), n_tables, n_planes)
+        ids = (signs * weights).sum(axis=2).astype(np.int64)
+        return pd.Series(list(ids))
+
+    # explicit SCALAR eval type: `from __future__ import annotations`
+    # stringifies hints, which pandas_udf's type inference can't read
+    return pandas_udf(_bucket_fn, "array<long>", PandasUDFType.SCALAR)
+
+
+def near_dup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    stage1: str = "block",
+    block_rows: int = 256,
+    dim: int = 64,
+    n_planes: int = 8,
+    n_tables: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cosine ≥ threshold), fully
+    distributed — no driver collect, no full-corpus broadcast anywhere in
+    the plan (asserted in tests via ``physical_plan``).
+
+    Two stages:
+
+    1. *Candidate generation* (double-precision prefilter, recall-oriented):
+
+       - ``stage1="block"`` (default, **recall = 1 by construction**):
+         block-partitioned exhaustive matmul.  Each vector is hashed into
+         one of B = ⌈N/block_rows⌉ blocks and replicated to the B
+         block-pairs it participates in; one ``applyInPandas`` kernel per
+         (block_i, block_j) group runs a single BLAS matmul over the two
+         blocks and emits surviving pairs *with their vectors*, so stage 2
+         needs no join back to the corpus.  This is the canonical
+         distributed shape of the *exact* formulation (chunked GEMM):
+         shuffle volume is N·B rows and per-task memory is
+         2·block_rows·dim·8 bytes — both tunable via ``block_rows``
+         (≈64–256k on a real cluster).  The O(N²/B²)-per-task compute is
+         inherent to exact near-dup, paid at BLAS speed.
+       - ``stage1="lsh"``: multi-table sign-bit LSH bucket self-join
+         (same machinery as :func:`ann_lsh_topk`) — shuffle is buckets,
+         compute is per-bucket pairs.  Recall < 1 *by design*: for a pair
+         at cosine θ the per-table collision probability is
+         (1-θ/π)^n_planes, so at true near-dup thresholds (≥0.8,
+         θ≤37°: p≈0.88⁸≈0.36/table, 16 tables → recall ≈ 0.999) the
+         bucket join is both selective and near-exhaustive.  At the loose
+         test threshold 0.42 (θ≈65°, p≈0.64) selectivity and recall
+         trade off badly on near-random vectors — which is exactly why
+         the *registered oracle query uses the block path* (hash-exact)
+         and the LSH path's recall is pinned separately in pytest.
+
+    2. *Exact re-rank*: fixed-point cosine (LONG-accumulated, see
+       ``_dot_fp``) recomputed on candidates only, then the ≥ threshold
+       filter — emitted values are bit-identical to the SQL oracle
+       regardless of which stage-1 produced the candidates.
+
+    Pair identity is ``id_a < id_b`` (by ``id_col``), each pair exactly
+    once.  Reference parity: the semantic-dedup decision set of SURVEY
+    §2 X2/X3 (the reference has no embedding ops; this is capability
+    extension).
+    """
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    rows = corpus.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
+    thr = threshold - 1e-9  # double prefilter keeps borderline candidates
+
+    if stage1 == "lsh":
+        bucket_ids = _hyperplane_bucket_udf(dim, n_planes, n_tables, seed)
+        b = rows.withColumn("_buckets", bucket_ids(F.col("vec"))).select(
+            "vid", "vec", F.posexplode("_buckets").alias("tbl", "bucket")
+        )
+        cand = (
+            b.alias("l")
+            .join(b.alias("r"), ["tbl", "bucket"])
+            .filter(F.col("l.vid") < F.col("r.vid"))
+            .select(
+                F.col("l.vid").alias("id_a"),
+                F.col("r.vid").alias("id_b"),
+                F.col("l.vec").alias("va"),
+                F.col("r.vec").alias("vb"),
+            )
+            .dropDuplicates(["id_a", "id_b"])
+        )
+    elif stage1 == "block":
+        n = rows.count()  # one distributed aggregate (a scalar, not a collect)
+        n_blocks = max(1, math.ceil(n / block_rows))
+        blocked = rows.withColumn(
+            "bid", F.pmod(F.xxhash64(F.col("vid")), F.lit(n_blocks)).cast("int")
+        )
+        # replicate each row to every block-pair (i ≤ j) it belongs to
+        pair_of = F.array(
+            *[
+                F.struct(
+                    F.least(F.col("bid"), F.lit(j)).alias("pi"),
+                    F.greatest(F.col("bid"), F.lit(j)).alias("pj"),
+                )
+                for j in range(n_blocks)
+            ]
+        )
+        repl = blocked.select(
+            "vid", "vec", "bid", F.explode(pair_of).alias("pp")
+        ).select("vid", "vec", "bid", "pp.pi", "pp.pj")
+
+        def _kernel(key, pdf):
+            pi, pj = key
+            ids = pdf["vid"].to_numpy()
+            vecs = pdf["vec"].to_numpy()
+            M = np.vstack(vecs).astype(np.float64)
+            nrm = np.linalg.norm(M, axis=1, keepdims=True)
+            Mn = M / np.where(nrm == 0, 1.0, nrm)
+            if pi == pj:
+                S = Mn @ Mn.T
+                iu, ju = np.triu_indices(len(ids), k=1)
+                keep = S[iu, ju] >= thr
+                li, rj = iu[keep], ju[keep]
+            else:
+                lmask = (pdf["bid"] == pi).to_numpy()
+                li_all = np.where(lmask)[0]
+                rj_all = np.where(~lmask)[0]
+                if len(li_all) == 0 or len(rj_all) == 0:
+                    li = rj = np.array([], dtype=int)
+                else:
+                    S = Mn[li_all] @ Mn[rj_all].T
+                    ii, jj = np.where(S >= thr)
+                    li, rj = li_all[ii], rj_all[jj]
+            ia, ib = ids[li], ids[rj]
+            swap = ia > ib  # emit id_a < id_b regardless of block side
+            ia2 = np.where(swap, ib, ia)
+            ib2 = np.where(swap, ia, ib)
+            return pd.DataFrame(
+                {
+                    "id_a": ia2.astype(np.int64),
+                    "id_b": ib2.astype(np.int64),
+                    # .tolist() + object dtype: Arrow rejects ndarray-typed
+                    # columns for list<float> (empty groups otherwise infer
+                    # float64); float32→float widening is exact, so the
+                    # round-trip is lossless
+                    "va": pd.Series(
+                        [vecs[r if s else l].tolist() for l, r, s in zip(li, rj, swap)],
+                        dtype="object",
+                    ),
+                    "vb": pd.Series(
+                        [vecs[l if s else r].tolist() for l, r, s in zip(li, rj, swap)],
+                        dtype="object",
+                    ),
+                }
+            )
+
+        cand = repl.groupBy("pi", "pj").applyInPandas(
+            _kernel, schema="id_a long, id_b long, va array<float>, vb array<float>"
+        )
+    else:  # pragma: no cover - guarded API
+        raise ValueError(f"unknown stage1 {stage1!r} (expected 'block' or 'lsh')")
+
+    na = F.sqrt(
+        _dot_fp(F.col("va"), F.col("va"), FP_SCALE, long_safe=True).cast("double")
+        / F.lit(FP_SCALE)
+    )
+    nb = F.sqrt(
+        _dot_fp(F.col("vb"), F.col("vb"), FP_SCALE, long_safe=True).cast("double")
+        / F.lit(FP_SCALE)
+    )
+    cos = (
+        _dot_fp(F.col("va"), F.col("vb"), FP_SCALE, long_safe=True).cast("double")
+        / F.lit(FP_SCALE)
+    ) / (na * nb)
+    return (
+        cand.withColumn("cosine", cos)
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
 def ann_lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -190,34 +388,7 @@ def ann_lsh_topk(
         exact=False,
     ).withColumnRenamed("_norm", "qnorm")
 
-    # All-tables bucket assignment in ONE Arrow-vectorized pandas UDF:
-    # (batch, dim) @ (dim, tables*planes) matmul → sign bits → packed
-    # bucket ids.  This is the legitimate Pandas-UDF case — 16 tables ×
-    # 4 planes of per-element aggregate expressions evaluate interpreted
-    # (measured ~10× slower), while one numpy matmul per Arrow batch
-    # stays vectorized end-to-end.
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql.pandas.functions import pandas_udf
-
-    all_planes = np.concatenate(
-        [np.array(random_hyperplanes(dim, n_planes, seed + t)).T for t in range(n_tables)],
-        axis=1,
-    )  # (dim, n_tables*n_planes)
-    weights = (2 ** np.arange(n_planes, dtype=np.int64))  # bucket bit weights
-
-    def _bucket_fn(vecs):
-        M = np.vstack(vecs.to_numpy())  # (batch, dim)
-        signs = (M.astype(np.float64) @ all_planes) >= 0  # (batch, T*P)
-        signs = signs.reshape(len(M), n_tables, n_planes)
-        ids = (signs * weights).sum(axis=2).astype(np.int64)  # (batch, T)
-        return pd.Series(list(ids))
-
-    # explicit SCALAR eval type: `from __future__ import annotations`
-    # stringifies hints, which pandas_udf's type inference can't read
-    from pyspark.sql.functions import PandasUDFType
-
-    bucket_ids = pandas_udf(_bucket_fn, "array<long>", PandasUDFType.SCALAR)
+    bucket_ids = _hyperplane_bucket_udf(dim, n_planes, n_tables, seed)
 
     def bucketed(df: DataFrame, vec: str) -> DataFrame:
         b = df.withColumn("_buckets", bucket_ids(F.col(vec)))
@@ -301,7 +472,18 @@ def ann_ivf_topk(
         return M / np.where(nrm == 0, 1.0, nrm)  # zero vectors pass through
 
     # --- train: bounded sample → driver-side Lloyd's (vectorized) ---
-    sample = corpus.select(F.col(vec_col).alias("v")).limit(train_limit).toPandas()
+    # Deterministic *representative* sample: keep rows whose id-hash falls
+    # in 1/k of the hash space (layout-independent, unlike .limit(), which
+    # takes scan-order rows — one file/time-slice of a real corpus — and
+    # unlike .sample(), whose output shifts with partitioning).
+    n_corpus = corpus.count()
+    stride = max(1, n_corpus // train_limit)
+    sample = (
+        corpus.select(F.col(vec_col).alias("v"), F.col(id_col).alias("_i"))
+        .filter(F.pmod(F.xxhash64(F.col("_i"), F.lit(seed)), F.lit(stride)) == 0)
+        .limit(train_limit)
+        .toPandas()
+    )
     X = _unit_np(sample["v"])
     rng = np.random.RandomState(seed)
     C = X[rng.choice(len(X), size=min(n_lists, len(X)), replace=False)].copy()

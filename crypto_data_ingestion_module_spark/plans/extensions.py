@@ -479,73 +479,19 @@ _register(
 # --------------------------------------------------------------------------
 
 def _embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two-stage plan: (1) Arrow-vectorized numpy prefilter — one matmul
-    pass per corpus partition against a broadcast normalized matrix, so
-    the N² pair space is scanned at BLAS speed and never materialized;
-    (2) exact fixed-point cosine recomputed only for the surviving
-    candidates, so emitted values are bit-identical to the SQL oracle.
-    (A naive all-pairs fixed-point join measured 243 s at sf0.1; this
-    runs in ~3 s.  At 100 TB stage 1 becomes the LSH bucket join.)
-    """
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql.functions import PandasUDFType, pandas_udf
-
+    """Fully distributed two-stage semantic-dedup pair scan — block-pair
+    BLAS prefilter (recall 1, no driver collect / full-corpus broadcast)
+    + exact fixed-point re-rank; see
+    :func:`operators.similarity.near_dup_pairs` for the plan shape and
+    the LSH-stage-1 tradeoff analysis."""
     from crypto_data_ingestion_module_spark.operators.similarity import (
-        FP_SCALE,
-        _dot_fp,
-        with_norm,
+        near_dup_pairs,
     )
     from crypto_data_ingestion_module_spark.session import configure
 
     configure(spark)
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    pdf = emb.toPandas()
-    ids_all = pdf["vec_id"].to_numpy()
-    M = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
-    M /= np.linalg.norm(M, axis=1, keepdims=True)
-    bc = spark.sparkContext.broadcast((ids_all, M))
-
-    def _prefilter(batches):
-        ids_b, Mn = bc.value
-        for chunk in batches:
-            B = np.vstack(chunk["embedding"].to_numpy()).astype(np.float64)
-            B /= np.linalg.norm(B, axis=1, keepdims=True)
-            S = B @ Mn.T
-            qids = chunk["vec_id"].to_numpy()
-            out_a, out_b = [], []
-            for i in range(len(qids)):
-                js = np.where(S[i] >= 0.42 - 1e-9)[0]
-                for j in js:
-                    if qids[i] < ids_b[j]:
-                        out_a.append(int(qids[i]))
-                        out_b.append(int(ids_b[j]))
-            yield pd.DataFrame({"id_a": out_a, "id_b": out_b})
-
-    cand = emb.mapInPandas(_prefilter, schema="id_a long, id_b long")
-
-    norms = with_norm(emb, "embedding", exact=True, long_safe=True).select(
-        "vec_id", "embedding", "_norm"
-    )
-    a = norms.select(
-        F.col("vec_id").alias("id_a"),
-        F.col("embedding").alias("va"),
-        F.col("_norm").alias("na"),
-    )
-    b = norms.select(
-        F.col("vec_id").alias("id_b"),
-        F.col("embedding").alias("vb"),
-        F.col("_norm").alias("nb"),
-    )
-    pairs = cand.join(F.broadcast(a), "id_a").join(F.broadcast(b), "id_b")
-    cos = (
-        _dot_fp(F.col("va"), F.col("vb"), FP_SCALE, long_safe=True).cast("double") / F.lit(FP_SCALE)
-    ) / (F.col("na") * F.col("nb"))
-    return (
-        pairs.withColumn("cosine", cos)
-        .filter(F.col("cosine") >= 0.42)
-        .select("id_a", "id_b", "cosine")
-    )
+    return near_dup_pairs(emb, threshold=0.42, stage1="block", block_rows=256)
 
 
 _COS_DOT_ND = (

@@ -130,6 +130,16 @@ def upsert_lake(
         order_col=INGEST_SEQ,
     )
 
+    # Materialize the merge BEFORE the destructive overwrite: the write
+    # deletes the very partitions `merged` reads, and plain parquet has no
+    # transaction log to roll back a mid-write failure.  localCheckpoint
+    # severs the lineage to the input files (executor-local storage, only
+    # the touched partitions' rows), so the overwrite consumes a
+    # checkpointed copy, not the doomed files.  For multi-writer /
+    # cross-job durability use a transactional table format (Delta,
+    # Iceberg) — out of scope for a plain-parquet lake.
+    merged = merged.localCheckpoint(eager=True)
+
     # Dynamic partition overwrite rewrites only the touched partitions.
     # Pinned as a per-write option: a consumer session left in the default
     # STATIC mode would otherwise wipe every untouched partition.

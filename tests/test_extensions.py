@@ -128,3 +128,53 @@ def test_multimodal_decode_plumbing(spark):
     for row in rows:
         expect = ["image", "audio", "video"][row.asset_id % 3]
         assert row.modality == expect
+
+
+def test_near_dup_block_is_distributed_and_self_consistent(spark):
+    """The registered semantic-dedup query must have no driver collect and
+    no full-corpus broadcast in its plan (the round-1 scale-killer), and
+    the multi-block path must emit exactly the single-block brute-force
+    pair set."""
+    from crypto_data_ingestion_module_spark.operators.similarity import (
+        near_dup_pairs,
+    )
+    from crypto_data_ingestion_module_spark.sinks.bucketed import physical_plan
+
+    emb = load_table(spark, SF_SMALL, "embeddings").select("vec_id", "embedding")
+    multi = near_dup_pairs(emb, threshold=0.42, stage1="block", block_rows=64)
+    plan = physical_plan(multi)
+    assert "BroadcastExchange" not in plan, plan
+    assert "CollectLimit" not in plan, plan
+
+    single = near_dup_pairs(
+        emb, threshold=0.42, stage1="block", block_rows=10**9
+    )
+    got = {(r.id_a, r.id_b): r.cosine for r in multi.collect()}
+    want = {(r.id_a, r.id_b): r.cosine for r in single.collect()}
+    assert len(want) > 0  # threshold must bite at this SF (nonzero-row rule)
+    assert got == want  # bit-identical cosines, identical pair set
+
+
+def test_near_dup_lsh_stage1_recall(spark):
+    """LSH stage-1 variant: candidates ⊆ exact (stage-2 filter guarantees
+    precision 1 with bit-identical cosines) and recall ≥ 0.8 at the test
+    threshold — by-design lossy, pinned here rather than oracle-gated."""
+    from crypto_data_ingestion_module_spark.operators.similarity import (
+        near_dup_pairs,
+    )
+
+    emb = load_table(spark, SF_SMALL, "embeddings").select("vec_id", "embedding")
+    exact = {
+        (r.id_a, r.id_b): r.cosine
+        for r in near_dup_pairs(emb, threshold=0.42, stage1="block").collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b): r.cosine
+        for r in near_dup_pairs(
+            emb, threshold=0.42, stage1="lsh", n_planes=4, n_tables=16
+        ).collect()
+    }
+    assert set(lsh) <= set(exact)
+    for k, v in lsh.items():
+        assert v == exact[k]  # same exact stage-2 arithmetic
+    assert len(lsh) / len(exact) >= 0.8, (len(lsh), len(exact))

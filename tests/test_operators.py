@@ -181,6 +181,22 @@ def test_asof_join_semantics(spark):
     assert out[("y", 100)] == (None, None)  # no right rows for key → NULLs
 
 
+def test_asof_join_right_tiebreak(spark):
+    """Duplicate (by, on) right keys: right_tiebreak makes the greatest
+    tiebreak value the deterministic winner."""
+    from crypto_data_ingestion_module_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([("x", 10, "L")], "k string, ts long, tag string")
+    right = spark.createDataFrame(
+        [("x", 10, 1.0, 7), ("x", 10, 2.0, 9), ("x", 10, 3.0, 8)],
+        "k string, ts long, p double, seq long",
+    )
+    row = asof_join(
+        left, right, on="ts", by=["k"], right_cols=["p"], right_tiebreak="seq"
+    ).first()
+    assert row.p_right == 2.0  # seq 9 wins, not arrival order
+
+
 def test_derivatives_stub_surface(spark):
     from crypto_data_ingestion_module_spark.sources.derivatives import (
         derivatives_scan,
