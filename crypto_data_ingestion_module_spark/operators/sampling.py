@@ -1,0 +1,70 @@
+"""Stratified / reservoir sampling (training-data curation staple).
+
+Two modes:
+
+- :func:`stratified_reservoir` — deterministic *exact-N* per-stratum
+  sample: rank rows inside each stratum by a seeded hash of their id and
+  keep the first N.  Layout-independent (the hash, not scan order,
+  decides) and reproducible across engines — ``md5`` of the id string is
+  bit-identical in Spark and DuckDB, so the query is oracle-checkable.
+- :func:`stratified_fractions` — thin wrapper over ``df.sampleBy``
+  (per-stratum Bernoulli fractions): O(1) memory, single pass, but only
+  *expected* counts and partitioning-dependent output; use for
+  approximate downsampling, not reproducible curation.
+
+Scale: the rank-≤-N window is NOT a full sort at scale — Spark ≥3.5
+rewrites ``row_number() <= N`` filters into a ``WindowGroupLimit``
+(per-partition partial top-N *before* the shuffle), so each input
+partition ships at most N rows per stratum.  The test asserts that node
+is present in the physical plan.
+
+Reference parity: the reference has no sampling surface (SURVEY §2.10
+capability extension for LLM-pipeline curation).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def reservoir_rank_key(id_col: str, seed: int = 42):
+    """Seeded deterministic pseudo-random rank key: md5 of ``id#seed``.
+
+    md5 hex (lowercase) is bit-identical in Spark and DuckDB, unlike
+    xxhash64 (Spark-only) or rand() (engine-specific streams)."""
+    return F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f"#{seed}")))
+
+
+def stratified_reservoir(
+    df: DataFrame,
+    stratum_cols: Sequence[str],
+    n_per_stratum: int,
+    id_col: str,
+    seed: int = 42,
+    rank_col: str = "sample_rank",
+) -> DataFrame:
+    """Exactly ``n_per_stratum`` rows per stratum (fewer if the stratum is
+    smaller), chosen by seeded id-hash rank — equivalent to a reservoir
+    sample but deterministic and re-runnable.  Ties (impossible for
+    distinct ids under md5) break by id."""
+    key = reservoir_rank_key(id_col, seed)
+    w = Window.partitionBy(*stratum_cols).orderBy(key.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn(rank_col, F.row_number().over(w))
+        .filter(F.col(rank_col) <= n_per_stratum)
+    )
+
+
+def stratified_fractions(
+    df: DataFrame,
+    stratum_col: str,
+    fractions: Mapping[str, float],
+    seed: int = 42,
+) -> DataFrame:
+    """Per-stratum Bernoulli sampling (``sampleBy``): single pass, no
+    shuffle, expected-count semantics.  Output depends on partitioning —
+    pair with :func:`stratified_reservoir` when reproducibility matters."""
+    return df.sampleBy(stratum_col, dict(fractions), seed)

@@ -1,0 +1,110 @@
+"""Inverted-index text search: posting lists + conjunctive term queries
+with BM25-lite ranking (training-data curation / filtering staple).
+
+Spark shape: the index is ``explode(words) → groupBy(doc, term)`` — the
+same equi-join-on-term skeleton as the shingle-based dedup join
+(operators/text_dedup.py), so it scales identically: the shuffle carries
+postings (term, doc, tf), never documents, and a query touches only its
+terms' posting lists.  At rest the postings table would be written
+bucketed by term (sinks/bucketed.py) making the query join shuffle-free.
+
+Scoring is "BM25-lite": the classic tf-saturation × rational-idf form
+
+    tf·(k1+1) / (tf + k1·(1-b + b·dl/avgdl)) × (N-df+0.5)/(df+0.5)
+
+i.e. BM25 *without the log* around the idf term — the log changes
+ranking monotonically per-term but is a transcendental whose bit-level
+result is libm-dependent, which would break cross-engine hash parity;
+the rational form is pure +,×,/ on identically-derived doubles, so Spark
+and DuckDB agree bitwise when the expression text (op order) is shared.
+Per-doc totals then go through the micro-unit fixed-point sum policy
+(see plans.queries.dsum) to stay order-insensitive.
+
+Reference parity: no search surface in the reference (SURVEY §2.10
+capability extension).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from crypto_data_ingestion_module_spark.functions import text as TX
+
+#: Shared Spark/DuckDB scoring expression — ONE text, two engines, so the
+#: double op order (and thus the bits) is identical.  Expects columns
+#: tf, dl, df (longs), n_docs (long), avgdl (double).  k1=1.2, b=0.75
+#: pre-folded (2.2 = k1+1, 0.25 = 1-b) so neither engine constant-folds
+#: differently.
+BM25_LITE_EXPR = (
+    "(CAST(tf AS DOUBLE) * 2.2"
+    " / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / avgdl))))"
+    " * ((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)"
+    " / (CAST(df AS DOUBLE) + 0.5))"
+)
+
+
+def build_postings(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Posting list (doc_id, term, tf) — one explode + one hash agg with
+    map-side combine; term tokenization matches functions.text.words."""
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(TX.words(text_col)).alias("term"),
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def conjunctive_bm25(
+    docs: DataFrame,
+    terms: Sequence[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Docs containing ALL ``terms``, scored by summed BM25-lite.
+
+    Plan: postings filtered to the query terms (at rest: partition-pruned
+    by term), doc-frequency from a tiny |terms|-row broadcast, doc length
+    via equi-join on doc, corpus stats via single-row broadcast cross
+    join; the conjunctive gate is ``count(matched terms) == |terms|``
+    after the per-doc aggregation.  Returns (doc_id, score).
+    """
+    terms = list(terms)
+    postings = build_postings(docs, text_col, id_col)
+    pq = postings.filter(F.col("term").isin(terms))
+    dfreq = pq.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    dl = docs.select(
+        F.col(id_col).alias("doc_id"), TX.word_count(text_col).alias("dl")
+    )
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "avgdl"
+        ),
+    )
+    scored = (
+        pq.join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("t_score", F.expr(BM25_LITE_EXPR))
+    )
+    # micro-unit fixed-point sum (plans.queries.dsum policy, inlined to
+    # keep operators/ free of plans/ imports)
+    fp_sum = (
+        F.sum(F.round(F.col("t_score") * 1_000_000.0).cast("decimal(38,0)")).cast(
+            "double"
+        )
+        / 1_000_000.0
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_matched"), fp_sum.alias("score"))
+        .filter(F.col("n_matched") == len(terms))
+        .select("doc_id", "score")
+    )

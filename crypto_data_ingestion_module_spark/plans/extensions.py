@@ -527,3 +527,103 @@ WHERE d.dot / (na.nrm * nb.nrm) >= 0.42
 """,
     )
 )
+
+
+# --------------------------------------------------------------------------
+# Curation: deterministic stratified sampling (reservoir-equivalent)
+# --------------------------------------------------------------------------
+
+def _stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crypto_data_ingestion_module_spark.operators.sampling import (
+        stratified_reservoir,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return stratified_reservoir(
+        ev, stratum_cols=["event_type"], n_per_stratum=50, id_col="event_id"
+    ).select("event_type", "event_id", "sample_rank")
+
+
+_register(
+    QuerySpec(
+        name="stratified_sample_events",
+        survey_ids=("X4",),
+        description="deterministic stratified reservoir: exactly 50 events "
+        "per event_type by seeded md5-of-id rank (layout-independent, "
+        "reproducible across engines)",
+        spark=_stratified_sample,
+        oracle="""
+SELECT event_type, event_id, sample_rank FROM (
+  SELECT event_type, event_id,
+         row_number() OVER (
+           PARTITION BY event_type
+           ORDER BY md5(CAST(event_id AS VARCHAR) || '#42'), event_id
+         ) AS sample_rank
+  FROM events
+) WHERE sample_rank <= 50
+""",
+    )
+)
+
+
+# --------------------------------------------------------------------------
+# Curation: inverted-index conjunctive search with BM25-lite ranking
+# --------------------------------------------------------------------------
+
+_SEARCH_TERMS = ("dup", "join")
+
+
+def _conjunctive_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crypto_data_ingestion_module_spark.operators.search import (
+        conjunctive_bm25,
+    )
+
+    return conjunctive_bm25(_t(spark, sf_dir, "documents"), _SEARCH_TERMS)
+
+
+def _search_oracle() -> str:
+    from crypto_data_ingestion_module_spark.operators.search import (
+        BM25_LITE_EXPR,
+    )
+
+    terms_sql = ", ".join(f"'{t}'" for t in _SEARCH_TERMS)
+    return f"""
+WITH postings AS (
+  SELECT doc_id, t AS term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(regexp_extract_all(text, '[A-Za-z0-9]+')) AS t
+        FROM documents)
+  WHERE t IN ({terms_sql})
+  GROUP BY doc_id, t
+),
+dfreq AS (SELECT term, count(*) AS df FROM postings GROUP BY term),
+dl AS (SELECT doc_id, len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS dl
+       FROM documents),
+stats AS (SELECT count(*) AS n_docs,
+                 CAST(SUM(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+          FROM dl)
+SELECT doc_id,
+       (CAST(SUM(CAST(round(t_score * 1000000.0) AS DECIMAL(38,0))) AS DOUBLE)
+        / 1000000.0) AS score
+FROM (
+  SELECT p.doc_id, {BM25_LITE_EXPR} AS t_score
+  FROM postings p
+  JOIN dfreq USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats
+)
+GROUP BY doc_id
+HAVING count(*) = {len(_SEARCH_TERMS)}
+"""
+
+
+_register(
+    QuerySpec(
+        name="conjunctive_search_bm25",
+        survey_ids=("X4",),
+        description="inverted-index conjunctive term search ('dup' AND "
+        "'join') with BM25-lite scores (tf-saturation × rational idf, "
+        "log-free for cross-engine bit parity)",
+        spark=_conjunctive_search,
+        oracle=_search_oracle(),
+    )
+)

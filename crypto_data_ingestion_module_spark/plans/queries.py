@@ -1091,6 +1091,74 @@ FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
 )
 
 
+def _order_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, order year) + grouping_id — all 4 grouping-set
+    combinations in ONE expand + hash agg (no re-scan per set)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .withColumn("order_year", F.year("o_orderdate"))
+        .cube("o_orderstatus", "order_year")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice")).alias("total_price"),
+        )
+    )
+
+
+_register(
+    QuerySpec(
+        name="order_cube_status_year",
+        survey_ids=("A2", "A3"),
+        description="CUBE(o_orderstatus, year(o_orderdate)) with "
+        "grouping_id: every subtotal combination in one expand+hash-agg",
+        spark=_order_cube,
+        oracle=f"""
+SELECT o_orderstatus, year(o_orderdate) AS order_year,
+       GROUPING(o_orderstatus) * 2 + GROUPING(year(o_orderdate)) AS gid,
+       count(*) AS n_orders,
+       {osum('o_totalprice')} AS total_price
+FROM orders GROUP BY CUBE (o_orderstatus, year(o_orderdate))
+""",
+    )
+)
+
+
+def _order_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (per-priority, per-status, grand total) via
+    Spark SQL — the DataFrame API has rollup/cube but arbitrary sets are
+    SQL-only; still one Expand node underneath."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("_gs_orders")
+    return spark.sql(
+        """
+SELECT o_orderpriority, o_orderstatus, grouping_id() AS gid,
+       count(*) AS n_orders,
+       CAST(SUM(CAST(round(o_totalprice * 1000000.0) AS DECIMAL(38,0))) AS DOUBLE)
+         / 1000000.0 AS total_price
+FROM _gs_orders
+GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+"""
+    )
+
+
+_register(
+    QuerySpec(
+        name="order_grouping_sets",
+        survey_ids=("A2", "A3"),
+        description="explicit GROUPING SETS ((priority),(status),()) with "
+        "grouping_id — arbitrary subtotal shapes beyond rollup/cube",
+        spark=_order_grouping_sets,
+        oracle=f"""
+SELECT o_orderpriority, o_orderstatus,
+       GROUPING(o_orderpriority) * 2 + GROUPING(o_orderstatus) AS gid,
+       count(*) AS n_orders,
+       {osum('o_totalprice')} AS total_price
+FROM orders GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+""",
+    )
+)
+
+
 # --------------------------------------------------------------------------
 # Large shuffle join: lineitem ⨝ orders revenue rollup (AQE exercise)
 # --------------------------------------------------------------------------
@@ -1236,5 +1304,82 @@ _register(
 SELECT event_type, {osum('value')} AS total_value, count(*) AS n_rows
 FROM events GROUP BY event_type
 """,
+    )
+)
+
+
+# --------------------------------------------------------------------------
+# Quantiles: exact discrete percentiles (oracle-paired) + t-digest-style
+# sketch (rows-only; error bound pinned in pytest)
+# --------------------------------------------------------------------------
+
+def _value_quantiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-type discrete percentiles.  percentile_disc picks an
+    actual data value (no interpolation arithmetic), and Spark's
+    smallest-cume_dist≥p definition coincides with DuckDB's
+    quantile_disc index formula — verified bit-equal on the real data.
+    Exact percentiles inherently materialize the per-group value multiset;
+    the sketch variant below is the 100 TB path."""
+    _t(spark, sf_dir, "events").createOrReplaceTempView("_quant_events")
+    return spark.sql(
+        """
+SELECT event_type, count(*) AS n_rows, min(value) AS min_value,
+       max(value) AS max_value,
+       percentile_disc(0.25) WITHIN GROUP (ORDER BY value) AS p25,
+       percentile_disc(0.5)  WITHIN GROUP (ORDER BY value) AS p50,
+       percentile_disc(0.75) WITHIN GROUP (ORDER BY value) AS p75,
+       percentile_disc(0.99) WITHIN GROUP (ORDER BY value) AS p99
+FROM _quant_events GROUP BY event_type
+"""
+    )
+
+
+_register(
+    QuerySpec(
+        name="value_quantiles_exact",
+        survey_ids=("A2", "A3"),
+        description="exact discrete percentiles (p25/p50/p75/p99) of "
+        "event value per type — percentile_disc, no interpolation, "
+        "bit-equal to DuckDB quantile_disc",
+        spark=_value_quantiles_exact,
+        oracle="""
+SELECT event_type, count(*) AS n_rows, min(value) AS min_value,
+       max(value) AS max_value,
+       quantile_disc(value, 0.25) AS p25,
+       quantile_disc(value, 0.5)  AS p50,
+       quantile_disc(value, 0.75) AS p75,
+       quantile_disc(value, 0.99) AS p99
+FROM events GROUP BY event_type
+""",
+    )
+)
+
+
+def _value_quantiles_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale path: percentile_approx (Greenwald-Khanna sketch, mergeable
+    partial aggregation — bounded memory per group regardless of rows).
+    No SQL-expressible oracle (sketch internals are engine-specific);
+    rank-error vs the exact query is pinned in pytest."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.percentile_approx("value", [0.5, 0.9, 0.99], 10_000).alias(
+                "approx_p50_p90_p99"
+            ),
+        )
+    )
+
+
+_register(
+    QuerySpec(
+        name="value_quantiles_sketch",
+        survey_ids=("A2", "A3"),
+        description="approximate per-(type, day) quantiles via "
+        "percentile_approx sketch (mergeable, bounded memory — the "
+        "100 TB path; rank error pinned in tests)",
+        spark=_value_quantiles_sketch,
+        oracle=None,
     )
 )

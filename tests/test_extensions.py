@@ -178,3 +178,59 @@ def test_near_dup_lsh_stage1_recall(spark):
     for k, v in lsh.items():
         assert v == exact[k]  # same exact stage-2 arithmetic
     assert len(lsh) / len(exact) >= 0.8, (len(lsh), len(exact))
+
+
+def test_stratified_reservoir_plan_and_determinism(spark):
+    """rank<=N must compile to WindowGroupLimit (per-partition partial
+    top-N — the thing that makes the window scale) and the sample must be
+    exact-N, deterministic, and seed-sensitive."""
+    from crypto_data_ingestion_module_spark.operators.sampling import (
+        stratified_reservoir,
+    )
+    from crypto_data_ingestion_module_spark.sinks.bucketed import physical_plan
+
+    ev = load_table(spark, SF_SMALL, "events")
+    s = stratified_reservoir(ev, ["event_type"], 20, id_col="event_id")
+    assert "WindowGroupLimit" in physical_plan(s)
+    counts = {r.event_type: r.c for r in s.groupBy("event_type").agg(F.count("*").alias("c")).collect()}
+    assert all(c == 20 for c in counts.values()), counts
+    ids1 = {r.event_id for r in s.select("event_id").collect()}
+    ids2 = {
+        r.event_id
+        for r in stratified_reservoir(ev, ["event_type"], 20, id_col="event_id")
+        .select("event_id")
+        .collect()
+    }
+    assert ids1 == ids2  # rerun-stable
+    ids_seed9 = {
+        r.event_id
+        for r in stratified_reservoir(ev, ["event_type"], 20, id_col="event_id", seed=9)
+        .select("event_id")
+        .collect()
+    }
+    assert ids_seed9 != ids1  # seed actually participates
+
+
+def test_quantile_sketch_rank_error(spark):
+    """percentile_approx(accuracy=1e4): every reported quantile's true
+    rank is within n*eps + 1 of the target rank, per group."""
+    from crypto_data_ingestion_module_spark.plans.queries import QUERY_SPECS
+
+    approx = (
+        QUERY_SPECS["value_quantiles_sketch"].spark(spark, SF_SMALL).collect()
+    )
+    ev = load_table(spark, SF_SMALL, "events").select(
+        "event_type", F.to_date("ts").alias("day"), "value"
+    )
+    vals = {}
+    for r in ev.collect():
+        vals.setdefault((r.event_type, r.day), []).append(r.value)
+    eps = 1.0 / 10_000
+    assert len(approx) > 0
+    for row in approx:
+        group = sorted(vals[(row.event_type, row.day)])
+        n = len(group)
+        assert row.n_rows == n
+        for p, a in zip((0.5, 0.9, 0.99), row.approx_p50_p90_p99):
+            rank = sum(1 for v in group if v <= a)
+            assert abs(rank - p * n) <= eps * n + 1, (row.event_type, row.day, p, rank, n)
