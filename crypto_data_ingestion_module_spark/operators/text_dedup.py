@@ -304,3 +304,116 @@ def simhash(
     for t in terms[1:]:
         fp = fp + t
     return votes.select("id", fp.alias("simhash"))
+
+
+def simhash60_md5(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """60-bit SimHash whose per-token hash is an md5 prefix — the
+    oracle-checkable sibling of :func:`simhash`.
+
+    xxhash64 (the fast fingerprint above) has no DuckDB equivalent, so
+    that query is rows-only.  This variant derives the token hash from
+    the first 15 hex chars of md5 (60 bits, identical in every engine:
+    ``conv(substr(md5(t),1,15),16,10)`` ≡ DuckDB
+    ``('0x'||substr(md5(t),1,15))::BIGINT``), making fingerprints AND the
+    downstream Hamming pair join fully SQL-expressible.  Same SWAR-packed
+    majority vote as :func:`simhash` (15 groups × 4 lanes); all 60 bits
+    are below the sign bit, so reassembly is plain addition.  md5 is
+    ~2-3× slower per token than xxhash64 — use :func:`simhash` when no
+    oracle parity is needed.
+    """
+    toks = (
+        df.select(F.col(id_col).alias("id"), words(text_col).alias("_w"))
+        .select(
+            "id", F.shuffle(F.slice("_w", 1, _SIMHASH_MAX_TOKENS)).alias("_t")
+        )
+        .select("id", F.explode("_t").alias("tok"))
+        .withColumn(
+            "th",
+            F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("long"),
+        )
+    )
+    packed = []
+    for g in range(15):
+        lanes = None
+        for k in range(4):
+            lane = F.shiftleft(
+                F.shiftright(F.col("th"), 4 * g + k).bitwiseAND(F.lit(1)), 16 * k
+            )
+            lanes = lane if lanes is None else lanes + lane
+        packed.append(F.sum(lanes).alias(f"p{g}"))
+    votes = toks.groupBy("id").agg(F.count(F.lit(1)).alias("n"), *packed)
+    terms = []
+    for g in range(15):
+        for k in range(4):
+            j = 4 * g + k
+            c = F.shiftrightunsigned(F.col(f"p{g}"), 16 * k).bitwiseAND(
+                F.lit(65535)
+            )
+            terms.append(
+                F.when(c * 2 > F.col("n"), F.lit(1 << j).cast("long")).otherwise(
+                    F.lit(0).cast("long")
+                )
+            )
+    fp = terms[0]
+    for t in terms[1:]:
+        fp = fp + t
+    return votes.select("id", fp.alias("simhash60"))
+
+
+def simhash_hamming_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup pairs within Hamming distance ``max_hamming`` of their
+    60-bit md5-SimHash, with **recall 1** by pigeonhole banding.
+
+    The fingerprint is split into ``max_hamming + 1`` disjoint bit bands:
+    a pair with ≤ max_hamming differing bits must agree on at least one
+    whole band, so the candidate set from the (band, band_value)
+    equi-self-join provably contains every true pair; the exact
+    ``bit_count(a XOR b)`` filter then removes false candidates.  Shuffle
+    volume is (bands × docs) fingerprint rows — never documents, never
+    n² — the same scale shape as the MinHash banding join.
+    """
+    n_bands = max_hamming + 1
+    base, extra = divmod(60, n_bands)
+    fp = simhash60_md5(df, text_col, id_col)
+    band_structs, start = [], 0
+    for b in range(n_bands):
+        width = base + (1 if b < extra else 0)
+        band_structs.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftrightunsigned(F.col("simhash60"), start)
+                .bitwiseAND(F.lit((1 << width) - 1))
+                .alias("bv"),
+            )
+        )
+        start += width
+    bands = fp.select(
+        "id", "simhash60", F.explode(F.array(*band_structs)).alias("s")
+    ).select("id", "simhash60", "s.band", "s.bv")
+    cand = (
+        bands.alias("l")
+        .join(bands.alias("r"), ["band", "bv"])
+        .filter(F.col("l.id") < F.col("r.id"))
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.col("l.simhash60").alias("fa"),
+            F.col("r.simhash60").alias("fb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.withColumn(
+            "hamming",
+            F.bit_count(F.col("fa").bitwiseXOR(F.col("fb"))).cast("long"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

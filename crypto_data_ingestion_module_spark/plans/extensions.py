@@ -627,3 +627,76 @@ _register(
         oracle=_search_oracle(),
     )
 )
+
+
+# --------------------------------------------------------------------------
+# X2: oracle-checkable SimHash (md5-based 60-bit) + exact-Hamming pairs.
+# xxhash64's absence in DuckDB kept `simhash_fingerprints` rows-only; the
+# md5-prefix variant makes both the fingerprints and the banded Hamming
+# pair join fully oracle-paired (VERDICT r1 item 4).
+# --------------------------------------------------------------------------
+
+_SIMHASH60_FP_CTE = """
+toks AS (SELECT doc_id,
+                unnest(list_slice(regexp_extract_all(text, '[A-Za-z0-9]+'),
+                                  1, 65535)) AS tok
+         FROM documents),
+hashed AS (SELECT doc_id,
+                  CAST(('0x' || substr(md5(tok),1,15)) AS BIGINT) AS th
+           FROM toks),
+votes AS (SELECT doc_id, count(*) AS n,
+  {sums}
+  FROM hashed GROUP BY doc_id),
+fp AS (SELECT doc_id AS id, CAST({bits} AS BIGINT) AS simhash60 FROM votes)
+""".format(
+    sums=",\n  ".join(f"SUM((th >> {j}) & 1) AS c{j}" for j in range(60)),
+    bits=" + ".join(
+        f"(CASE WHEN 2*c{j} > n THEN {1 << j} ELSE 0 END)" for j in range(60)
+    ),
+)
+
+
+def _simhash60_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crypto_data_ingestion_module_spark.operators.text_dedup import (
+        simhash60_md5,
+    )
+
+    return simhash60_md5(_t(spark, sf_dir, "documents"))
+
+
+_register(
+    QuerySpec(
+        name="simhash60_fingerprints",
+        survey_ids=("X2",),
+        description="oracle-checkable 60-bit SimHash (md5-prefix token "
+        "hash, identical in both engines; SWAR majority vote)",
+        spark=_simhash60_q,
+        oracle=f"WITH {_SIMHASH60_FP_CTE} SELECT id, simhash60 FROM fp",
+    )
+)
+
+
+def _simhash_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crypto_data_ingestion_module_spark.operators.text_dedup import (
+        simhash_hamming_pairs,
+    )
+
+    return simhash_hamming_pairs(_t(spark, sf_dir, "documents"), max_hamming=3)
+
+
+_register(
+    QuerySpec(
+        name="simhash_hamming_pairs",
+        survey_ids=("X2",),
+        description="SimHash near-dup pairs (Hamming ≤ 3) via pigeonhole "
+        "banding (4 disjoint bands → recall 1) + exact bit_count recheck",
+        spark=_simhash_pairs_q,
+        oracle=f"""
+WITH {_SIMHASH60_FP_CTE}
+SELECT a.id AS id_a, b.id AS id_b,
+       CAST(bit_count(xor(a.simhash60, b.simhash60)) AS BIGINT) AS hamming
+FROM fp a JOIN fp b ON a.id < b.id
+WHERE bit_count(xor(a.simhash60, b.simhash60)) <= 3
+""",
+    )
+)

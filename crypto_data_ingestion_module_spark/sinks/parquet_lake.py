@@ -149,3 +149,79 @@ def upsert_lake(
         .mode("overwrite")
         .parquet(root)
     )
+
+
+def partition_file_stats(spark: SparkSession, root: str) -> list[dict]:
+    """Per-partition (dir, n_files, total_bytes) via a recursive Hadoop FS
+    walk — driver-side, but bounded by partition count (the same listing
+    Spark's own scan planning performs), not row count."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    root_path = jvm.org.apache.hadoop.fs.Path(root)
+    fs = root_path.getFileSystem(conf)
+    stats: dict[str, dict] = {}
+    it = fs.listFiles(root_path, True)  # recursive
+    while it.hasNext():
+        f = it.next()
+        p = f.getPath()
+        name = p.getName()
+        if not name.endswith(".parquet"):
+            continue
+        part_dir = str(p.getParent().toUri().getPath())
+        s = stats.setdefault(
+            part_dir, {"dir": part_dir, "n_files": 0, "total_bytes": 0}
+        )
+        s["n_files"] += 1
+        s["total_bytes"] += f.getLen()
+    return sorted(stats.values(), key=lambda s: s["dir"])
+
+
+def compact_lake(
+    spark: SparkSession,
+    root: str,
+    max_files_per_partition: int = 1,
+    partition_cols: Sequence[str] = PARTITION_COLS,
+) -> list[str]:
+    """OPTIMIZE-style small-file compaction (K2 hygiene).
+
+    Successive dynamic-overwrite upserts leave each partition with as
+    many files as tasks that wrote it; at 100 TB daily upserts this
+    degrades scan planning (file-listing cost) and read throughput (row
+    groups too small for efficient IO).  This pass rewrites ONLY the
+    partitions whose file count exceeds ``max_files_per_partition``:
+    a partition-pruned read, repartition by the partition key (one task →
+    one file per partition), localCheckpoint to sever lineage from the
+    files being replaced, then dynamic-overwrite.  Content — including
+    ``_ingest_seq`` arrival stamps, so later upserts still supersede
+    correctly — is byte-identical (asserted in tests).
+
+    Returns the rewritten partition directories.
+    """
+    breached = [
+        s["dir"]
+        for s in partition_file_stats(spark, root)
+        if s["n_files"] > max_files_per_partition
+    ]
+    if not breached:
+        return []
+    # partition-pruned scan of only the breached directories: rebuild the
+    # partition-column tuple each dir encodes, then filter the lake scan
+    pred = F.lit(False)
+    for d in breached:
+        clause = F.lit(True)
+        for kv in d.split("/"):
+            if "=" in kv:
+                c, v = kv.split("=", 1)
+                if c in partition_cols:
+                    clause = clause & (F.col(c) == F.lit(v))
+        pred = pred | clause
+    doomed = read_lake(spark, root).filter(pred)
+    compacted = doomed.repartition(*[F.col(c) for c in partition_cols])
+    compacted = compacted.localCheckpoint(eager=True)
+    (
+        compacted.write.partitionBy(*partition_cols)
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite")
+        .parquet(root)
+    )
+    return breached

@@ -168,3 +168,48 @@ def test_bucketed_cobucketed_join_has_no_shuffle(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS t_bleft")
         spark.sql("DROP TABLE IF EXISTS t_bright")
+
+
+def test_compaction_one_file_per_partition_identical_content(spark, tmp_path):
+    """N upserts leave multi-file partitions; compaction rewrites ONLY
+    breached partitions down to one file each with identical table
+    content (including _ingest_seq, so later upserts still supersede)."""
+    from crypto_data_ingestion_module_spark.sinks.parquet_lake import (
+        compact_lake,
+        partition_file_stats,
+    )
+
+    from crypto_data_ingestion_module_spark.operators.merge import INGEST_SEQ
+
+    root = str(tmp_path / "lake")
+    for i in range(3):
+        batch = (
+            _candles(
+                spark,
+                [
+                    (100.0 + i, float(i), T0 + dt.timedelta(minutes=i), "BTC-USDT", "coinbase", "15m"),
+                    (50.0 + i, float(i), T1 + dt.timedelta(minutes=i), "BTC-USDT", "coinbase", "15m"),
+                    (200.0 + i, float(i), T2 + dt.timedelta(minutes=i), "BTC-USDT", "coinbase", "15m"),
+                ],
+            )
+            .withColumn(INGEST_SEQ, F.lit(i).cast("long"))
+            .repartition(4)  # several writer tasks → several files/partition
+        )
+        write_lake(batch, root, mode="append")
+
+    pre_stats = partition_file_stats(spark, root)
+    assert any(s["n_files"] > 1 for s in pre_stats), pre_stats
+    before = sorted(
+        tuple(r) for r in read_lake(spark, root).collect()
+    )
+
+    rewritten = compact_lake(spark, root, max_files_per_partition=1)
+    assert rewritten  # something was actually compacted
+
+    post_stats = partition_file_stats(spark, root)
+    assert all(s["n_files"] == 1 for s in post_stats), post_stats
+    after = sorted(tuple(r) for r in read_lake(spark, root).collect())
+    assert before == after  # byte-identical table content
+
+    # second pass is a no-op
+    assert compact_lake(spark, root, max_files_per_partition=1) == []
