@@ -381,3 +381,131 @@ def test_stateful_candle_builder_tws(spark, tmp_path):
     # late tick (9.0 @ :20) folded in as LOW but must not become close
     assert (r.open, r.high, r.low, r.close) == (10.0, 12.0, 9.0, 12.0)
     assert r.volume == 4.0 and r.n_ticks == 3
+
+
+def test_stream_stream_spread_join(spark, tmp_path):
+    """Watermarked stream-stream join (cross-venue spread): candles that
+    arrive in DIFFERENT micro-batches still join per bucket, and the join
+    state is evicted once the watermark passes (bounded state)."""
+    import json as _json
+    import time as _time
+
+    from crypto_data_ingestion_module_spark.streaming.join import (
+        cross_venue_spread,
+    )
+
+    left_src = str(tmp_path / "cb")
+    right_src = str(tmp_path / "ku")
+    os.makedirs(left_src)
+    os.makedirs(right_src)
+    t0 = dt.datetime(2024, 1, 1, 0, 0)
+    t1 = dt.datetime(2024, 1, 1, 0, 15)
+    tf = dt.datetime(2024, 1, 1, 3, 0)  # pushes watermark to 02:30 > t1
+
+    def cand(ts, close, exch):
+        return [
+            (close - 0.5, close + 1, close - 1, close, 1.0, ts,
+             "BTC-USDT", exch, "15m", "spot")
+        ]
+
+    def write(src, rows):
+        spark.createDataFrame(rows, _CANDLE_SCHEMA_DDL).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        _time.sleep(1.1)  # distinct mod-times -> deterministic file order
+
+    # interleaved arrival: bucket t0 shows up on the left FIRST and on the
+    # right only two micro-batches later (t1 the other way around), so the
+    # t0/t1 join outputs can only come from cross-batch buffered state
+    write(left_src, cand(t0, 42000.0, "coinbase"))
+    write(right_src, cand(t1, 42110.0, "kucoin"))
+    write(left_src, cand(t1, 42100.0, "coinbase"))
+    write(right_src, cand(t0, 42050.0, "kucoin"))
+    write(left_src, cand(tf, 43000.0, "coinbase"))
+    write(right_src, cand(tf, 43005.0, "kucoin"))
+
+    left = (
+        spark.readStream.schema(_CANDLE_SCHEMA_DDL)
+        .option("maxFilesPerTrigger", 1).parquet(left_src)
+    )
+    right = (
+        spark.readStream.schema(_CANDLE_SCHEMA_DDL)
+        .option("maxFilesPerTrigger", 1).parquet(right_src)
+    )
+    spreads = cross_venue_spread(left, right, interval="15m", lateness="30 minutes")
+    q = (
+        spreads.writeStream.format("memory").queryName("spread_out")
+        .outputMode("append").trigger(processingTime="1 second")
+        .option("checkpointLocation", str(tmp_path / "ck")).start()
+    )
+    deadline = _time.time() + 120
+    while _time.time() < deadline:
+        if spark.sql("SELECT count(*) c FROM spread_out").first().c >= 3:
+            break
+        _time.sleep(1)
+    _time.sleep(5)  # let the no-data batch fire -> watermark eviction
+    progresses = [_json.loads(p.json) for p in q.recentProgress]
+    q.stop()
+
+    rows = {r.bucket_ts: r for r in spark.sql("SELECT * FROM spread_out").collect()}
+    assert set(rows) == {t0, t1, tf}
+    r0 = rows[t0]
+    assert (r0.exchange_a, r0.exchange_b) == ("coinbase", "kucoin")
+    assert (r0.close_a, r0.close_b) == (42000.0, 42050.0)
+    assert abs(r0.spread + 50.0) < 1e-9
+    assert abs(r0.spread_bps + 50.0 / 42050.0 * 10_000.0) < 1e-9
+
+    removed = sum(
+        int(op.get("numRowsRemoved", 0) or 0)
+        for p in progresses
+        for op in p.get("stateOperators", [])
+    )
+    assert removed > 0, "watermark never evicted join state"
+
+
+def test_spread_stream_merges_to_lake(spark, tmp_path):
+    """Live spread results MERGE into the partitioned lake; re-delivered
+    buckets resolve keep-last (idempotent checkpoint replay)."""
+    from crypto_data_ingestion_module_spark.streaming.join import (
+        cross_venue_spread,
+        spread_stream_to_lake,
+    )
+
+    left_src = str(tmp_path / "cb")
+    right_src = str(tmp_path / "ku")
+    os.makedirs(left_src)
+    os.makedirs(right_src)
+    t0 = dt.datetime(2024, 1, 1, 0, 0)
+    t1 = dt.datetime(2024, 1, 1, 0, 15)
+
+    def cand(ts, close, exch):
+        return [
+            (close - 0.5, close + 1, close - 1, close, 1.0, ts,
+             "BTC-USDT", exch, "15m", "spot")
+        ]
+
+    spark.createDataFrame(
+        cand(t0, 42000.0, "coinbase") + cand(t1, 42100.0, "coinbase"),
+        _CANDLE_SCHEMA_DDL,
+    ).coalesce(1).write.mode("append").parquet(left_src)
+    spark.createDataFrame(
+        cand(t0, 42050.0, "kucoin") + cand(t1, 42110.0, "kucoin"),
+        _CANDLE_SCHEMA_DDL,
+    ).coalesce(1).write.mode("append").parquet(right_src)
+
+    lake = str(tmp_path / "lake")
+    for ck in ("ck1", "ck2"):  # second run: fresh checkpoint re-delivers
+        left = spark.readStream.schema(_CANDLE_SCHEMA_DDL).parquet(left_src)
+        right = spark.readStream.schema(_CANDLE_SCHEMA_DDL).parquet(right_src)
+        spreads = cross_venue_spread(left, right)
+        q = spread_stream_to_lake(
+            spreads, lake, str(tmp_path / ck), available_now=True
+        )
+        q.awaitTermination(120)
+
+    out = read_lake(spark, lake)
+    got = {r.timestamp: (r.exchange, r.spread) for r in out.collect()}
+    assert got == {
+        t0: ("coinbase|kucoin", -50.0),
+        t1: ("coinbase|kucoin", -10.0),
+    }
