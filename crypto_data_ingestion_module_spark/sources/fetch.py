@@ -94,11 +94,22 @@ class MockExchangeAdapter:
         return out
 
 
-class HttpExchangeAdapter:  # pragma: no cover - requires live network
-    """Thin real-HTTP binding with the same request surface as the
-    reference (endpoints/params: crypto_collector.py S1-S5 sections).
-    Returns raw kline rows stringified; normalization happens in Spark.
+class HttpExchangeAdapter:
+    """Real-HTTP binding with the same request surface as the reference
+    (endpoints/params: crypto_collector.py S1-S5 sections).  Request
+    construction and response parsing live in ``sources.http`` (pure,
+    unit-tested against recorded payloads); only the transport touches
+    the network, and it is injectable — pass a
+    ``sources.http.RecordedTransport`` for offline replay.
     """
+
+    def __init__(self, transport=None):
+        from crypto_data_ingestion_module_spark.sources.http import (
+            VenueHttpAdapter,
+            requests_transport,
+        )
+
+        self._adapter = VenueHttpAdapter(transport or requests_transport)
 
     def __call__(
         self,
@@ -109,11 +120,7 @@ class HttpExchangeAdapter:  # pragma: no cover - requires live network
         end_ms: int,
         limit: int,
     ) -> list[list[str]]:
-        raise NotImplementedError(
-            "live HTTP fetch is intentionally not wired in this offline "
-            "build; implement per-venue requests here (reference "
-            "crypto_collector.py:65-474) and keep returning raw kline rows"
-        )
+        return self._adapter(exchange, symbol, interval, start_ms, end_ms, limit)
 
 
 def fetch_pages(
