@@ -21,9 +21,24 @@ from crypto_data_ingestion_module_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-#: Headline set: the flagship save-path query plus the heaviest relational
-#: and extension operators. Falls back to "every registered query".
-HEADLINE: tuple[str, ...] = ()
+#: Headline set: the 10 most expensive operators (round-1 ranking, plus
+#: the round-2 sketch-pair join).  Re-measured in a SECOND pass after the
+#: full sweep so their numbers come from a stable JVM — round-over-round
+#: regressions are attributable to the query, not to cross-query
+#: codegen/GC interference (the round-1 lesson: one heavy job inflated
+#: unrelated neighbors' timings).
+HEADLINE: tuple[str, ...] = (
+    "minhash_lsh_pairs",
+    "simhash_hamming_pairs",
+    "cosine_topk",
+    "pricing_summary",
+    "order_revenue_by_priority",
+    "ngram_jaccard_pairs",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "embedding_near_dup_pairs",
+    "ohlcv_resample_15m",
+)
 
 
 def _sf_from_dir(path: str) -> float:
@@ -34,21 +49,25 @@ def _sf_from_dir(path: str) -> float:
 def main() -> None:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
-    names = [n for n in (HEADLINE or sorted(QUERY_SPECS)) if n in QUERY_SPECS]
+    names = sorted(QUERY_SPECS)
+
+    def run(name: str) -> float:
+        t0 = time.perf_counter()
+        QUERY_SPECS[name].spark(spark, SF_DIR).write.mode("overwrite").format(
+            "noop"
+        ).save()
+        return round(time.perf_counter() - t0, 4)
 
     # Warm-up pass: JVM, Python workers, parquet footers, codegen caches.
     # Measured numbers are steady-state, as on a long-lived cluster.
     for name in names:
-        QUERY_SPECS[name].spark(spark, SF_DIR).write.mode("overwrite").format(
-            "noop"
-        ).save()
+        run(name)
 
-    timings: dict[str, float] = {}
-    for name in names:
-        t0 = time.perf_counter()
-        df = QUERY_SPECS[name].spark(spark, SF_DIR)
-        df.write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.perf_counter() - t0, 4)
+    timings = {name: run(name) for name in names}
+
+    # Headline re-measure: by now every query has executed twice, so the
+    # JVM is as settled as it gets — these are the attributable numbers.
+    headline = {n: run(n) for n in HEADLINE if n in QUERY_SPECS}
 
     total = round(sum(timings.values()), 4)
     print(
@@ -58,6 +77,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "headline": headline,
+                "headline_total": round(sum(headline.values()), 4),
                 "sf": _sf_from_dir(SF_DIR),
             }
         )
