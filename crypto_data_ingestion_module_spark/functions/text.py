@@ -120,3 +120,48 @@ def oracle_quality_sql(text: str = "text") -> str:
         f" + least({wc} / 40.0, 1.0) * 0.3"
         f" - least({pc} / greatest({n}, 1.0) * 2.0, 0.5), 0.0)"
     )
+
+
+# -- PII redaction (training-data hygiene) ----------------------------------
+# ASCII-class patterns only, no lookaround, so Java regex (Spark) and RE2
+# (DuckDB) match identically.  Order matters: emails first (an address
+# contains digit runs a phone pattern could claim), then IPs, then phones.
+
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_PATTERN = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+PHONE_PATTERN = r"\+[0-9][0-9() -]{6,}[0-9]"
+
+_PII_STEPS = (
+    (EMAIL_PATTERN, "<EMAIL>"),
+    (IPV4_PATTERN, "<IP>"),
+    (PHONE_PATTERN, "<PHONE>"),
+)
+
+
+def pii_redact(col: Column | str) -> Column:
+    """Mask emails, IPv4 addresses, and international-format phone numbers
+    with typed placeholders."""
+    out = _c(col)
+    for pat, token in _PII_STEPS:
+        out = F.regexp_replace(out, pat, token)
+    return out
+
+
+def pii_counts(col: Column | str) -> tuple[Column, Column, Column]:
+    """(n_emails, n_ips, n_phones) detected — audit metrics emitted
+    alongside the redacted text."""
+    c = _c(col)
+    return (
+        F.size(F.regexp_extract_all(c, F.lit(EMAIL_PATTERN), F.lit(0))).cast("long"),
+        F.size(F.regexp_extract_all(c, F.lit(IPV4_PATTERN), F.lit(0))).cast("long"),
+        F.size(F.regexp_extract_all(c, F.lit(PHONE_PATTERN), F.lit(0))).cast("long"),
+    )
+
+
+def oracle_pii_redact_sql(text: str = "text") -> str:
+    """DuckDB twin of pii_redact (same patterns, same order; 'g' flag —
+    DuckDB replaces first-match-only by default, Spark replaces all)."""
+    out = text
+    for pat, token in _PII_STEPS:
+        out = f"regexp_replace({out}, '{pat}', '{token}', 'g')"
+    return out

@@ -1,0 +1,106 @@
+"""Connected components over near-duplicate pair lists (X2 follow-through).
+
+Pair generators (n-gram Jaccard, MinHash LSH, SimHash Hamming, embedding
+cosine) emit EDGES; an actual dedup pass needs the transitive closure —
+documents A-B and B-C are one duplicate group even if A-C never paired.
+This module turns a pair list into per-document cluster assignments with
+the canonical min-id representative, the standard final stage of a
+training-corpus dedup pipeline.
+
+Algorithm: iterative min-label propagation.  Each round every node takes
+the minimum label among itself and its neighbors; a round is one
+equi-join (edges ⋈ labels, shuffled on the join key) plus one map-side
+combined min-aggregate — no driver-side graph state, labels live in a
+DataFrame throughout.  Rounds needed = graph diameter, and near-dup
+graphs are short and stubby (clusters of copies of one document), so
+convergence is typically 2-4 rounds.  ``localCheckpoint`` after each
+round severs the growing lineage (the round-N plan would otherwise embed
+all rounds 1..N-1).  For adversarially long chain-shaped graphs the
+large-star/small-star variant (Kiveris et al., "Connected Components in
+MapReduce and Beyond") converges in O(log^2 n) rounds with the same
+join+min building blocks; diameter-bounded propagation is the right
+default for dedup workloads.
+
+The convergence check (`changed == 0`) is one count per round — a
+driver-side scalar, not a data collect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Pair list → (id, component) with component = min id reachable.
+
+    Only ids that appear in some pair are returned; callers join back to
+    the full corpus (see :func:`assign_clusters`) so singletons label
+    themselves without ever entering the propagation joins.
+    """
+    e = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    edges = (
+        e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)  # reused every round; freeze it once
+    )
+    labels = edges.select(F.col("a").alias("id")).distinct().withColumn(
+        "component", F.col("id")
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(
+                labels.select(
+                    F.col("id").alias("b"), F.col("component").alias("nbr")
+                ),
+                "b",
+            )
+            .groupBy(F.col("a").alias("id"))
+            .agg(F.min("nbr").alias("nbr_min"))
+        )
+        new_labels = labels.join(nbr_min, "id", "left").select(
+            "id",
+            F.least(
+                F.col("component"), F.coalesce("nbr_min", F.col("component"))
+            ).alias("component"),
+        ).localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def assign_clusters(
+    corpus: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Every corpus row gets a cluster id (min doc id of its component;
+    singletons label themselves) and an ``is_rep`` flag marking the one
+    representative to keep.  ``filter(is_rep)`` IS the deduplicated
+    corpus; ``filter(~is_rep)`` is the removal list."""
+    comp = connected_components(pairs, src=src, dst=dst)
+    return (
+        corpus.select(id_col)
+        .join(comp.withColumnRenamed("id", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("component", F.col(id_col)).alias("cluster_id"),
+            (F.coalesce("component", F.col(id_col)) == F.col(id_col)).alias(
+                "is_rep"
+            ),
+        )
+    )

@@ -319,9 +319,21 @@ def simhash60_md5(
     ``('0x'||substr(md5(t),1,15))::BIGINT``), making fingerprints AND the
     downstream Hamming pair join fully SQL-expressible.  Same SWAR-packed
     majority vote as :func:`simhash` (15 groups × 4 lanes); all 60 bits
-    are below the sign bit, so reassembly is plain addition.  md5 is
-    ~2-3× slower per token than xxhash64 — use :func:`simhash` when no
-    oracle parity is needed.
+    are below the sign bit, so reassembly is plain addition.
+
+    md5 is ~5-10× costlier per call than xxhash64 (hex string out + a
+    base-16 string parse back to long), so unlike :func:`simhash` this
+    variant hashes each DISTINCT (doc, token) once and weights the bit
+    votes by the token's in-doc count: natural text repeats tokens
+    heavily (Zipf within documents), so the md5 count drops by the
+    duplication factor at the price of one extra shuffle of distinct
+    (doc, token) pairs — strictly fewer rows than the token instances the
+    plain groupBy(id) would partial-aggregate anyway, and both aggregates
+    map-side combine.  Measured at sf0.1: 2.8 s → 0.9 s for the
+    fingerprint pass.  Count-weighted lanes cannot carry: per-doc counts
+    sum to ≤ 65535 (``_SIMHASH_MAX_TOKENS``).  :func:`simhash` keeps the
+    hash-per-instance, zero-extra-shuffle form — xxhash64 is cheaper than
+    the dedup would be.
     """
     toks = (
         df.select(F.col(id_col).alias("id"), words(text_col).alias("_w"))
@@ -329,6 +341,8 @@ def simhash60_md5(
             "id", F.shuffle(F.slice("_w", 1, _SIMHASH_MAX_TOKENS)).alias("_t")
         )
         .select("id", F.explode("_t").alias("tok"))
+        .groupBy("id", "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
         .withColumn(
             "th",
             F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("long"),
@@ -339,11 +353,13 @@ def simhash60_md5(
         lanes = None
         for k in range(4):
             lane = F.shiftleft(
-                F.shiftright(F.col("th"), 4 * g + k).bitwiseAND(F.lit(1)), 16 * k
+                F.shiftright(F.col("th"), 4 * g + k).bitwiseAND(F.lit(1))
+                * F.col("cnt"),
+                16 * k,
             )
             lanes = lane if lanes is None else lanes + lane
         packed.append(F.sum(lanes).alias(f"p{g}"))
-    votes = toks.groupBy("id").agg(F.count(F.lit(1)).alias("n"), *packed)
+    votes = toks.groupBy("id").agg(F.sum("cnt").alias("n"), *packed)
     terms = []
     for g in range(15):
         for k in range(4):

@@ -700,3 +700,168 @@ WHERE bit_count(xor(a.simhash60, b.simhash60)) <= 3
 """,
     )
 )
+
+
+# --------------------------------------------------------------------------
+# X2: connected-components dedup clustering — pair lists are edges; the
+# actual dedup decision needs the transitive closure (A-B, B-C => one
+# group).  Oracle: DuckDB recursive CTE computing min-reachable-id per
+# document over the same SimHash Hamming pairs.
+# --------------------------------------------------------------------------
+
+
+def _dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crypto_data_ingestion_module_spark.operators.graph import (
+        assign_clusters,
+    )
+    from crypto_data_ingestion_module_spark.operators.text_dedup import (
+        simhash_hamming_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return assign_clusters(docs, simhash_hamming_pairs(docs, max_hamming=3))
+
+
+_register(
+    QuerySpec(
+        name="dedup_clusters",
+        survey_ids=("X2",),
+        description="transitive-closure dedup clusters over SimHash "
+        "Hamming pairs (iterative min-label propagation; min-id "
+        "representative per component, singletons self-labeled)",
+        spark=_dedup_clusters_q,
+        oracle=f"""
+WITH RECURSIVE {_SIMHASH60_FP_CTE},
+prs AS (
+  SELECT a.id AS ida, b.id AS idb
+  FROM fp a JOIN fp b ON a.id < b.id
+  WHERE bit_count(xor(a.simhash60, b.simhash60)) <= 3
+),
+edges AS (
+  SELECT ida AS a, idb AS b FROM prs
+  UNION
+  SELECT idb AS a, ida AS b FROM prs
+),
+reach(id, lab) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.a, r.lab FROM edges e JOIN reach r ON r.id = e.b
+)
+SELECT id AS doc_id,
+       CAST(min(lab) AS BIGINT) AS cluster_id,
+       (min(lab) = id) AS is_rep
+FROM reach GROUP BY id
+""",
+    )
+)
+
+
+# --------------------------------------------------------------------------
+# X4: PII redaction.  The corpus is synthetic word-salad with no real
+# PII, so the query injects a deterministic contact line per document in
+# BOTH engines, then redacts — proving the masking actually fires (the
+# counts say so) and replaces identically.
+# --------------------------------------------------------------------------
+
+
+def _pii_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    injected = F.concat(
+        F.col("text"),
+        F.lit(" contact doc"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com from 10.0.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(" call +1 555 0100"),
+    )
+    n_emails, n_ips, n_phones = TX.pii_counts(injected)
+    return d.select(
+        "doc_id",
+        TX.pii_redact(injected).alias("redacted"),
+        n_emails.alias("n_emails"),
+        n_ips.alias("n_ips"),
+        n_phones.alias("n_phones"),
+    )
+
+
+_PII_INJECTED = (
+    "text || ' contact doc' || CAST(doc_id AS VARCHAR) || "
+    "'@example.com from 10.0.0.' || CAST(doc_id % 256 AS VARCHAR) || "
+    "' call +1 555 0100'"
+)
+
+_register(
+    QuerySpec(
+        name="pii_redaction",
+        survey_ids=("X4",),
+        description="PII masking (emails, IPv4, intl phone numbers) with "
+        "typed placeholders + per-doc detection counts",
+        spark=_pii_q,
+        oracle=f"""
+WITH inj AS (SELECT doc_id, {_PII_INJECTED} AS t FROM documents)
+SELECT doc_id,
+  {TX.oracle_pii_redact_sql('t')} AS redacted,
+  CAST(len(regexp_extract_all(t, '{TX.EMAIL_PATTERN}')) AS BIGINT) AS n_emails,
+  CAST(len(regexp_extract_all(t, '{TX.IPV4_PATTERN}')) AS BIGINT) AS n_ips,
+  CAST(len(regexp_extract_all(t, '{TX.PHONE_PATTERN}')) AS BIGINT) AS n_phones
+FROM inj
+""",
+    )
+)
+
+
+# --------------------------------------------------------------------------
+# X4: repetition ratios (Gopher-style quality signals): duplicate-word
+# fraction and most-frequent-token share.  Integer counts → one double
+# division at the end, so values are bit-identical across engines.
+# --------------------------------------------------------------------------
+
+
+def _repetition_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    per_tok = (
+        d.select("doc_id", F.explode(TX.words("text")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    agg = per_tok.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_words"),
+        F.count(F.lit(1)).alias("n_distinct_words"),
+        F.max("cnt").alias("top_count"),
+    )
+    total = F.greatest(F.col("n_words"), F.lit(1)).cast("double")
+    return agg.select(
+        "doc_id",
+        "n_words",
+        "n_distinct_words",
+        (F.lit(1.0) - F.col("n_distinct_words").cast("double") / total).alias(
+            "dup_word_frac"
+        ),
+        (F.col("top_count").cast("double") / total).alias("top_token_frac"),
+    )
+
+
+_register(
+    QuerySpec(
+        name="repetition_stats",
+        survey_ids=("X4",),
+        description="per-doc repetition quality signals: duplicate-word "
+        "fraction and top-token share (two map-side-combined aggregates)",
+        spark=_repetition_q,
+        oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '[A-Za-z0-9]+')) AS tok
+  FROM documents
+),
+pt AS (SELECT doc_id, tok, count(*) AS cnt FROM toks GROUP BY doc_id, tok)
+SELECT doc_id,
+  CAST(sum(cnt) AS BIGINT) AS n_words,
+  CAST(count(*) AS BIGINT) AS n_distinct_words,
+  1.0 - CAST(count(*) AS DOUBLE)
+      / CAST(greatest(CAST(sum(cnt) AS BIGINT), 1) AS DOUBLE) AS dup_word_frac,
+  CAST(max(cnt) AS DOUBLE)
+      / CAST(greatest(CAST(sum(cnt) AS BIGINT), 1) AS DOUBLE) AS top_token_frac
+FROM pt GROUP BY doc_id
+""",
+    )
+)

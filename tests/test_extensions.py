@@ -234,3 +234,60 @@ def test_quantile_sketch_rank_error(spark):
         for p, a in zip((0.5, 0.9, 0.99), row.approx_p50_p90_p99):
             rank = sum(1 for v in group if v <= a)
             assert abs(rank - p * n) <= eps * n + 1, (row.event_type, row.day, p, rank, n)
+
+
+def test_connected_components_chain_and_singletons(spark):
+    """Transitive closure: a 4-chain collapses to one cluster (the min-id
+    label must travel multiple propagation rounds), a separate pair forms
+    its own, and corpus rows with no edges self-label as representatives."""
+    from crypto_data_ingestion_module_spark.operators.graph import (
+        assign_clusters,
+        connected_components,
+    )
+
+    # chain 7-5-3-1 given as unordered pairs + disjoint pair (10, 12)
+    pairs = spark.createDataFrame(
+        [(7, 5), (3, 5), (1, 3), (12, 10)], "id_a long, id_b long"
+    )
+    comp = {r.id: r.component for r in connected_components(pairs).collect()}
+    assert comp == {1: 1, 3: 1, 5: 1, 7: 1, 10: 10, 12: 10}
+
+    corpus = spark.createDataFrame(
+        [(i,) for i in (1, 3, 5, 7, 10, 12, 99)], "doc_id long"
+    )
+    got = {
+        r.doc_id: (r.cluster_id, r.is_rep)
+        for r in assign_clusters(corpus, pairs).collect()
+    }
+    assert got[99] == (99, True)  # singleton keeps itself
+    assert got[1] == (1, True) and got[7] == (1, False)
+    assert got[10] == (10, True) and got[12] == (10, False)
+    # exactly one representative per cluster
+    reps = [d for d, (_, is_rep) in got.items() if is_rep]
+    assert sorted(reps) == [1, 10, 99]
+
+
+def test_pii_redact_masks_all_kinds(spark):
+    from pyspark.sql import functions as F
+
+    from crypto_data_ingestion_module_spark.functions.text import (
+        pii_counts,
+        pii_redact,
+    )
+
+    txt = (
+        "mail a.smith+spam@sub.example.co.uk or admin@host.io, "
+        "server 192.168.001.42 responds, call +44 (0) 20-7946 0958 now"
+    )
+    df = spark.createDataFrame([(txt,)], "text string")
+    n_emails, n_ips, n_phones = pii_counts("text")
+    row = df.select(
+        pii_redact("text").alias("red"),
+        n_emails.alias("e"),
+        n_ips.alias("i"),
+        n_phones.alias("p"),
+    ).first()
+    assert row.e == 2 and row.i == 1 and row.p == 1
+    assert "<EMAIL>" in row.red and "<IP>" in row.red and "<PHONE>" in row.red
+    for leak in ("example", "192.168", "7946"):
+        assert leak not in row.red, row.red
