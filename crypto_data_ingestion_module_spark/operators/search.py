@@ -108,3 +108,71 @@ def conjunctive_bm25(
         .filter(F.col("n_matched") == len(terms))
         .select("doc_id", "score")
     )
+
+
+def hybrid_rerank(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    terms: Sequence[str],
+    query_vec_id: int = 0,
+    k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Hybrid retrieval: lexical candidate generation (conjunctive BM25)
+    → exact cosine re-rank against one query embedding.
+
+    The retrieval-pipeline staple: the inverted index prunes the corpus
+    to documents matching every query term (shuffle = posting lists, not
+    documents), then only THOSE candidates pay the dense-vector work —
+    the embedding join, the fixed-point dot, and the final rank all run
+    over the lexically-bounded candidate set.  The global ``row_number``
+    is therefore a small-set sort, not a corpus sort; the single query
+    vector is a one-row broadcast.  Fixed-point dots (same policy as
+    ``operators.similarity``) keep scores bit-identical to the oracle.
+
+    Returns (doc_id, bm25, cosine, rank) for the top ``k`` candidates by
+    (cosine desc, doc_id).
+    """
+    from crypto_data_ingestion_module_spark.operators.similarity import (
+        FP_SCALE,
+        _dot_fp,
+    )
+
+    cand = conjunctive_bm25(docs, terms, text_col, id_col).withColumnRenamed(
+        "score", "bm25"
+    )
+    emb = embeddings.select(
+        F.col("vec_id").alias("doc_id"), F.col("embedding").alias("nv")
+    )
+    qv = embeddings.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("qv")
+    )
+
+    def norm(v):
+        return F.sqrt(
+            _dot_fp(v, v, FP_SCALE, long_safe=True).cast("double") / F.lit(FP_SCALE)
+        )
+
+    pairs = (
+        cand.join(emb, "doc_id")
+        .crossJoin(F.broadcast(qv))
+        .withColumn(
+            "cosine",
+            (
+                _dot_fp(F.col("qv"), F.col("nv"), FP_SCALE, long_safe=True).cast(
+                    "double"
+                )
+                / F.lit(FP_SCALE)
+            )
+            / (norm(F.col("qv")) * norm(F.col("nv"))),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("cosine"), F.asc("doc_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "bm25", "cosine", "rank")
+    )

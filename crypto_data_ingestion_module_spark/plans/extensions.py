@@ -865,3 +865,240 @@ FROM pt GROUP BY doc_id
 """,
     )
 )
+
+
+# --------------------------------------------------------------------------
+# X3+X4: hybrid retrieval — lexical candidates (conjunctive BM25) cosine
+# re-ranked against one query embedding.  Only the lexically-matched
+# candidates pay the dense-vector work.
+# --------------------------------------------------------------------------
+
+
+def _hybrid_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crypto_data_ingestion_module_spark.operators.search import (
+        hybrid_rerank,
+    )
+
+    return hybrid_rerank(
+        _t(spark, sf_dir, "documents"),
+        _t(spark, sf_dir, "embeddings"),
+        _SEARCH_TERMS,
+        query_vec_id=0,
+        k=20,
+    )
+
+
+def _hybrid_oracle() -> str:
+    from crypto_data_ingestion_module_spark.operators.search import (
+        BM25_LITE_EXPR,
+    )
+
+    terms_sql = ", ".join(f"'{t}'" for t in _SEARCH_TERMS)
+    return f"""
+WITH postings AS (
+  SELECT doc_id, t AS term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(regexp_extract_all(text, '[A-Za-z0-9]+')) AS t
+        FROM documents)
+  WHERE t IN ({terms_sql})
+  GROUP BY doc_id, t
+),
+dfreq AS (SELECT term, count(*) AS df FROM postings GROUP BY term),
+dl AS (SELECT doc_id, len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS dl
+       FROM documents),
+stats AS (SELECT count(*) AS n_docs,
+                 CAST(SUM(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+          FROM dl),
+bm25 AS (
+  SELECT doc_id,
+         (CAST(SUM(CAST(round(t_score * 1000000.0) AS DECIMAL(38,0))) AS DOUBLE)
+          / 1000000.0) AS bm25
+  FROM (
+    SELECT p.doc_id, {BM25_LITE_EXPR} AS t_score
+    FROM postings p
+    JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+  ) GROUP BY doc_id HAVING count(*) = {len(_SEARCH_TERMS)}
+),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+cand AS (
+  SELECT b.doc_id, b.bm25, e.embedding AS nv
+  FROM bm25 b JOIN embeddings e ON e.vec_id = b.doc_id
+),
+qn AS (SELECT sqrt({_COS_DOT.format(a='x', b='x')}) AS qnorm
+       FROM (SELECT unnest(qv) AS x FROM q)),
+cn AS (SELECT doc_id, sqrt({_COS_DOT.format(a='x', b='x')}) AS nnorm
+       FROM (SELECT doc_id, unnest(nv) AS x FROM cand) GROUP BY doc_id),
+dots AS (
+  SELECT doc_id, {_COS_DOT.format(a='xq', b='xn')} AS dot
+  FROM (SELECT c.doc_id, unnest(q.qv) AS xq, unnest(c.nv) AS xn
+        FROM cand c CROSS JOIN q)
+  GROUP BY doc_id
+),
+ranked AS (
+  SELECT c2.doc_id, c2.bm25, d.dot / (qn.qnorm * cn.nnorm) AS cosine,
+         row_number() OVER (
+           ORDER BY d.dot / (qn.qnorm * cn.nnorm) DESC, c2.doc_id
+         ) AS rank
+  FROM cand c2
+  JOIN dots d ON d.doc_id = c2.doc_id
+  JOIN cn ON cn.doc_id = c2.doc_id
+  CROSS JOIN qn
+)
+SELECT doc_id, bm25, cosine, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 20
+"""
+
+
+_register(
+    QuerySpec(
+        name="hybrid_search_rerank",
+        survey_ids=("X3", "X4"),
+        description="hybrid retrieval: conjunctive BM25 candidates cosine "
+        "re-ranked against a query embedding (fixed-point scores both "
+        "stages)",
+        spark=_hybrid_q,
+        oracle=_hybrid_oracle(),
+    )
+)
+
+
+# --------------------------------------------------------------------------
+# X4: token-budget sequence packing — assign documents to fixed-budget
+# training packs by cumulative token offset within each language stratum.
+# At 100 TB packing is per-shard by construction (each stratum/window is
+# an independent partition); the window never sees the whole corpus.
+# --------------------------------------------------------------------------
+
+_PACK_BUDGET = 512
+
+
+def _pack_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    t = d.select("doc_id", "lang", TX.word_count("text").alias("n_tokens"))
+    c = t.withColumn("cum", F.sum("n_tokens").over(w))
+    start = F.col("cum") - F.col("n_tokens")
+    return c.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        start.alias("start_offset"),
+        F.floor(start.cast("double") / F.lit(float(_PACK_BUDGET)))
+        .cast("long")
+        .alias("pack_id"),
+    )
+
+
+_register(
+    QuerySpec(
+        name="pack_sequences",
+        survey_ids=("X4",),
+        description=f"token-budget sequence packing: cumulative-offset "
+        f"pack ids ({_PACK_BUDGET}-token budget) per language stratum",
+        spark=_pack_q,
+        oracle=f"""
+WITH t AS (
+  SELECT doc_id, lang,
+         CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT)
+           AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, lang, n_tokens,
+         SUM(n_tokens) OVER (
+           PARTITION BY lang ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS cum
+  FROM t
+)
+SELECT doc_id, lang, n_tokens,
+       CAST(cum - n_tokens AS BIGINT) AS start_offset,
+       CAST(floor(CAST(cum - n_tokens AS DOUBLE) / {_PACK_BUDGET}.0) AS BIGINT)
+         AS pack_id
+FROM c
+""",
+    )
+)
+
+
+# --------------------------------------------------------------------------
+# X1+X2+X4 flagship composition: the curated training corpus — quality
+# gate AND exact-dedup representative AND near-dup cluster representative.
+# Gates are evaluated over the full corpus (cluster ids stay stable under
+# threshold changes); each piece is the already-oracle-checked operator.
+# --------------------------------------------------------------------------
+
+_QUALITY_MIN = 0.5
+
+
+def _curated_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crypto_data_ingestion_module_spark.operators.graph import (
+        assign_clusters,
+    )
+    from crypto_data_ingestion_module_spark.operators.text_dedup import (
+        simhash_hamming_pairs,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    exact_reps = d.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    cluster_reps = assign_clusters(d, simhash_hamming_pairs(d)).filter(
+        "is_rep"
+    )
+    return (
+        d.join(exact_reps.select("doc_id"), "doc_id", "semi")
+        .join(cluster_reps.select("doc_id"), "doc_id", "semi")
+        .select(
+            "doc_id",
+            "lang",
+            TX.word_count("text").alias("n_tokens"),
+            TX.quality_score("text").alias("quality"),
+        )
+        .filter(F.col("quality") >= _QUALITY_MIN)
+    )
+
+
+_register(
+    QuerySpec(
+        name="curated_corpus",
+        survey_ids=("X1", "X2", "X4"),
+        description="end-to-end curation: quality >= 0.5 AND exact-dedup "
+        "representative AND SimHash near-dup cluster representative",
+        spark=_curated_q,
+        oracle=f"""
+WITH RECURSIVE {_SIMHASH60_FP_CTE},
+prs AS (
+  SELECT a.id AS ida, b.id AS idb
+  FROM fp a JOIN fp b ON a.id < b.id
+  WHERE bit_count(xor(a.simhash60, b.simhash60)) <= 3
+),
+edges AS (
+  SELECT ida AS a, idb AS b FROM prs
+  UNION
+  SELECT idb AS a, ida AS b FROM prs
+),
+reach(id, lab) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.a, r.lab FROM edges e JOIN reach r ON r.id = e.b
+),
+cluster_reps AS (
+  SELECT id AS doc_id FROM reach GROUP BY id HAVING min(lab) = id
+),
+exact_reps AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text)
+SELECT * FROM (
+  SELECT d.doc_id, d.lang,
+         CAST(len(regexp_extract_all(d.text, '[A-Za-z0-9]+')) AS BIGINT)
+           AS n_tokens,
+         {TX.oracle_quality_sql('d.text')} AS quality
+  FROM documents d
+  JOIN cluster_reps USING (doc_id)
+  JOIN exact_reps USING (doc_id)
+) WHERE quality >= {_QUALITY_MIN}
+""",
+    )
+)
