@@ -1102,3 +1102,163 @@ SELECT * FROM (
 """,
     )
 )
+
+
+# --------------------------------------------------------------------------
+# Candle-lake analytics: returns/moving averages, grid-gap detection, and
+# per-day completeness over the A1-resampled 15m candles — the monitoring
+# queries the reference's backfill exists to serve (gap filling,
+# crypto_collector.py:563-585) but never itself provides.
+# --------------------------------------------------------------------------
+
+
+def _candles_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crypto_data_ingestion_module_spark.plans.queries import _flagship
+
+    return _flagship(spark, sf_dir, 900_000)
+
+
+def _candles_15m_cte() -> str:
+    from crypto_data_ingestion_module_spark.plans.queries import (
+        _flagship_oracle,
+    )
+
+    return f"candles AS ({_flagship_oracle(900_000)})"
+
+
+#: shared micro-unit windowed mean text — identical op order both engines
+_MA_WIN = (
+    "PARTITION BY event_type ORDER BY bucket_ts "
+    "ROWS BETWEEN 3 PRECEDING AND CURRENT ROW"
+)
+
+
+def _returns_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    c = _candles_15m(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("bucket_ts")
+    wf = w.rowsBetween(-3, 0)
+    prev = F.lag("close").over(w)
+    ma4 = (
+        F.sum(F.round(F.col("close") * 1_000_000.0).cast("decimal(38,0)"))
+        .over(wf)
+        .cast("double")
+        / 1_000_000.0
+    ) / F.count(F.lit(1)).over(wf).cast("double")
+    return c.select(
+        "bucket_ts",
+        "event_type",
+        "close",
+        (F.col("close") / prev - F.lit(1.0)).alias("ret"),
+        ma4.alias("ma4"),
+    )
+
+
+_register(
+    QuerySpec(
+        name="candle_returns_ma",
+        survey_ids=("A1", "D1"),
+        description="per-interval simple returns (lag) and 4-bucket "
+        "moving average (micro-unit fixed-point mean) over 15m candles",
+        spark=_returns_q,
+        oracle=f"""
+WITH {_candles_15m_cte()}
+SELECT bucket_ts, event_type, close,
+  close / lag(close) OVER (PARTITION BY event_type ORDER BY bucket_ts) - 1.0
+    AS ret,
+  (CAST(SUM(CAST(round(close * 1000000.0) AS DECIMAL(38,0)))
+        OVER ({_MA_WIN}) AS DOUBLE) / 1000000.0)
+    / CAST(count(*) OVER ({_MA_WIN}) AS DOUBLE) AS ma4
+FROM candles
+""",
+    )
+)
+
+
+def _gaps_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    c = _candles_15m(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("bucket_ts")
+    prev = F.lag("bucket_ts").over(w)
+    gap_ms = F.unix_millis(F.col("bucket_ts")) - F.unix_millis(prev)
+    return (
+        c.select("event_type", "bucket_ts", prev.alias("gap_start"), gap_ms.alias("gap_ms"))
+        .filter(F.col("gap_ms") > 900_000)
+        .select(
+            "event_type",
+            "gap_start",
+            F.col("bucket_ts").alias("gap_end"),
+            # grid-aligned buckets: gap_ms is an exact multiple of 900000
+            (
+                F.floor(F.col("gap_ms").cast("double") / 900_000.0).cast("long")
+                - F.lit(1)
+            ).alias("missing_candles"),
+        )
+    )
+
+
+_register(
+    QuerySpec(
+        name="candle_gaps",
+        survey_ids=("A1", "T1"),
+        description="grid-gap detection on 15m candles: consecutive-bucket "
+        "lag per series, gaps = missing backfill chunks",
+        spark=_gaps_q,
+        oracle=f"""
+WITH {_candles_15m_cte()},
+g AS (
+  SELECT event_type, bucket_ts,
+         lag(bucket_ts) OVER (PARTITION BY event_type ORDER BY bucket_ts)
+           AS gap_start,
+         epoch_ms(bucket_ts)
+           - epoch_ms(lag(bucket_ts) OVER (PARTITION BY event_type ORDER BY bucket_ts))
+           AS gap_ms
+  FROM candles
+)
+SELECT event_type, gap_start, bucket_ts AS gap_end,
+       CAST(floor(CAST(gap_ms AS DOUBLE) / 900000.0) AS BIGINT) - 1
+         AS missing_candles
+FROM g WHERE gap_ms > 900000
+""",
+    )
+)
+
+
+def _completeness_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _candles_15m(spark, sf_dir)
+    return (
+        c.groupBy(
+            "event_type",
+            F.date_format("bucket_ts", "yyyy-MM-dd").alias("day"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_candles"))
+        .select(
+            "event_type",
+            "day",
+            "n_candles",
+            (F.col("n_candles").cast("double") / F.lit(96.0)).alias(
+                "completeness"
+            ),
+        )
+    )
+
+
+_register(
+    QuerySpec(
+        name="interval_completeness",
+        survey_ids=("A1", "A3"),
+        description="per-day candle completeness ratio vs the 96-bucket "
+        "15m grid (the reference's gap-monitoring blind spot)",
+        spark=_completeness_q,
+        oracle=f"""
+WITH {_candles_15m_cte()}
+SELECT event_type, strftime(bucket_ts, '%Y-%m-%d') AS day,
+       count(*) AS n_candles,
+       CAST(count(*) AS DOUBLE) / 96.0 AS completeness
+FROM candles
+GROUP BY event_type, day
+""",
+    )
+)

@@ -291,3 +291,54 @@ def test_pii_redact_masks_all_kinds(spark):
     assert "<EMAIL>" in row.red and "<IP>" in row.red and "<PHONE>" in row.red
     for leak in ("example", "192.168", "7946"):
         assert leak not in row.red, row.red
+
+
+def test_connected_components_matches_union_find_on_random_graphs(spark):
+    """Distributed min-label propagation vs a plain union-find on seeded
+    random graphs (cycles, self-merges, disjoint islands)."""
+    import random
+
+    from crypto_data_ingestion_module_spark.operators.graph import (
+        connected_components,
+    )
+
+    rng = random.Random(7)
+    for _ in range(3):
+        n = 40
+        edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(30)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            parent[find(a)] = find(b)
+
+        nodes = sorted({v for e in edges for v in e})
+        root_min: dict[int, int] = {}
+        for v in nodes:  # ascending, so first hit per root is the min id
+            root_min.setdefault(find(v), v)
+        expected = {v: root_min[find(v)] for v in nodes}
+
+        df = spark.createDataFrame(edges, "id_a long, id_b long")
+        got = {r.id: r.component for r in connected_components(df).collect()}
+        assert got == expected
+
+
+def test_new_query_plans_have_no_cartesian_product(spark):
+    """The only nested-loop joins allowed in the retrieval/curation plans
+    are broadcast ones (single-row query-vector / corpus-stats sides);
+    an unbroadcast CartesianProduct would be a corpus×corpus blowup."""
+    from crypto_data_ingestion_module_spark.plans.queries import QUERY_SPECS
+
+    for name in ("hybrid_search_rerank", "curated_corpus", "dedup_clusters"):
+        df = QUERY_SPECS[name].spark(spark, "/root/testdata/sf0.001")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, (name, plan[:2000])
