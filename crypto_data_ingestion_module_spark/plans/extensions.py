@@ -1150,7 +1150,9 @@ def _returns_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bucket_ts",
         "event_type",
         "close",
-        (F.col("close") / prev - F.lit(1.0)).alias("ret"),
+        # try_divide: a zero previous close (present at sf0.1) must yield
+        # NULL, not an ANSI error; oracle twin uses nullif for the same.
+        (F.try_divide(F.col("close"), prev) - F.lit(1.0)).alias("ret"),
         ma4.alias("ma4"),
     )
 
@@ -1165,8 +1167,8 @@ _register(
         oracle=f"""
 WITH {_candles_15m_cte()}
 SELECT bucket_ts, event_type, close,
-  close / lag(close) OVER (PARTITION BY event_type ORDER BY bucket_ts) - 1.0
-    AS ret,
+  close / nullif(lag(close) OVER (PARTITION BY event_type ORDER BY bucket_ts),
+                 0.0) - 1.0 AS ret,
   (CAST(SUM(CAST(round(close * 1000000.0) AS DECIMAL(38,0)))
         OVER ({_MA_WIN}) AS DOUBLE) / 1000000.0)
     / CAST(count(*) OVER ({_MA_WIN}) AS DOUBLE) AS ma4
