@@ -1264,3 +1264,136 @@ GROUP BY event_type, day
 """,
     )
 )
+
+
+# --------------------------------------------------------------------------
+# LLM training-data prep: context-window chunking and corpus vocabulary.
+# Chunking is the step between curation and tokenization in a pretraining
+# pipeline (split each document into overlapping context windows); the
+# vocabulary profile (tf/df per term) is the standard corpus health check
+# before training a tokenizer.
+# --------------------------------------------------------------------------
+
+#: chunk geometry: 32-token windows, stride 24 (8-token overlap).
+_CHUNK, _STRIDE = 32, 24
+
+
+def _chunk_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunks, entirely in codegen'd built-ins:
+    regexp tokenize -> F.sequence of window starts -> explode -> F.slice.
+    One narrow pass, no shuffle at all — at 100 TB this is a map-only job
+    whose output is written partition-local (explode preserves the input
+    partitioning; nothing here requires co-location).
+    """
+    d = _t(spark, sf_dir, "documents")
+    toks = TX.words("text")
+    n = F.size(toks)
+    starts = F.sequence(
+        F.lit(0), F.greatest(n - F.lit(1), F.lit(0)), F.lit(_STRIDE)
+    )
+    return (
+        d.select(
+            "doc_id",
+            toks.alias("toks"),
+            F.explode(starts).alias("chunk_start"),
+        )
+        .select(
+            "doc_id",
+            "chunk_start",
+            F.slice(F.col("toks"), F.col("chunk_start") + 1, _CHUNK).alias(
+                "chunk_toks"
+            ),
+        )
+        .select(
+            "doc_id",
+            "chunk_start",
+            F.size("chunk_toks").cast("long").alias("n_chunk_tokens"),
+            F.array_join("chunk_toks", " ").alias("chunk_text"),
+        )
+        .filter(F.col("n_chunk_tokens") > 0)
+    )
+
+
+_register(
+    QuerySpec(
+        name="chunk_documents",
+        survey_ids=("X4", "X1"),
+        description="overlapping 32-token context-window chunks "
+        f"(stride {_STRIDE}) per document — the pretraining chunking step",
+        spark=_chunk_docs_q,
+        oracle=f"""
+WITH tok AS (
+  SELECT doc_id, regexp_extract_all(text, '[A-Za-z0-9]+') AS toks
+  FROM documents
+),
+st AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(0, greatest(len(toks) - 1, 0), {_STRIDE}))
+           AS chunk_start
+  FROM tok
+),
+ch AS (
+  SELECT doc_id, chunk_start,
+         list_slice(toks, chunk_start + 1, chunk_start + {_CHUNK}) AS chunk_toks
+  FROM st
+)
+SELECT doc_id, chunk_start,
+       CAST(len(chunk_toks) AS BIGINT) AS n_chunk_tokens,
+       array_to_string(chunk_toks, ' ') AS chunk_text
+FROM ch WHERE len(chunk_toks) > 0
+""",
+    )
+)
+
+
+def _vocab_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary profile: term frequency, document frequency, and
+    df-ratio per lowercased word token.
+
+    Scale shape: explode -> hash agg on term (map-side partial combine
+    collapses the per-partition duplicates before the shuffle, so the
+    shuffle carries ~|vocab| x partitions rows, not |tokens|).  The
+    corpus-size divisor is a single-row broadcast cross join — the same
+    scalar-subquery pattern as plans.relational (promo_revenue_share).
+    """
+    d = _t(spark, sf_dir, "documents")
+    n_docs = d.agg(F.count(F.lit(1)).cast("double").alias("_n_docs"))
+    terms = d.select(
+        "doc_id", F.explode(TX.words(F.lower(F.col("text")))).alias("term")
+    )
+    return (
+        terms.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.countDistinct("doc_id").alias("df"),
+        )
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "term",
+            "tf",
+            "df",
+            (F.col("df").cast("double") / F.col("_n_docs")).alias("df_ratio"),
+        )
+    )
+
+
+_register(
+    QuerySpec(
+        name="vocab_stats",
+        survey_ids=("X4", "A2"),
+        description="corpus vocabulary profile: tf, df, df-ratio per "
+        "lowercased word token (tokenizer-training health check)",
+        spark=_vocab_stats_q,
+        oracle="""
+WITH t AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[A-Za-z0-9]+'))
+           AS term
+  FROM documents
+)
+SELECT term, count(*) AS tf, count(DISTINCT doc_id) AS df,
+       CAST(count(DISTINCT doc_id) AS DOUBLE)
+         / (SELECT CAST(count(*) AS DOUBLE) FROM documents) AS df_ratio
+FROM t GROUP BY term
+""",
+    )
+)

@@ -342,3 +342,44 @@ def test_new_query_plans_have_no_cartesian_product(spark):
         df = QUERY_SPECS[name].spark(spark, "/root/testdata/sf0.001")
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan, (name, plan[:2000])
+
+
+def test_chunk_documents_is_map_only(spark):
+    """Chunking must not shuffle: tokenize -> sequence -> explode -> slice
+    is a narrow pipeline, so the physical plan has no Exchange at all."""
+    from crypto_data_ingestion_module_spark.plans.queries import QUERY_SPECS
+
+    df = QUERY_SPECS["chunk_documents"].spark(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan[:2000]
+
+
+def test_chunk_documents_covers_every_token(spark):
+    """Stride windows tile each document: first chunk starts at 0, every
+    token index is inside >=1 chunk, and consecutive chunks overlap by
+    chunk-stride tokens (except possibly the tail)."""
+    from crypto_data_ingestion_module_spark.plans.extensions import (
+        _CHUNK,
+        _STRIDE,
+    )
+    from crypto_data_ingestion_module_spark.plans.queries import QUERY_SPECS
+
+    rows = (
+        QUERY_SPECS["chunk_documents"]
+        .spark(spark, "/root/testdata/sf0.001")
+        .collect()
+    )
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert by_doc
+    for doc, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r.chunk_start)
+        assert chunks[0].chunk_start == 0
+        n_tokens = chunks[-1].chunk_start + chunks[-1].n_chunk_tokens
+        covered = set()
+        for c in chunks:
+            assert c.n_chunk_tokens <= _CHUNK
+            assert c.chunk_start % _STRIDE == 0
+            covered.update(range(c.chunk_start, c.chunk_start + c.n_chunk_tokens))
+        assert covered == set(range(n_tokens)), doc
