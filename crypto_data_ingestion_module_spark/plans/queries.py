@@ -54,6 +54,20 @@ def _register(spec: QuerySpec) -> None:
     QUERY_SPECS[spec.name] = spec
 
 
+def _checked_specs() -> dict[str, QuerySpec]:
+    """The driver-facing registry, in CHECKED_QUERIES order.
+
+    The round-driver verifies only the FIRST 50 registered queries; round 2
+    registered 67 and silently lost the correctness signal for the tail
+    (including round-1-green as-of/session/rollup queries).  The full
+    QUERY_SPECS set stays oracle-checked by pytest
+    (tests/test_queries_oracle.py); this curated, explicitly-ordered subset
+    is what ``queries()``/``oracle_sql()`` expose to the driver, so every
+    exposed query gets a CORRECTNESS row.
+    """
+    return {name: QUERY_SPECS[name] for name in CHECKED_QUERIES}
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def _wrap(spec: QuerySpec):
         def run(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -62,11 +76,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return run
 
-    return {name: _wrap(spec) for name, spec in QUERY_SPECS.items()}
+    return {name: _wrap(spec) for name, spec in _checked_specs().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    return {n: s.oracle for n, s in QUERY_SPECS.items() if s.oracle is not None}
+    return {n: s.oracle for n, s in _checked_specs().items() if s.oracle is not None}
 
 
 # --------------------------------------------------------------------------
@@ -1383,3 +1397,92 @@ _register(
         oracle=None,
     )
 )
+
+
+# --------------------------------------------------------------------------
+# Driver-facing checked set (see _checked_specs).  Exactly the 50-query
+# window the round-driver verifies, ordered SURVEY §2 core first, then the
+# capability extensions.  Everything in QUERY_SPECS but not listed here is
+# still oracle-checked by pytest; redundant-with-a-kept-query rows were
+# pruned per VERDICT r2 item 3:
+#   ohlcv_resample_15m       — A1 evidenced by ohlcv_resample_1h + the three
+#                              15m-based candle analytics below
+#   text_stats               — superset ratios checked via text_quality
+#   doc_fingerprint          — X1 evidenced by dedup_exact_documents
+#   multimodal_meta          — X5 evidenced by label_centroids (the decode)
+#   minhash_lsh_pairs        — rows-only; recall >= 0.8 pinned in pytest
+#   simhash_fingerprints     — rows-only; superseded by simhash60 pair query
+#   ann_lsh_topk             — rows-only; recall pinned in pytest
+#   conjunctive_search_bm25  — BM25 evidenced inside hybrid_search_rerank
+#   simhash60_fingerprints   — embedded in simhash_hamming_pairs
+#   interval_completeness    — gap analytics evidenced by candle_gaps
+#   value_quantiles_sketch   — rows-only; exact variant checked
+#   open_order_customers_by_nation, rich_idle_customers,
+#   small_qty_part_revenue, customer_order_counts_dist,
+#   supplier_part_breadth, top_supplier_revenue
+#                            — §2.5 join shapes; kept evidence =
+#                              shipping_priority_topk + promo_revenue_share
+#                              + revenue_by_nation + the as-of/stream joins
+# --------------------------------------------------------------------------
+
+CHECKED_QUERIES: tuple[str, ...] = (
+    # SURVEY §2 core (S/P/F/D/A/K/T)
+    "ohlcv_resample_1h",
+    "dedup_keep_last",
+    "merge_upsert_keep_last",
+    "watermark_progress",
+    "partition_date_counts",
+    "topk_latest_per_type",
+    "time_range_filter",
+    "interval_boundary_gate",
+    "epoch_conversions",
+    "symbol_dialects",
+    "interval_parse_ms",
+    "availability_filter",
+    "normalize_candles",
+    "venue_interval_lookup",
+    "backfill_chunk_manifest",
+    "datasource_candles",
+    # candle analytics on the 15m resample (A1 dependents)
+    "candle_returns_ma",
+    "candle_gaps",
+    # joins / windows / grouping (§2.5 capability extensions)
+    "pricing_summary",
+    "revenue_by_nation",
+    "asof_last_view_before_purchase",
+    "cross_stream_compare",
+    "user_sessions_30m",
+    "sliding_value_stats_1h_15m",
+    "order_rollup_priority_status",
+    "order_cube_status_year",
+    "order_grouping_sets",
+    "order_revenue_by_priority",
+    "salted_totals",
+    "value_quantiles_exact",
+    "shipping_priority_topk",
+    "promo_revenue_share",
+    # LLM-data-pipeline operators (X1–X5)
+    "dedup_exact_documents",
+    "text_quality",
+    "lang_id",
+    "pii_redaction",
+    "repetition_stats",
+    "ngram_jaccard_pairs",
+    "simhash_hamming_pairs",
+    "dedup_clusters",
+    "embedding_near_dup_pairs",
+    "cosine_topk",
+    "ann_ivf_topk",
+    "hybrid_search_rerank",
+    "stratified_sample_events",
+    "pack_sequences",
+    "chunk_documents",
+    "vocab_stats",
+    "curated_corpus",
+    "label_centroids",
+)
+
+assert len(CHECKED_QUERIES) <= 50, len(CHECKED_QUERIES)
+assert len(set(CHECKED_QUERIES)) == len(CHECKED_QUERIES)
+for _name in CHECKED_QUERIES:
+    assert _name in QUERY_SPECS, _name

@@ -145,19 +145,37 @@ def _nano_ts_columns(path: str) -> tuple[str, ...]:
     return _NANO_TS_CACHE[path]
 
 
+def _cast_ntz_to_timestamp(df: DataFrame) -> DataFrame:
+    """Normalize TIMESTAMP_NTZ columns to TIMESTAMP (session-UTC).
+
+    Parquet ``timestamp[us]`` *without* a timezone (the driver's current
+    testdata encoding — round 1 was ns, round 2 moved to us) is read by
+    Spark 4 as TIMESTAMP_NTZ, which ``unix_millis`` and friends reject.
+    With the session pinned to UTC the cast is value-preserving and
+    matches the DuckDB oracle's naive-UTC read of the same file.
+    """
+    from pyspark.sql.types import TimestampNTZType
+
+    ntz = [f.name for f in df.schema.fields if isinstance(f.dataType, TimestampNTZType)]
+    for col in ntz:
+        df = df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Schema-on-read parquet scan of one driver table.
 
     Nanosecond-timestamp columns (pyarrow default) come back as long
     nanos under ``nanosAsLong``; convert to TimestampType here so every
-    downstream operator sees real timestamps.
+    downstream operator sees real timestamps.  Microsecond NTZ columns
+    are cast to TIMESTAMP (see _cast_ntz_to_timestamp).
     """
     configure(spark)
     path = os.path.join(sf_dir, f"{name}.parquet")
     df = spark.read.parquet(path)
     for col in _nano_ts_columns(path):
         df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
-    return df
+    return _cast_ntz_to_timestamp(df)
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
@@ -193,10 +211,30 @@ def scan_time_range(
         for col in nano_cols:
             df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
     else:
+        from pyspark.sql.types import TimestampNTZType
+
+        ntz_cols = {
+            f.name for f in df.schema.fields if isinstance(f.dataType, TimestampNTZType)
+        }
+        if ts_col in ntz_cols:
+            # Filter in the RAW NTZ domain (plain column vs NTZ literal)
+            # so the predicate reaches PushedFilters; the cast happens
+            # after, exactly as in the nanos branch.  Session is UTC, so
+            # epoch-ms -> naive-UTC literal is value-exact.
+            import datetime as _dt
+
+            lo = _dt.datetime.utcfromtimestamp(lo_ms / 1000.0).isoformat(sep=" ")
+            hi = _dt.datetime.utcfromtimestamp(hi_ms / 1000.0).isoformat(sep=" ")
+            df = df.filter(
+                (F.col(ts_col) >= F.expr(f"TIMESTAMP_NTZ '{lo}'"))
+                & (F.col(ts_col) < F.expr(f"TIMESTAMP_NTZ '{hi}'"))
+            )
         for col in nano_cols:
             df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
-        df = df.filter(
-            (F.col(ts_col) >= F.timestamp_millis(F.lit(lo_ms)))
-            & (F.col(ts_col) < F.timestamp_millis(F.lit(hi_ms)))
-        )
+        df = _cast_ntz_to_timestamp(df)
+        if ts_col not in ntz_cols:
+            df = df.filter(
+                (F.col(ts_col) >= F.timestamp_millis(F.lit(lo_ms)))
+                & (F.col(ts_col) < F.timestamp_millis(F.lit(hi_ms)))
+            )
     return df
