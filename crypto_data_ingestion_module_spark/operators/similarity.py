@@ -188,12 +188,13 @@ def near_dup_pairs(
     threshold: float = 0.42,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    stage1: str = "block",
+    stage1: str = "auto",
     block_rows: int = 256,
     dim: int = 64,
     n_planes: int = 8,
     n_tables: int = 16,
     seed: int = 42,
+    max_replication_rows: int = 2_000_000_000,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cosine ≥ threshold), fully
     distributed — no driver collect, no full-corpus broadcast anywhere in
@@ -201,9 +202,12 @@ def near_dup_pairs(
 
     Two stages:
 
-    1. *Candidate generation* (double-precision prefilter, recall-oriented):
+    1. *Candidate generation* (double-precision prefilter, recall-oriented).
+       ``stage1="auto"`` (default) picks "block" while the block path's
+       N²/block_rows replication stays under ``max_replication_rows`` and
+       falls to "lsh" beyond it — see the inline selection rule.
 
-       - ``stage1="block"`` (default, **recall = 1 by construction**):
+       - ``stage1="block"`` (**recall = 1 by construction**):
          block-partitioned exhaustive matmul.  Each vector is hashed into
          one of B = ⌈N/block_rows⌉ blocks and replicated to the B
          block-pairs it participates in; one ``applyInPandas`` kernel per
@@ -245,6 +249,21 @@ def near_dup_pairs(
     rows = corpus.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
     thr = threshold - 1e-9  # double prefilter keeps borderline candidates
 
+    n = None
+    if stage1 == "auto":
+        # Selection rule (closes the r2 scale flag): the block path's
+        # shuffle is N·B rows (B = ⌈N/block_rows⌉ replicas per row, i.e.
+        # N²/block_rows total) — exact but quadratic.  Pick it only while
+        # that replication volume stays under ``max_replication_rows``
+        # (default 2e9 rows ≈ a few TB of 64-dim vectors, comfortably
+        # inside one shuffle round on a 1000-executor cluster); beyond
+        # that, fall to the LSH bucket join whose shuffle is
+        # n_tables·N rows regardless of corpus size.  Recall of the LSH
+        # stage at the registered threshold is pinned in pytest.
+        n = rows.count()
+        n_blocks = max(1, math.ceil(n / block_rows))
+        stage1 = "block" if n * n_blocks <= max_replication_rows else "lsh"
+
     if stage1 == "lsh":
         bucket_ids = _hyperplane_bucket_udf(dim, n_planes, n_tables, seed)
         b = rows.withColumn("_buckets", bucket_ids(F.col("vec"))).select(
@@ -263,7 +282,8 @@ def near_dup_pairs(
             .dropDuplicates(["id_a", "id_b"])
         )
     elif stage1 == "block":
-        n = rows.count()  # one distributed aggregate (a scalar, not a collect)
+        if n is None:
+            n = rows.count()  # one distributed aggregate (a scalar, not a collect)
         n_blocks = max(1, math.ceil(n / block_rows))
         blocked = rows.withColumn(
             "bid", F.pmod(F.xxhash64(F.col("vid")), F.lit(n_blocks)).cast("int")
@@ -527,6 +547,115 @@ def ann_ivf_topk(
         .filter(F.col("qid") != F.col("nid"))
     )
     sim = _dot_double(F.col("qv"), F.col("nv")) / (F.col("qnorm") * F.col("nnorm"))
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nid"))
+    return (
+        cand.withColumn("cosine", sim)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "nid", "rank", "cosine")
+    )
+
+
+def ann_ivf_seed_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_lists: int = 16,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    long_safe: bool = True,
+) -> DataFrame:
+    """IVF top-k with a *deterministic seed quantizer* — oracle-checkable.
+
+    Same inverted-file shape as :func:`ann_ivf_topk` (assign every corpus
+    vector to its nearest coarse centroid's list, probe a query's
+    ``nprobe`` nearest lists, exactly re-rank only those candidates), but
+    the coarse centroids are the ``n_lists`` corpus vectors with the
+    smallest ``md5(id)`` — a data-derived pseudo-random sample instead of
+    Lloyd's k-means.  Sampled-seed quantizers are a standard IVF baseline
+    (k-means init without the iterations); recall is a little below a
+    trained quantizer but every stage is a pure relational expression with
+    fixed-point dot products, so ANY SQL engine reproduces the result
+    bit-for-bit — this is the variant the correctness driver hash-checks,
+    while the k-means variant keeps its recall/exactness pytest coverage.
+
+    100 TB shape:
+    - Seed selection is a global top-``n_lists`` by hash —
+      TakeOrderedAndProject (per-partition partial top-n, no full sort).
+    - Assignment is a broadcast cross-join against ``n_lists`` rows
+      followed by a partial-aggregable per-id argmax (map-side combine
+      collapses the ×n_lists blowup before the shuffle).
+    - The candidate join is an equi-join on ``list_id``; shuffle carries
+      only probed lists (``nprobe/n_lists`` of the corpus per query set).
+    """
+    c = with_norm(
+        corpus.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nv")),
+        "nv",
+        exact=True,
+        long_safe=long_safe,
+    ).withColumnRenamed("_norm", "nnorm")
+    q = with_norm(
+        queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")),
+        "qv",
+        exact=True,
+        long_safe=long_safe,
+    ).withColumnRenamed("_norm", "qnorm")
+
+    # centroids: n_lists corpus vectors with smallest (md5(id), id).
+    # orderBy().limit() compiles to TakeOrderedAndProject; the row_number
+    # window then runs on n_lists rows only.
+    seeds = (
+        c.withColumn("_h", F.md5(F.col("nid").cast("string")))
+        .orderBy("_h", "nid")
+        .limit(n_lists)
+    )
+    w_seed = Window.orderBy("_h", "nid")
+    cent = seeds.select(
+        (F.row_number().over(w_seed) - 1).alias("list_id"),
+        F.col("nv").alias("cv"),
+        F.col("nnorm").alias("cnorm"),
+    )
+
+    def _fpdot(a: str, b: str) -> Column:
+        return _dot_fp(F.col(a), F.col(b), FP_SCALE, long_safe).cast(
+            "double"
+        ) / F.lit(FP_SCALE)
+
+    # assignment: argmax_j dot(nv, cv_j)/|cv_j| (|nv| constant per nid —
+    # dropping it cannot change the argmax).  min(struct(-csim, list_id))
+    # is the partial-aggregable argmax with the (sim desc, list asc)
+    # tie-break the oracle mirrors.
+    def _csim(vec: str) -> Column:
+        return (_fpdot(vec, "cv") / F.col("cnorm")).alias("csim")
+
+    assigned = (
+        c.crossJoin(F.broadcast(cent))
+        .select("nid", "nv", "nnorm", "list_id", _csim("nv"))
+        .groupBy("nid")
+        .agg(
+            F.min(F.struct((-F.col("csim")).alias("n"), F.col("list_id").alias("l"))).alias("_a"),
+            F.first("nv").alias("nv"),
+            F.first("nnorm").alias("nnorm"),
+        )
+        .select("nid", F.col("_a.l").alias("list_id"), "nv", "nnorm")
+    )
+
+    w_probe = Window.partitionBy("qid").orderBy(F.desc("csim"), F.asc("list_id"))
+    probes = (
+        q.crossJoin(F.broadcast(cent))
+        .select("qid", "qv", "qnorm", "list_id", _csim("qv"))
+        .withColumn("_pr", F.row_number().over(w_probe))
+        .filter(F.col("_pr") <= nprobe)
+        .select("qid", "qv", "qnorm", "list_id")
+    )
+
+    cand = (
+        F.broadcast(probes)
+        .join(assigned, "list_id")
+        .filter(F.col("qid") != F.col("nid"))
+    )
+    sim = _fpdot("qv", "nv") / (F.col("qnorm") * F.col("nnorm"))
     w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nid"))
     return (
         cand.withColumn("cosine", sim)

@@ -454,22 +454,88 @@ _register(
 
 
 def _ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from crypto_data_ingestion_module_spark.operators.similarity import ann_ivf_topk
+    from crypto_data_ingestion_module_spark.operators.similarity import (
+        ann_ivf_seed_topk,
+    )
 
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 100 == 0)
-    return ann_ivf_topk(emb, queries, k=10, n_lists=16, nprobe=4)
+    return ann_ivf_seed_topk(emb, queries, k=10, n_lists=16, nprobe=4)
 
 
 _register(
     QuerySpec(
         name="ann_ivf_topk",
         survey_ids=("X3",),
-        description="approximate top-10 via IVF coarse quantizer "
-        "(bounded-sample k-means lists, nprobe probing; nprobe=n_lists is "
-        "proven exact in tests)",
+        description="approximate top-10 via IVF with a deterministic seed "
+        "quantizer (lists = 16 corpus vectors of smallest md5(id), nprobe=4 "
+        "probing, exact fixed-point rerank) — every stage relational, so "
+        "the DuckDB oracle hash-checks assignment+probe+rerank; the k-means "
+        "IVF variant keeps its recall/exactness pytest coverage",
         spark=_ann_ivf,
-        oracle=None,
+        oracle=f"""
+WITH c AS (SELECT vec_id AS nid, embedding AS nv FROM embeddings),
+q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id % 100 = 0),
+cn AS (
+  SELECT nid, sqrt({_COS_DOT.format(a='x', b='x')}) AS nnorm
+  FROM (SELECT nid, unnest(nv) AS x FROM c) GROUP BY nid
+),
+qn AS (
+  SELECT qid, sqrt({_COS_DOT.format(a='x', b='x')}) AS qnorm
+  FROM (SELECT qid, unnest(qv) AS x FROM q) GROUP BY qid
+),
+cent AS (
+  SELECT row_number() OVER (ORDER BY md5(CAST(nid AS VARCHAR)), nid) - 1 AS list_id,
+         nid AS cid, nv AS cv
+  FROM c ORDER BY md5(CAST(nid AS VARCHAR)), nid LIMIT 16
+),
+centn AS (SELECT cent.list_id, cn.nnorm AS cnorm FROM cent JOIN cn ON cn.nid = cent.cid),
+adots AS (
+  SELECT nid, list_id, {_COS_DOT.format(a='xn', b='xc')} AS dot
+  FROM (SELECT c.nid, cent.list_id, unnest(c.nv) AS xn, unnest(cent.cv) AS xc
+        FROM c CROSS JOIN cent)
+  GROUP BY nid, list_id
+),
+assigned AS (
+  SELECT nid, list_id FROM (
+    SELECT a.nid, a.list_id,
+           row_number() OVER (PARTITION BY a.nid
+                              ORDER BY a.dot / n.cnorm DESC, a.list_id) AS rn
+    FROM adots a JOIN centn n USING (list_id)
+  ) WHERE rn = 1
+),
+qdots AS (
+  SELECT qid, list_id, {_COS_DOT.format(a='xq', b='xc')} AS dot
+  FROM (SELECT q.qid, cent.list_id, unnest(q.qv) AS xq, unnest(cent.cv) AS xc
+        FROM q CROSS JOIN cent)
+  GROUP BY qid, list_id
+),
+probes AS (
+  SELECT qid, list_id FROM (
+    SELECT d.qid, d.list_id,
+           row_number() OVER (PARTITION BY d.qid
+                              ORDER BY d.dot / n.cnorm DESC, d.list_id) AS rn
+    FROM qdots d JOIN centn n USING (list_id)
+  ) WHERE rn <= 4
+),
+cand AS (
+  SELECT p.qid, a.nid FROM probes p JOIN assigned a USING (list_id)
+  WHERE p.qid <> a.nid
+),
+dots AS (
+  SELECT qid, nid, {_COS_DOT.format(a='xq', b='xn')} AS dot
+  FROM (SELECT cand.qid, cand.nid, unnest(q.qv) AS xq, unnest(c.nv) AS xn
+        FROM cand JOIN q ON q.qid = cand.qid JOIN c ON c.nid = cand.nid)
+  GROUP BY qid, nid
+),
+ranked AS (
+  SELECT d.qid, d.nid, d.dot / (qn.qnorm * cn.nnorm) AS cosine,
+         row_number() OVER (PARTITION BY d.qid
+                            ORDER BY d.dot / (qn.qnorm * cn.nnorm) DESC, d.nid) AS rank
+  FROM dots d JOIN qn ON d.qid = qn.qid JOIN cn ON d.nid = cn.nid
+)
+SELECT qid, nid, CAST(rank AS INT) AS rank, cosine FROM ranked WHERE rank <= 10
+""",
     )
 )
 
@@ -1134,26 +1200,18 @@ _MA_WIN = (
 
 
 def _returns_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    # shared with the streaming twin (streaming/analytics.py) — batch and
+    # stream are asserted equal on the same ticks in pytest
+    from crypto_data_ingestion_module_spark.streaming.analytics import (
+        returns_ma_batch,
+    )
 
-    c = _candles_15m(spark, sf_dir)
-    w = Window.partitionBy("event_type").orderBy("bucket_ts")
-    wf = w.rowsBetween(-3, 0)
-    prev = F.lag("close").over(w)
-    ma4 = (
-        F.sum(F.round(F.col("close") * 1_000_000.0).cast("decimal(38,0)"))
-        .over(wf)
-        .cast("double")
-        / 1_000_000.0
-    ) / F.count(F.lit(1)).over(wf).cast("double")
-    return c.select(
-        "bucket_ts",
-        "event_type",
-        "close",
-        # try_divide: a zero previous close (present at sf0.1) must yield
-        # NULL, not an ANSI error; oracle twin uses nullif for the same.
-        (F.try_divide(F.col("close"), prev) - F.lit(1.0)).alias("ret"),
-        ma4.alias("ma4"),
+    return returns_ma_batch(
+        _candles_15m(spark, sf_dir),
+        n=4,
+        key_col="event_type",
+        ts_col="bucket_ts",
+        close_col="close",
     )
 
 

@@ -155,6 +155,34 @@ def test_near_dup_block_is_distributed_and_self_consistent(spark):
     assert got == want  # bit-identical cosines, identical pair set
 
 
+def test_near_dup_auto_stage1_selection(spark):
+    """stage1="auto" must take the exact block path while replication
+    volume is bounded and fall to the LSH bucket join beyond the budget
+    (the r2 scale flag: nothing used to select the 100 TB path)."""
+    from crypto_data_ingestion_module_spark.operators.similarity import (
+        near_dup_pairs,
+    )
+    from crypto_data_ingestion_module_spark.sinks.bucketed import physical_plan
+
+    emb = load_table(spark, SF_SMALL, "embeddings").select("vec_id", "embedding")
+    # small corpus, generous budget -> block kernel (applyInPandas GEMM)
+    blocky = near_dup_pairs(emb, threshold=0.42, stage1="auto")
+    assert "FlatMapGroupsInPandas" in physical_plan(blocky)
+    # tiny replication budget -> must select the LSH bucket join
+    lshy = near_dup_pairs(
+        emb, threshold=0.42, stage1="auto", max_replication_rows=10
+    )
+    plan = physical_plan(lshy)
+    assert "FlatMapGroupsInPandas" not in plan
+    # and the fallback is still precision-1: candidates survive the exact
+    # fixed-point stage-2 filter, so every emitted pair is a true pair
+    exact = {
+        (r.id_a, r.id_b) for r in blocky.collect()
+    }
+    got = {(r.id_a, r.id_b) for r in lshy.collect()}
+    assert got <= exact
+
+
 def test_near_dup_lsh_stage1_recall(spark):
     """LSH stage-1 variant: candidates ⊆ exact (stage-2 filter guarantees
     precision 1 with bit-identical cosines) and recall ≥ 0.8 at the test
