@@ -80,27 +80,49 @@ def read_lake(spark: SparkSession, root: str) -> DataFrame:
     return spark.read.parquet(root)
 
 
-def upsert_lake(
+def _hadoop_fs(spark: SparkSession, path_str: str):
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(path_str)
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    return jvm, fs
+
+
+def _staged_partition_dirs(spark: SparkSession, base: str) -> list[str]:
+    """Relative partition directories (``symbol=…/…/date=…``) under a
+    staged write — the dirs holding parquet files."""
+    jvm, fs = _hadoop_fs(spark, base)
+    base_path = jvm.org.apache.hadoop.fs.Path(base)
+    base_abs = fs.makeQualified(base_path).toUri().getPath()
+    out: set[str] = set()
+    it = fs.listFiles(base_path, True)
+    while it.hasNext():
+        f = it.next()
+        p = f.getPath()
+        if not p.getName().endswith(".parquet"):
+            continue
+        d = p.getParent().toUri().getPath()
+        rel = d[len(base_abs):].lstrip("/")
+        if rel:
+            out.add(rel)
+    return sorted(out)
+
+
+def stage_upsert(
     spark: SparkSession,
     incoming: DataFrame,
     root: str,
     key_cols: Sequence[str] = LOGICAL_KEY,
     batch_seq: int | None = None,
-) -> None:
-    """K2: MERGE-style keep-last upsert into the lake.
-
-    Newest arrival wins per logical key.  ``batch_seq`` stamps the
-    incoming batch's arrival order; by default it is one greater than the
-    current lake maximum, so successive upserts strictly supersede.
-    Re-delivering an identical batch with the same ``batch_seq`` is
-    idempotent (ties resolve by payload, which is then equal).
+) -> str:
+    """Phase 1 of the atomic upsert: compute the merge and write it to a
+    STAGING directory beside the lake.  The lake itself is untouched — a
+    job killed any time during this phase loses nothing but the staging
+    dir (picked up by the next run's cleanup or left for gc).
     """
+    assert _lake_exists(spark, root), "stage_upsert requires an existing lake"
+    import uuid
+
     incoming = _with_date(incoming)
-
-    if not _lake_exists(spark, root):
-        write_lake(incoming, root, mode="overwrite")
-        return
-
     existing = read_lake(spark, root)
 
     if batch_seq is None:
@@ -130,25 +152,72 @@ def upsert_lake(
         order_col=INGEST_SEQ,
     )
 
-    # Materialize the merge BEFORE the destructive overwrite: the write
-    # deletes the very partitions `merged` reads, and plain parquet has no
-    # transaction log to roll back a mid-write failure.  localCheckpoint
-    # severs the lineage to the input files (executor-local storage, only
-    # the touched partitions' rows), so the overwrite consumes a
-    # checkpointed copy, not the doomed files.  For multi-writer /
-    # cross-job durability use a transactional table format (Delta,
-    # Iceberg) — out of scope for a plain-parquet lake.
-    merged = merged.localCheckpoint(eager=True)
+    # Staged write: the merge reads the live files and writes somewhere
+    # ELSE, so there is no destructive read-write overlap (this replaces
+    # the previous localCheckpoint materialization — cheaper, and the
+    # failure window where dynamic overwrite had already deleted a
+    # partition it was about to rewrite is gone entirely).
+    staging = f"{root.rstrip('/')}__staging__{uuid.uuid4().hex[:8]}"
+    merged.write.partitionBy(*PARTITION_COLS).mode("overwrite").parquet(staging)
+    return staging
 
-    # Dynamic partition overwrite rewrites only the touched partitions.
-    # Pinned as a per-write option: a consumer session left in the default
-    # STATIC mode would otherwise wipe every untouched partition.
-    (
-        merged.write.partitionBy(*PARTITION_COLS)
-        .option("partitionOverwriteMode", "dynamic")
-        .mode("overwrite")
-        .parquet(root)
-    )
+
+def commit_upsert(spark: SparkSession, staging: str, root: str) -> None:
+    """Phase 2: swap staged partitions into the lake via per-directory
+    renames (atomic on HDFS/POSIX; on object stores use a manifest-based
+    table format instead).  Each touched partition's previous content is
+    renamed to a backup root first, so a kill mid-swap leaves every
+    partition either fully old or fully new — never missing, never mixed.
+    Backups and staging are deleted only after every swap succeeded.
+    """
+    jvm, fs = _hadoop_fs(spark, staging)
+    Path = jvm.org.apache.hadoop.fs.Path
+    backup = f"{staging}.bak"
+    for rel in _staged_partition_dirs(spark, staging):
+        src = Path(f"{staging}/{rel}")
+        dst = Path(f"{root.rstrip('/')}/{rel}")
+        if fs.exists(dst):
+            bdst = Path(f"{backup}/{rel}")
+            fs.mkdirs(bdst.getParent())
+            fs.rename(dst, bdst)
+        else:
+            fs.mkdirs(dst.getParent())
+        fs.rename(src, dst)
+    fs.delete(Path(staging), True)
+    fs.delete(Path(backup), True)
+
+
+def upsert_lake(
+    spark: SparkSession,
+    incoming: DataFrame,
+    root: str,
+    key_cols: Sequence[str] = LOGICAL_KEY,
+    batch_seq: int | None = None,
+) -> None:
+    """K2: MERGE-style keep-last upsert into the lake — atomic two-phase.
+
+    Newest arrival wins per logical key.  ``batch_seq`` stamps the
+    incoming batch's arrival order; by default it is one greater than the
+    current lake maximum, so successive upserts strictly supersede.
+    Re-delivering an identical batch with the same ``batch_seq`` is
+    idempotent (ties resolve by payload, which is then equal).
+
+    Durability: :func:`stage_upsert` writes the merge to a staging dir
+    (lake untouched), :func:`commit_upsert` swaps partitions in via
+    renames.  A failure before commit loses only staging; a failure
+    mid-commit leaves each partition wholly old or wholly new with the
+    old content preserved in the backup dir.  (The reference overwrites
+    its day-file in place, crypto_collector.py:542-556 — a mid-write kill
+    there truncates the file.)
+    """
+    incoming = _with_date(incoming)
+
+    if not _lake_exists(spark, root):
+        write_lake(incoming, root, mode="overwrite")
+        return
+
+    staging = stage_upsert(spark, incoming, root, key_cols, batch_seq)
+    commit_upsert(spark, staging, root)
 
 
 def partition_file_stats(spark: SparkSession, root: str) -> list[dict]:

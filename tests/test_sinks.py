@@ -98,6 +98,55 @@ def test_upsert_keep_last_and_idempotent(spark, tmp_path):
     assert again == got
 
 
+def test_upsert_interrupted_after_staging_preserves_lake(spark, tmp_path):
+    """Atomicity: a job killed between staging and commit must leave the
+    lake serving the PRE-upsert content (the r2 weak item — dynamic
+    overwrite deleted partitions in place).  After the commit swap, the
+    merged content is live and no staging/backup dirs remain."""
+    from crypto_data_ingestion_module_spark.sinks.parquet_lake import (
+        commit_upsert,
+        stage_upsert,
+    )
+
+    root = str(tmp_path / "lake")
+    base = _candles(
+        spark,
+        [
+            (100.0, 1.0, T0, "BTC-USDT", "coinbase", "15m"),
+            (110.0, 1.5, T1, "BTC-USDT", "coinbase", "15m"),
+        ],
+    )
+    upsert_lake(spark, base, root)
+    before = {
+        r.timestamp: (r.open, r.volume) for r in read_lake(spark, root).collect()
+    }
+
+    patch = _candles(
+        spark,
+        [
+            (999.0, 9.0, T0, "BTC-USDT", "coinbase", "15m"),
+            (120.0, 2.0, T2, "BTC-USDT", "coinbase", "15m"),
+        ],
+    )
+    # phase 1 only — simulate a crash before the commit swap
+    staging = stage_upsert(spark, patch, root, batch_seq=7)
+    assert os.path.isdir(staging)
+    interrupted = {
+        r.timestamp: (r.open, r.volume) for r in read_lake(spark, root).collect()
+    }
+    assert interrupted == before  # lake untouched by staging
+
+    # recovery path: committing the surviving staging dir completes the merge
+    commit_upsert(spark, staging, root)
+    after = {
+        r.timestamp: (r.open, r.volume) for r in read_lake(spark, root).collect()
+    }
+    assert after == {T0: (999.0, 9.0), T1: (110.0, 1.5), T2: (120.0, 2.0)}
+    # no staging or backup residue next to the lake
+    residue = [d for d in os.listdir(tmp_path) if "__staging__" in d]
+    assert residue == []
+
+
 def test_upsert_does_not_touch_other_partitions(spark, tmp_path):
     root = str(tmp_path / "lake")
     write_lake(
