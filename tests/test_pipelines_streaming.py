@@ -509,3 +509,124 @@ def test_spread_stream_merges_to_lake(spark, tmp_path):
         t0: ("coinbase|kucoin", -50.0),
         t1: ("coinbase|kucoin", -10.0),
     }
+
+
+def test_streaming_returns_ma_matches_batch(spark, tmp_path):
+    """Streaming candle analytics parity (r2 verdict item 8): ticks →
+    stateful candle builder → stateful lag/MA must emit BIT-IDENTICAL
+    ret/ma4 to the batch window-function plan (returns_ma_batch — the
+    same expressions the registered candle_returns_ma query runs) over
+    the candles of the same ticks."""
+    import time as _time
+
+    from crypto_data_ingestion_module_spark.operators.resample import (
+        resample_ohlcv,
+    )
+    from crypto_data_ingestion_module_spark.streaming.analytics import (
+        returns_ma_batch,
+        returns_ma_stream,
+    )
+    from crypto_data_ingestion_module_spark.streaming.stateful import (
+        candles_from_ticks,
+    )
+
+    src = str(tmp_path / "ticks")
+    os.makedirs(src)
+    ddl = "symbol string, ts timestamp, price double, qty double, tick_id long"
+    m0 = dt.datetime(2024, 1, 1, 0, 0)
+
+    # 2 symbols × 6 one-minute buckets, 2 ticks each, unique event times
+    rows = []
+    tid = 0
+    for s_i, sym in enumerate(("BTC", "ETH")):
+        for b in range(6):
+            for j, price in enumerate(
+                (100.0 + 7 * b + 13 * s_i, 101.5 + 5 * b - 3 * s_i)
+            ):
+                tid += 1
+                rows.append(
+                    (
+                        sym,
+                        m0 + dt.timedelta(minutes=b, seconds=10 + 20 * j + s_i),
+                        price,
+                        1.0,
+                        tid,
+                    )
+                )
+    spark.createDataFrame(rows, ddl).coalesce(1).write.mode("append").parquet(src)
+    # watermark advancer far past every bucket end (its own bucket never
+    # finalizes; comparison is restricted to the first 6 buckets)
+    spark.createDataFrame(
+        [("BTC", m0 + dt.timedelta(hours=2), 1.0, 1.0, 10**6),
+         ("ETH", m0 + dt.timedelta(hours=2), 1.0, 1.0, 10**6 + 1)],
+        ddl,
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    # Spark forbids chaining two applyInPandasWithState operators in one
+    # query — so run the production topology: candle builder stream →
+    # parquet candle store → analytics stream (exactly the reference's
+    # live loop shape: collect to the lake, analyze from the lake).
+    ticks = (
+        spark.readStream.schema(ddl).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    candle_store = str(tmp_path / "candle_store")
+    candles = candles_from_ticks(ticks, interval_ms=60_000, lateness="5 seconds")
+    q1 = (
+        candles.writeStream.format("parquet")
+        .option("path", candle_store)
+        .outputMode("append")
+        .trigger(processingTime="1 second")
+        .option("checkpointLocation", str(tmp_path / "ck1"))
+        .start()
+    )
+    candle_ddl = (
+        "symbol string, bucket_ts timestamp, open double, high double, "
+        "low double, close double, volume double, n_ticks long"
+    )
+    candle_stream = spark.readStream.schema(candle_ddl).parquet(candle_store)
+    analytics = returns_ma_stream(candle_stream, n=4, key_col="symbol")
+    q2 = (
+        analytics.writeStream.format("memory")
+        .queryName("stream_returns")
+        .outputMode("append")
+        .trigger(processingTime="1 second")
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .start()
+    )
+    deadline = _time.time() + 120
+    while _time.time() < deadline:
+        if spark.sql("SELECT count(*) c FROM stream_returns").first().c >= 12:
+            break
+        _time.sleep(1)
+    q1.stop()
+    q2.stop()
+    got = {
+        (r.symbol, r.bucket_ts): (r.close, r.ret, r.ma4)
+        for r in spark.sql("SELECT * FROM stream_returns").collect()
+        if r.bucket_ts < m0 + dt.timedelta(minutes=6)
+    }
+    assert len(got) == 12, f"expected 12 finalized analytic rows, got {len(got)}"
+
+    # batch twin on the SAME ticks: batch resample (close = max_by event
+    # time, volume = qty sum) then the registered query's expressions
+    batch_ticks = spark.createDataFrame(rows, ddl)
+    batch_candles = resample_ohlcv(
+        batch_ticks,
+        interval_ms=60_000,
+        keys=["symbol"],
+        ts_col="ts",
+        open_col="price",
+        high_col="price",
+        low_col="price",
+        close_col="price",
+        volume_col="qty",
+        tiebreak_col="tick_id",
+        exact_sums=True,
+    )
+    want = {
+        (r.symbol, r.bucket_ts): (r.close, r.ret, r.ma4)
+        for r in returns_ma_batch(
+            batch_candles, n=4, key_col="symbol"
+        ).collect()
+    }
+    assert got == want  # bit-identical closes, returns, moving averages
