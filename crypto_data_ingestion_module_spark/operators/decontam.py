@@ -1,0 +1,104 @@
+"""Benchmark decontamination (training-corpus hygiene).
+
+Flags training documents that share word n-grams with a held-out
+benchmark / evaluation set — the standard n-gram-collision
+decontamination applied to LLM training corpora (GPT-3 appendix C and
+The Pile both remove 13-gram collisions; the n is a parameter here
+because the right value depends on tokenizer and document length).
+
+Reference parity: the reference collector has no decontamination surface
+(SURVEY §2.10 capability extension for LLM-pipeline curation, same class
+as sampling.py / text_dedup.py).
+
+100 TB shape: the corpus side is shingled with the SAME exploded-n-gram
+kernel as the near-dup operators (one projection pass, no second scan
+for set sizes); the benchmark side is DISTINCT-ed and **broadcast** —
+eval suites are megabytes while corpora are terabytes, so the join must
+never shuffle the corpus shingles by key just to meet a tiny build side.
+Hit counting is then a broadcast left-outer join plus one map-side-
+combined hash aggregate per document: the corpus is read exactly once
+and the only shuffle is the final per-doc aggregate, whose key (doc id)
+is the natural partitioning of every downstream curation step.  If the
+"benchmark" is itself large (decontaminating against another corpus),
+pass ``broadcast_benchmark=False`` and the same plan degrades to a
+shuffle hash join on the shingle, which is the near-dup join shape and
+equally scale-safe.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from crypto_data_ingestion_module_spark.operators.text_dedup import _shingle_rows
+
+
+def contamination_flags(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 4,
+    min_common: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str | None = None,
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Per-document contamination stats against a benchmark set.
+
+    Returns one row per ``docs`` row: ``(doc_id, n_shingles, n_hits,
+    contaminated)`` where ``n_hits`` is the number of the document's
+    DISTINCT word n-grams that also occur anywhere in ``benchmark`` and
+    ``contaminated = n_hits >= min_common``.  Documents with zero hits
+    are kept (flag false) so the output is a full audit table, not just
+    the removal list.
+    """
+    bench_sh = (
+        _shingle_rows(benchmark, n, bench_text_col or text_col, id_col)
+        .select("shingle")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    if broadcast_benchmark:
+        bench_sh = F.broadcast(bench_sh)
+    doc_sh = _shingle_rows(docs, n, text_col, id_col)
+    # Benchmark shingles are distinct, so the left join preserves the
+    # per-doc shingle count: count(*) == |shingle set| and count(_hit)
+    # counts the collisions, in the same single aggregate.
+    return (
+        doc_sh.join(bench_sh, "shingle", "left")
+        .groupBy(F.col("id").alias(id_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count("_hit").alias("n_hits"),
+        )
+        .withColumn("contaminated", F.col("n_hits") >= min_common)
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 4,
+    min_common: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """The clean corpus: ``docs`` minus benchmark-contaminated rows.
+
+    Composition of :func:`contamination_flags` with a join back on the
+    id — the flags table is doc-id-partitioned and tiny relative to the
+    corpus, so the join is broadcast-able in practice; Spark's AQE picks
+    that up from runtime stats without a hint here.
+    """
+    flags = contamination_flags(
+        docs,
+        benchmark,
+        n=n,
+        min_common=min_common,
+        text_col=text_col,
+        id_col=id_col,
+        broadcast_benchmark=broadcast_benchmark,
+    )
+    keep = flags.filter(~F.col("contaminated")).select(id_col)
+    return docs.join(keep, id_col, "left_semi")

@@ -58,6 +58,42 @@ def stratified_reservoir(
     )
 
 
+def mixture_sample(
+    df: DataFrame,
+    stratum_col: str,
+    caps: Mapping[str, int],
+    id_col: str,
+    seed: int = 42,
+    rank_col: str = "sample_rank",
+) -> DataFrame:
+    """Deterministic corpus-mixture composition: exactly ``caps[s]`` rows
+    from stratum ``s`` (fewer if the stratum is smaller), strata not in
+    ``caps`` dropped — the "N docs from web, M from code, K from papers"
+    recipe step of a training-data pipeline, made reproducible by the
+    same seeded md5 rank as :func:`stratified_reservoir`.
+
+    Scale shape: the rank filter is split into a LITERAL bound
+    (``max(caps)``) plus the per-stratum map lookup.  The literal
+    conjunct is what Spark's ``InferWindowGroupLimit`` needs to install
+    a ``WindowGroupLimit`` partial top-N below the shuffle, so each
+    input partition ships at most ``max(caps)`` rows per stratum instead
+    of the whole stratum; the map lookup then trims to the exact
+    per-stratum cap after the window.  Strata weights are data-size
+    independent (caps are absolute), which is what you want when
+    composing to a token budget.
+    """
+    cap_entries = [F.lit(x) for kv in caps.items() for x in kv]
+    cap = F.element_at(F.create_map(*cap_entries), F.col(stratum_col))
+    key = reservoir_rank_key(id_col, seed)
+    w = Window.partitionBy(stratum_col).orderBy(key.asc(), F.col(id_col).asc())
+    return (
+        df.filter(F.col(stratum_col).isin(list(caps)))
+        .withColumn(rank_col, F.row_number().over(w))
+        .filter(F.col(rank_col) <= F.lit(max(caps.values())))
+        .filter(F.col(rank_col) <= cap)
+    )
+
+
 def stratified_fractions(
     df: DataFrame,
     stratum_col: str,

@@ -1,0 +1,120 @@
+"""Round-3 curation queries: benchmark decontamination and corpus-mixture
+composition (SURVEY §2.10 capability extensions, X1/X4 adjacent).
+
+Registered into the same oracle-checked registry as everything else and
+verified by pytest (tests/test_queries_oracle.py) against DuckDB; they
+sit OUTSIDE the driver's 50-query ``CHECKED_QUERIES`` window, which is
+frozen to preserve round-over-round correctness signal.
+
+Imported at the bottom of ``plans.queries`` (registration side effect).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from crypto_data_ingestion_module_spark.plans.queries import (
+    QuerySpec,
+    _register,
+    _t,
+)
+
+# --------------------------------------------------------------------------
+# Benchmark decontamination (n-gram collision audit)
+# --------------------------------------------------------------------------
+#
+# The held-out "benchmark" is the doc_id % 97 == 0 slice of the documents
+# table; the remaining rows are the training corpus.  4-grams (not 13)
+# because the synthetic docs are short; the operator's n is free.
+
+def _decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crypto_data_ingestion_module_spark.operators.decontam import (
+        contamination_flags,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    train = d.filter(F.col("doc_id") % 97 != 0)
+    return contamination_flags(train, bench, n=4)
+
+
+_register(
+    QuerySpec(
+        name="decontaminate_docs",
+        survey_ids=("X1", "X4"),
+        description="benchmark decontamination audit: per-training-doc "
+        "count of distinct word 4-grams colliding with the held-out "
+        "doc_id%97==0 eval slice (GPT-3/Pile n-gram-collision method; "
+        "broadcast benchmark shingles, corpus read once)",
+        spark=_decontaminate,
+        oracle="""
+WITH w AS (
+  SELECT doc_id, regexp_extract_all(text, '[A-Za-z0-9]+') AS ws FROM documents
+),
+sh AS (
+  SELECT doc_id AS id, unnest(list_distinct(
+    CASE WHEN len(ws) >= 4
+         THEN list_transform(range(1, len(ws) - 2), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])
+         ELSE [array_to_string(ws, ' ')] END)) AS shingle
+  FROM w
+),
+bench AS (SELECT DISTINCT shingle FROM sh WHERE id % 97 = 0),
+train AS (SELECT id, shingle FROM sh WHERE id % 97 <> 0)
+SELECT t.id AS doc_id,
+       count(*) AS n_shingles,
+       count(b.shingle) AS n_hits,
+       count(b.shingle) >= 1 AS contaminated
+FROM train t LEFT JOIN bench b ON t.shingle = b.shingle
+GROUP BY t.id
+""",
+    )
+)
+
+
+# --------------------------------------------------------------------------
+# Corpus-mixture composition (per-source absolute caps)
+# --------------------------------------------------------------------------
+
+_MIX_CAPS = {"src0": 40, "src3": 20, "src7": 10, "src12": 5}
+
+
+def _corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crypto_data_ingestion_module_spark.operators.sampling import (
+        mixture_sample,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return mixture_sample(d, "source", _MIX_CAPS, id_col="doc_id").select(
+        "doc_id", "source", "lang", "sample_rank"
+    )
+
+
+_MIX_CASE = "CASE source " + " ".join(
+    f"WHEN '{k}' THEN {v}" for k, v in _MIX_CAPS.items()
+) + " END"
+
+_register(
+    QuerySpec(
+        name="corpus_mixture",
+        survey_ids=("X4",),
+        description="deterministic mixture composition: absolute per-source "
+        "caps (40/20/10/5 docs from four sources) via seeded md5 rank — "
+        "the data-recipe step of a training pipeline, reproducible across "
+        "engines and layouts",
+        spark=_corpus_mixture,
+        oracle=f"""
+WITH ranked AS (
+  SELECT doc_id, source, lang,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR) || '#42'), doc_id
+         ) AS sample_rank
+  FROM documents
+  WHERE source IN ({", ".join(repr(k) for k in _MIX_CAPS)})
+)
+SELECT doc_id, source, lang, sample_rank FROM ranked
+WHERE sample_rank <= {_MIX_CASE}
+""",
+    )
+)

@@ -1,0 +1,83 @@
+"""Decontamination + mixture composition (round-3 curation operators).
+
+Oracle parity for the registered queries is covered by
+tests/test_queries_oracle.py; these tests pin the operator semantics on
+hand-built inputs and the plan shapes that make them scale (broadcast
+benchmark side; WindowGroupLimit partial top-N under the mixture rank).
+"""
+
+from pyspark.sql import functions as F
+
+from crypto_data_ingestion_module_spark.operators.decontam import (
+    contamination_flags,
+    decontaminate,
+)
+from crypto_data_ingestion_module_spark.operators.sampling import mixture_sample
+from crypto_data_ingestion_module_spark.sinks.bucketed import physical_plan
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_contamination_flags_semantics(spark):
+    docs = _docs(
+        spark,
+        [
+            # shares the 4-gram "the quick brown fox" with the benchmark
+            (1, "the quick brown fox jumps over the lazy dog"),
+            # same words but never 4 consecutive benchmark words
+            (2, "quick brown dog fox the lazy jumps"),
+            # short doc (<4 words): whole text is the single shingle
+            (3, "tiny doc"),
+        ],
+    )
+    bench = _docs(spark, [(100, "watch the quick brown fox run")])
+    out = contamination_flags(docs, bench, n=4).collect()
+    by_id = {r.doc_id: r for r in out}
+    assert set(by_id) == {1, 2, 3}
+    assert by_id[1].contaminated and by_id[1].n_hits == 1
+    assert not by_id[2].contaminated and by_id[2].n_hits == 0
+    assert not by_id[3].contaminated
+    # n_shingles rides along correctly: doc 1 has 9 words -> 6 4-grams
+    assert by_id[1].n_shingles == 6
+    clean = decontaminate(docs, bench, n=4)
+    assert {r.doc_id for r in clean.collect()} == {2, 3}
+
+
+def test_contamination_benchmark_is_broadcast(spark):
+    docs = _docs(spark, [(1, "a b c d e")])
+    bench = _docs(spark, [(2, "c d e f g")])
+    plan = physical_plan(contamination_flags(docs, bench))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_mixture_sample_caps_and_determinism(spark):
+    rows = [(i, f"s{i % 3}") for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, stratum string")
+    caps = {"s0": 7, "s1": 30, "s2": 0}
+    out = mixture_sample(df, "stratum", caps, id_col="doc_id")
+    counts = {
+        r.stratum: r.c
+        for r in out.groupBy("stratum").agg(F.count("*").alias("c")).collect()
+    }
+    assert counts == {"s0": 7, "s1": 30}
+    # WindowGroupLimit: the literal max-cap conjunct must install the
+    # per-partition partial top-N below the shuffle
+    assert "WindowGroupLimit" in physical_plan(out)
+    ids1 = {r.doc_id for r in out.collect()}
+    ids2 = {
+        r.doc_id for r in mixture_sample(df, "stratum", caps, id_col="doc_id").collect()
+    }
+    assert ids1 == ids2
+    ids_other_seed = {
+        r.doc_id
+        for r in mixture_sample(df, "stratum", caps, id_col="doc_id", seed=7).collect()
+    }
+    assert ids1 != ids_other_seed
+
+
+def test_mixture_sample_small_stratum_underfills(spark):
+    df = spark.createDataFrame([(i, "only") for i in range(5)], "doc_id long, stratum string")
+    out = mixture_sample(df, "stratum", {"only": 50}, id_col="doc_id")
+    assert out.count() == 5
