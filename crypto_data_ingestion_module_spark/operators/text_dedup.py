@@ -172,7 +172,7 @@ def minhash_signatures(
     )
 
 
-def minhash_lsh_pairs(
+def minhash_band_rows(
     df: DataFrame,
     num_hashes: int = 32,
     bands: int = 8,
@@ -180,18 +180,21 @@ def minhash_lsh_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """X2 (approximate): candidate near-dup pairs via LSH banding.
+    """Banded MinHash rows ``(id, signature, band, bhash)`` — the join-key
+    form of the LSH index.  One row per (doc, band); the signature rides
+    along so candidate pairs can compute the Jaccard estimate without a
+    second join back to a signature table (denormalized on purpose: at
+    32 hashes × 8 bands that is 8 repeats of a 256-byte array per doc,
+    cheap next to re-shuffling the signatures at estimate time).
 
-    Signatures are cut into ``bands`` bands of ``num_hashes/bands`` rows;
-    docs sharing any band hash become candidates.  The join is an
-    equi-join on (band_idx, band_hash) — at 100 TB this shuffles only
-    (id, band_hash) pairs, and the per-bucket blowup is bounded by bucket
-    size, not corpus size.  Estimated Jaccard = matching signature
-    fraction (unbiased MinHash estimator).
+    This is also the PERSISTED shape for incremental dedup: a batch's
+    band rows appended to a fingerprint lake make every future batch's
+    near-dup check an equi-join against this table instead of a
+    recompute over the full corpus (see ``operators.incremental``).
     """
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(df, num_hashes, shingle_n, text_col, id_col)
-    banded = sigs.select(
+    return sigs.select(
         "id",
         "signature",
         F.explode(
@@ -213,6 +216,25 @@ def minhash_lsh_pairs(
         ).alias("bh"),
     ).select("id", "signature", F.col("bh.band").alias("band"), F.col("bh.bhash").alias("bhash"))
 
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """X2 (approximate): candidate near-dup pairs via LSH banding.
+
+    Signatures are cut into ``bands`` bands of ``num_hashes/bands`` rows;
+    docs sharing any band hash become candidates.  The join is an
+    equi-join on (band_idx, band_hash) — at 100 TB this shuffles only
+    (id, band_hash) pairs, and the per-bucket blowup is bounded by bucket
+    size, not corpus size.  Estimated Jaccard = matching signature
+    fraction (unbiased MinHash estimator).
+    """
+    banded = minhash_band_rows(df, num_hashes, bands, shingle_n, text_col, id_col)
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
