@@ -84,6 +84,120 @@ def decode_assets(assets: DataFrame) -> DataFrame:
     )
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("modality", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+
+def make_resize_kernel(target_w: int, target_h: int):
+    """mapInPandas kernel factory: payload → payload at (target_w,
+    target_h).  The pixel work is stubbed (sha256-keyed deterministic
+    bytes, length scaled to the target area so size accounting is
+    realistic); the plumbing — binary-in/binary-out schema, closure over
+    the target size, Arrow round-trip of bytes columns — is the real
+    thing a PIL `Image.resize` drops into.
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if REAL_DECODERS_AVAILABLE:  # pragma: no cover
+                raise NotImplementedError("wire the real resampler here")
+            out_len = max(8, (target_w * target_h) // 64)
+            payloads = [
+                hashlib.sha256(
+                    bytes(p) + f"#{target_w}x{target_h}".encode()
+                ).digest()
+                * (out_len // 32 + 1)
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"].astype("int64"),
+                    "modality": pdf["modality"],
+                    "width": pd.Series([target_w] * len(pdf), dtype="int32"),
+                    "height": pd.Series([target_h] * len(pdf), dtype="int32"),
+                    "payload": [p[:out_len] for p in payloads],
+                }
+            )
+
+    return kernel
+
+
+def resize_assets(assets: DataFrame, target_w: int, target_h: int) -> DataFrame:
+    """Resize every image/video asset to a fixed resolution (1→1 rows)."""
+    return assets.select("asset_id", "modality", "payload").mapInPandas(
+        make_resize_kernel(target_w, target_h), schema=RESIZED_SCHEMA
+    )
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("ts_ms", T.LongType()),
+        T.StructField("frame", T.BinaryType()),
+    ]
+)
+
+#: Stub "container metadata": frame count derived from the payload hash
+#: so tests can predict it; a real demuxer reads the container header.
+_MAX_FAKE_FRAMES = 16
+
+
+def fake_frame_count(payload: bytes) -> int:
+    return 1 + hashlib.sha256(payload).digest()[2] % _MAX_FAKE_FRAMES
+
+
+def sample_frames_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: one VIDEO row → N frame rows (row-expanding).
+
+    The 1→N shape is the part worth testing without a decoder: output
+    batches are built by repeating input metadata per emitted frame, and
+    downstream row counts are data-dependent.  A real implementation
+    replaces the fake frame loop with an ffmpeg/PyAV iterator — the
+    schema, the expansion bookkeeping, and the bounded-memory batch
+    discipline (frames for ONE batch of inputs in memory at a time) all
+    stay as-is.
+    """
+    for pdf in batches:
+        if REAL_DECODERS_AVAILABLE:  # pragma: no cover
+            raise NotImplementedError("wire the real demuxer here")
+        ids, idxs, tss, frames = [], [], [], []
+        for aid, p in zip(pdf["asset_id"], pdf["payload"]):
+            raw = bytes(p)
+            n = fake_frame_count(raw)
+            for i in range(n):
+                ids.append(int(aid))
+                idxs.append(i)
+                tss.append(i * 1000)
+                frames.append(
+                    hashlib.sha256(raw + f"#frame{i}".encode()).digest()
+                )
+        yield pd.DataFrame(
+            {
+                "asset_id": pd.Series(ids, dtype="int64"),
+                "frame_idx": pd.Series(idxs, dtype="int32"),
+                "ts_ms": pd.Series(tss, dtype="int64"),
+                "frame": frames,
+            }
+        )
+
+
+def sample_frames(assets: DataFrame) -> DataFrame:
+    """Frame-sample the video assets (1→N row expansion per asset)."""
+    return (
+        assets.filter(F.col("modality") == "video")
+        .select("asset_id", "payload")
+        .mapInPandas(sample_frames_batch, schema=FRAME_SCHEMA)
+    )
+
+
 def documents_as_assets(documents: DataFrame) -> DataFrame:
     """Adapter used by tests/bench: treat document text bytes as opaque
     payloads so the decode plumbing runs on driver testdata."""

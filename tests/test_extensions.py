@@ -130,6 +130,47 @@ def test_multimodal_decode_plumbing(spark):
         assert row.modality == expect
 
 
+def test_multimodal_resize_plumbing(spark):
+    from crypto_data_ingestion_module_spark.operators.multimodal import (
+        resize_assets,
+    )
+
+    docs = load_table(spark, SF_SMALL, "documents").limit(30)
+    out = resize_assets(documents_as_assets(docs), 224, 224).collect()
+    assert len(out) == 30  # 1→1
+    for r in out:
+        assert (r.width, r.height) == (224, 224)
+        assert len(bytes(r.payload)) == (224 * 224) // 64
+    # deterministic: same asset → same resized payload across runs
+    again = {r.asset_id: bytes(r.payload) for r in resize_assets(
+        documents_as_assets(docs).repartition(7), 224, 224).collect()}
+    assert {r.asset_id: bytes(r.payload) for r in out} == again
+
+
+def test_multimodal_frame_sampling_expands_rows(spark):
+    from crypto_data_ingestion_module_spark.operators.multimodal import (
+        fake_frame_count,
+        sample_frames,
+    )
+
+    docs = load_table(spark, SF_SMALL, "documents").limit(60)
+    assets = documents_as_assets(docs)
+    frames = sample_frames(assets).collect()
+    # expected expansion, computed driver-side from the same stub header
+    videos = {r.asset_id: bytes(r.payload) for r in assets.filter(
+        F.col("modality") == "video").collect()}
+    expect_total = sum(fake_frame_count(p) for p in videos.values())
+    assert len(frames) == expect_total
+    by_asset: dict[int, list] = {}
+    for r in frames:
+        by_asset.setdefault(r.asset_id, []).append(r)
+    assert set(by_asset) == set(videos)
+    for aid, rows in by_asset.items():
+        n = fake_frame_count(videos[aid])
+        assert sorted(r.frame_idx for r in rows) == list(range(n))
+        assert all(r.ts_ms == r.frame_idx * 1000 for r in rows)
+
+
 def test_near_dup_block_is_distributed_and_self_consistent(spark):
     """The registered semantic-dedup query must have no driver collect and
     no full-corpus broadcast in its plan (the round-1 scale-killer), and
