@@ -106,6 +106,10 @@ def connected_components(
             .select(F.col("b").alias("a"), F.col("_mn").alias("b"))
         )
         selfrow = omins.select(F.col("a"), F.col("_mn").alias("b"))
+        # Eager checkpoint, THEN the fingerprint scan job.  (A lazy
+        # checkpoint materialized by the fingerprint action was tried
+        # and measured 2× slower — the aggregate's plan does not adopt
+        # the checkpoint cache, so the round DAG ran twice.)
         edges = (
             children.unionByName(selfrow)
             .filter(F.col("a") != F.col("b"))
