@@ -90,6 +90,49 @@ def _corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Embedding quantization (int8 storage path)
+# --------------------------------------------------------------------------
+
+def _quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crypto_data_ingestion_module_spark.operators.quantize import (
+        quantize_embeddings,
+    )
+
+    q = quantize_embeddings(_t(spark, sf_dir, "embeddings"))
+    # arrays stringify differently across engines in the compare
+    # harness; a CSV of int codes is exact in both
+    return q.select(
+        "vec_id", "scale", F.array_join("qvec", ",").alias("qcsv")
+    )
+
+
+_register(
+    QuerySpec(
+        name="quantize_embeddings",
+        survey_ids=("X3", "X5"),
+        description="symmetric int8 embedding quantization: per-vector "
+        "absmax/127 scale + rounded codes (map-only, shuffle-free; 4x "
+        "storage cut for the similarity stack)",
+        spark=_quantize,
+        oracle="""
+WITH m AS (
+  SELECT vec_id, embedding,
+         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS am
+  FROM embeddings
+)
+SELECT vec_id,
+       CASE WHEN am > 0 THEN am / 127.0 ELSE 0.0 END AS scale,
+       array_to_string(list_transform(embedding,
+         x -> CAST(round(CAST(x AS DOUBLE) /
+                   (CASE WHEN am > 0 THEN am ELSE 1.0 END / 127.0)) AS INTEGER)
+              * CAST(am > 0 AS INTEGER)), ',') AS qcsv
+FROM m
+""",
+    )
+)
+
+
 _MIX_CASE = "CASE source " + " ".join(
     f"WHEN '{k}' THEN {v}" for k, v in _MIX_CAPS.items()
 ) + " END"

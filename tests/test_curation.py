@@ -77,6 +77,43 @@ def test_mixture_sample_caps_and_determinism(spark):
     assert ids1 != ids_other_seed
 
 
+def test_quantize_reconstruction_bound_and_recall(spark):
+    import numpy as np
+
+    from crypto_data_ingestion_module_spark.operators.quantize import (
+        dequantize,
+        quantize_embeddings,
+    )
+    from crypto_data_ingestion_module_spark.session import load_table
+    from tests.conftest import SF_SMALL
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    q = quantize_embeddings(emb)
+    joined = emb.join(q, "vec_id").select(
+        "vec_id", "embedding", "scale", dequantize("qvec", "scale").alias("deq")
+    )
+    rows = joined.collect()
+    assert len(rows) == emb.count()
+    # per-element error <= scale/2 (the quantization bound), codes in range
+    for r in rows:
+        err = np.abs(np.array(r.embedding, dtype=np.float64) - np.array(r.deq))
+        assert err.max() <= r.scale / 2 + 1e-12, (r.vec_id, err.max(), r.scale)
+
+    # dequantized cosine top-10 keeps high recall vs exact float top-10
+    def topk(vectors):
+        m = np.array(vectors, dtype=np.float64)
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        sims = m @ m.T
+        np.fill_diagonal(sims, -2)
+        return {i: set(np.argsort(-sims[i])[:10]) for i in range(len(m))}
+
+    ids = [r.vec_id for r in rows]
+    exact = topk([r.embedding for r in rows])
+    approx = topk([r.deq for r in rows])
+    recall = np.mean([len(exact[i] & approx[i]) / 10 for i in range(len(ids))])
+    assert recall >= 0.9, recall
+
+
 def test_mixture_sample_small_stratum_underfills(spark):
     df = spark.createDataFrame([(i, "only") for i in range(5)], "doc_id long, stratum string")
     out = mixture_sample(df, "stratum", {"only": 50}, id_col="doc_id")
