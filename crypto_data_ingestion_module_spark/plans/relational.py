@@ -432,3 +432,89 @@ WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
 """,
     )
 )
+
+
+# --------------------------------------------------------------------------
+# Q21 shape: waiting suppliers (double correlated EXISTS / NOT EXISTS)
+# --------------------------------------------------------------------------
+#
+# The testdata lacks l_receiptdate/l_commitdate, so "late" is proxied by
+# l_shipdate > o_orderdate + 90 days; the SHAPE is TPC-H Q21's: suppliers
+# who were the SOLE late supplier on a multi-supplier finished order.
+#
+# The oracle states the literal correlated form (EXISTS another supplier
+# in the order; NOT EXISTS another LATE supplier).  The Spark side is the
+# decorrelated aggregate rewrite — per-order distinct-supplier and
+# late-supplier counts, then n_supp > 1 AND n_late = 1 — which at 100 TB
+# is two hash aggregates and equi-joins ON THE SAME KEY (l_orderkey), so
+# Catalyst reuses one exchange across all of them; no per-row subquery
+# probes exist to begin with.  The hash-equality of the two forms is the
+# point of the pairing.
+
+def _waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    late = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+        )
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    n_supp = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp")
+    )
+    n_late = late.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_late")
+    )
+    return (
+        late.join(n_supp, "l_orderkey")
+        .join(n_late, "l_orderkey")
+        .filter((F.col("n_supp") > 1) & (F.col("n_late") == 1))
+        .join(
+            F.broadcast(_t(spark, sf_dir, "supplier")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(10)
+    )
+
+
+_register(
+    QuerySpec(
+        name="waiting_suppliers",
+        survey_ids=("A2", "D6"),
+        description="TPC-H Q21 shape: sole late supplier on multi-supplier "
+        "finished orders; Spark runs the decorrelated aggregate rewrite, "
+        "the oracle the literal EXISTS/NOT-EXISTS form",
+        spark=_waiting_suppliers,
+        oracle="""
+WITH late AS (
+  SELECT DISTINCT l.l_orderkey, l.l_suppkey
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderstatus = 'F'
+    AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+)
+SELECT s_name, count(*) AS numwait
+FROM late l1
+JOIN supplier ON s_suppkey = l1.l_suppkey
+WHERE EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM late l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+  )
+GROUP BY s_name
+ORDER BY numwait DESC, s_name ASC
+LIMIT 10
+""",
+    )
+)
