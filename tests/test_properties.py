@@ -146,6 +146,77 @@ def test_streaming_datasource(spark, tmp_path):
     }
 
 
+def test_contamination_matches_brute_force_random(spark):
+    """Random-corpus property: the distributed decontamination audit must
+    equal a pure-Python 4-gram set intersection, doc for doc."""
+    from crypto_data_ingestion_module_spark.operators.decontam import (
+        contamination_flags,
+    )
+
+    rng = np.random.RandomState(11)
+    vocab = [f"w{i}" for i in range(30)]
+    docs = [
+        (i, " ".join(rng.choice(vocab, size=rng.randint(1, 25))))
+        for i in range(80)
+    ]
+    train = [d for d in docs if d[0] % 5 != 0]
+    bench = [d for d in docs if d[0] % 5 == 0]
+
+    def grams(text):
+        w = text.split()
+        if len(w) < 4:
+            return {" ".join(w)}
+        return {" ".join(w[i : i + 4]) for i in range(len(w) - 3)}
+
+    bench_grams = set().union(*(grams(t) for _, t in bench))
+    want = {
+        i: (len(grams(t)), len(grams(t) & bench_grams)) for i, t in train
+    }
+
+    out = contamination_flags(
+        spark.createDataFrame(train, "doc_id long, text string"),
+        spark.createDataFrame(bench, "doc_id long, text string"),
+        n=4,
+    ).collect()
+    got = {r.doc_id: (r.n_shingles, r.n_hits) for r in out}
+    assert got == want
+    for r in out:
+        assert r.contaminated == (r.n_hits >= 1)
+
+
+def test_quantize_random_vectors(spark):
+    """Random-vector property: codes in [-127,127], reconstruction within
+    scale/2, zero vectors quantize to zero codes with zero scale."""
+    from crypto_data_ingestion_module_spark.operators.quantize import (
+        dequantize,
+        quantize_embeddings,
+    )
+
+    rng = np.random.RandomState(3)
+    vecs = [
+        (i, [float(x) for x in rng.uniform(-10, 10, size=16) * (i % 7 != 0)])
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    out = (
+        quantize_embeddings(df)
+        .join(df, "vec_id")
+        .select("vec_id", "embedding", "scale", "qvec",
+                dequantize("qvec", "scale").alias("deq"))
+        .collect()
+    )
+    assert len(out) == 200
+    for r in out:
+        if r.vec_id % 7 == 0:
+            assert r.scale == 0.0 and all(q == 0 for q in r.qvec)
+            continue
+        assert all(-127 <= q <= 127 for q in r.qvec)
+        err = np.abs(np.array(r.embedding, dtype=np.float64) - np.array(r.deq))
+        assert err.max() <= r.scale / 2 + 1e-12
+        # at least one element saturates to ±127 (absmax maps to a pole)
+        assert max(abs(q) for q in r.qvec) == 127
+
+
 def test_salted_agg_equals_plain(spark):
     from pyspark.sql import functions as F2
 
