@@ -60,3 +60,61 @@ def dequantize(qvec: Column | str, scale: Column | str) -> Column:
     s = F.col(scale) if isinstance(scale, str) else scale
     v = F.col(qvec) if isinstance(qvec, str) else qvec
     return F.transform(v, lambda q: q.cast("double") * s)
+
+
+def _qdot(a: Column, b: Column) -> Column:
+    """Exact integer dot product of two code arrays (LONG — 64×127² per
+    element pair is far inside the range)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x * y).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def quantized_cosine_topk(
+    corpus_q: DataFrame,
+    queries_q: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Brute-force cosine top-k over QUANTIZED vectors.
+
+    Takes two ``quantize_embeddings`` outputs and returns ``(qid, nid,
+    rank, qcosine)``.  The per-vector scales CANCEL in the cosine
+    (``(qa·qb·sa·sb) / (|qa|sa · |qb|sb)``), so the whole similarity is
+    integer dot products plus one final double division — bit-exact
+    across engines and partitionings with no fixed-point machinery,
+    which is the determinism the float path needs ``FP_SCALE`` tricks
+    for.  Zero vectors (scale 0) are excluded from both sides.
+
+    Same physical shape as ``similarity.cosine_topk``: broadcast the
+    query side, map-side WindowGroupLimit top-k per query — the corpus
+    is scanned once and never shuffled, and each scanned row is 4×
+    smaller than the float path's.
+    """
+    from pyspark.sql import Window
+
+    q = (
+        queries_q.filter(F.col("scale") > 0)
+        .select(F.col(id_col).alias("qid"), F.col("qvec").alias("qa"))
+        .withColumn("qnorm", F.sqrt(_qdot(F.col("qa"), F.col("qa")).cast("double")))
+    )
+    c = (
+        corpus_q.filter(F.col("scale") > 0)
+        .select(F.col(id_col).alias("nid"), F.col("qvec").alias("qb"))
+        .withColumn("nnorm", F.sqrt(_qdot(F.col("qb"), F.col("qb")).cast("double")))
+    )
+    sim = _qdot(F.col("qa"), F.col("qb")).cast("double") / (
+        F.col("qnorm") * F.col("nnorm")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("qcosine"), F.asc("nid"))
+    return (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("qid") != F.col("nid"))
+        .withColumn("qcosine", sim)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "nid", "rank", "qcosine")
+    )

@@ -133,6 +133,69 @@ FROM m
 )
 
 
+# --------------------------------------------------------------------------
+# Quantized cosine top-k (integer-dot search over int8 codes)
+# --------------------------------------------------------------------------
+
+def _quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crypto_data_ingestion_module_spark.operators.quantize import (
+        quantize_embeddings,
+        quantized_cosine_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    corpus_q = quantize_embeddings(emb)
+    queries_q = quantize_embeddings(emb.filter(F.col("vec_id") % 100 == 0))
+    return quantized_cosine_topk(corpus_q, queries_q, k=10)
+
+
+_register(
+    QuerySpec(
+        name="cosine_topk_quantized",
+        survey_ids=("X3",),
+        description="cosine top-10 over int8-quantized vectors: scales "
+        "cancel, so similarity is exact integer dot products + one double "
+        "division — deterministic with no fixed-point tricks, 4x less "
+        "scanned data than the float path",
+        spark=_quantized_topk,
+        oracle="""
+WITH m AS (
+  SELECT vec_id, embedding,
+         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS am
+  FROM embeddings
+),
+q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) /
+                     (CASE WHEN am > 0 THEN am ELSE 1.0 END / 127.0)) AS BIGINT)
+                * CAST(am > 0 AS BIGINT)) AS qv
+  FROM m WHERE am > 0
+),
+n AS (
+  SELECT vec_id, qv,
+         sqrt(CAST((SELECT CAST(sum(x * x) AS BIGINT)
+                    FROM unnest(qv) AS t(x)) AS DOUBLE)) AS nrm
+  FROM q
+),
+dots AS (
+  SELECT a.vec_id AS qid, b.vec_id AS nid,
+         CAST((SELECT CAST(sum(xa * xb) AS BIGINT)
+               FROM (SELECT unnest(a.qv) AS xa, unnest(b.qv) AS xb)) AS DOUBLE)
+           / (a.nrm * b.nrm) AS qcosine
+  FROM n a JOIN n b ON a.vec_id % 100 = 0 AND a.vec_id <> b.vec_id
+),
+ranked AS (
+  SELECT qid, nid, qcosine,
+         row_number() OVER (PARTITION BY qid ORDER BY qcosine DESC, nid ASC) AS rank
+  FROM dots
+)
+SELECT qid, nid, rank, qcosine FROM ranked WHERE rank <= 10
+""",
+    )
+)
+
+
 _MIX_CASE = "CASE source " + " ".join(
     f"WHEN '{k}' THEN {v}" for k, v in _MIX_CAPS.items()
 ) + " END"
