@@ -114,6 +114,26 @@ def test_quantize_reconstruction_bound_and_recall(spark):
     assert recall >= 0.9, recall
 
 
+def test_quantized_topk_plan_shape(spark):
+    """Queries broadcast, corpus never shuffled, partial top-k
+    (WindowGroupLimit) before the single per-query exchange."""
+    from crypto_data_ingestion_module_spark.operators.quantize import (
+        quantize_embeddings,
+        quantized_cosine_topk,
+    )
+    from crypto_data_ingestion_module_spark.session import load_table
+    from tests.conftest import SF_SMALL
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    out = quantized_cosine_topk(
+        quantize_embeddings(emb),
+        quantize_embeddings(emb.filter(F.col("vec_id") % 100 == 0)),
+    )
+    plan = physical_plan(out)
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastNestedLoopJoin" in plan  # corpus side streams, no shuffle
+
+
 def test_mixture_sample_small_stratum_underfills(spark):
     df = spark.createDataFrame([(i, "only") for i in range(5)], "doc_id long, stratum string")
     out = mixture_sample(df, "stratum", {"only": 50}, id_col="doc_id")
