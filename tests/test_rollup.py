@@ -1,0 +1,89 @@
+"""Incremental candle rollup: batch-split independence, bit-exact volume,
+partition-pruned maintenance, replay idempotence."""
+
+from pyspark.sql import functions as F
+
+from crypto_data_ingestion_module_spark.operators.resample import resample_ohlcv
+from crypto_data_ingestion_module_spark.operators.rollup import (
+    finalize,
+    maintain_rollup,
+    read_rollup,
+)
+from crypto_data_ingestion_module_spark.session import load_table
+from tests.conftest import SF_SMALL
+
+IVL = 3_600_000  # 1h
+
+
+def _full(spark):
+    ev = load_table(spark, SF_SMALL, "events")
+    return resample_ohlcv(
+        ev,
+        IVL,
+        keys=("event_type",),
+        ts_col="ts",
+        open_col="value",
+        high_col="value",
+        low_col="value",
+        close_col="value",
+        volume_col="value",
+        tiebreak_col="event_id",
+        exact_sums=True,
+    )
+
+
+def _rows(df):
+    return {
+        (r.bucket_ts, r.event_type): (
+            r.open, r.high, r.low, r.close, round(r.volume, 6), r.n_rows
+        )
+        for r in df.collect()
+    }
+
+
+def test_incremental_equals_full_recompute(spark, tmp_path):
+    ev = load_table(spark, SF_SMALL, "events")
+    lake = str(tmp_path / "rollup")
+    # three arbitrary batches, NOT time-aligned — buckets straddle batches
+    for i in range(3):
+        maintain_rollup(
+            spark,
+            ev.filter(F.col("event_id") % 3 == i),
+            lake,
+            IVL,
+            batch_id=i,
+        )
+    got = _rows(finalize(read_rollup(spark, lake), ["event_type"]))
+    want = _rows(_full(spark))
+    assert got == want
+
+    # replaying an already-applied batch changes nothing
+    maintain_rollup(spark, ev.filter(F.col("event_id") % 3 == 1), lake, IVL, batch_id=1)
+    assert _rows(finalize(read_rollup(spark, lake), ["event_type"])) == want
+
+
+def test_rollup_touches_only_batch_dates(spark, tmp_path):
+    import glob
+    import os
+
+    ev = load_table(spark, SF_SMALL, "events")
+    lake = str(tmp_path / "rollup")
+    maintain_rollup(spark, ev, lake, IVL, batch_id="seed")
+
+    # record file mtimes, then merge a batch confined to ONE day
+    one_day = ev.filter(F.date_format("ts", "yyyyMMdd") == "20240115")
+    assert one_day.count() > 0
+    before = {
+        p: os.path.getmtime(p)
+        for p in glob.glob(lake + "/partials/date=*/*.parquet")
+    }
+    maintain_rollup(spark, one_day, lake, IVL, batch_id="day2")
+    after = {
+        p: os.path.getmtime(p)
+        for p in glob.glob(lake + "/partials/date=*/*.parquet")
+    }
+    changed_dates = {
+        p.split("date=")[1].split("/")[0]
+        for p in set(after) - set(before) | {p for p in before if before[p] != after.get(p, before[p])}
+    }
+    assert changed_dates == {"20240115"}
