@@ -62,6 +62,39 @@ def test_incremental_equals_full_recompute(spark, tmp_path):
     assert _rows(finalize(read_rollup(spark, lake), ["event_type"])) == want
 
 
+def test_stream_rollup_matches_batch(spark, tmp_path):
+    """Micro-batched streaming maintenance == one-shot batch resample,
+    including out-of-order arrival (files are not time-ordered)."""
+    import glob
+    import os
+
+    from crypto_data_ingestion_module_spark.streaming.rollup_stream import (
+        stream_rollup,
+    )
+
+    ev = load_table(spark, SF_SMALL, "events")
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    # three files in deliberately shuffled id order (late data)
+    for n, i in enumerate([2, 0, 1]):
+        tmp = str(tmp_path / f"t{i}")
+        ev.filter(F.col("event_id") % 3 == i).coalesce(1).write.parquet(tmp)
+        os.rename(
+            glob.glob(tmp + "/*.parquet")[0],
+            os.path.join(in_dir, f"b{n}.parquet"),
+        )
+    src = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    lake = str(tmp_path / "rollup")
+    q = stream_rollup(src, lake, str(tmp_path / "ck"), IVL)
+    q.awaitTermination(120)
+    got = _rows(finalize(read_rollup(spark, lake), ["event_type"]))
+    assert got == _rows(_full(spark))
+
+
 def test_rollup_touches_only_batch_dates(spark, tmp_path):
     import glob
     import os
