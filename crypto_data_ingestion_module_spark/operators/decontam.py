@@ -52,15 +52,27 @@ def contamination_flags(
     are kept (flag false) so the output is a full audit table, not just
     the removal list.
     """
+    # NULL text tokenizes to NULL and the shingle explode would DROP the
+    # row — silently losing the document from the audit (and from the
+    # clean corpus).  Coalesce to '' so such docs surface with their one
+    # empty shingle instead of disappearing.
+    def _nn(df: DataFrame, col: str) -> DataFrame:
+        return df.withColumn(col, F.coalesce(F.col(col), F.lit("")))
+
     bench_sh = (
-        _shingle_rows(benchmark, n, bench_text_col or text_col, id_col)
+        _shingle_rows(
+            _nn(benchmark, bench_text_col or text_col),
+            n,
+            bench_text_col or text_col,
+            id_col,
+        )
         .select("shingle")
         .distinct()
         .withColumn("_hit", F.lit(1))
     )
     if broadcast_benchmark:
         bench_sh = F.broadcast(bench_sh)
-    doc_sh = _shingle_rows(docs, n, text_col, id_col)
+    doc_sh = _shingle_rows(_nn(docs, text_col), n, text_col, id_col)
     # Benchmark shingles are distinct, so the left join preserves the
     # per-doc shingle count: count(*) == |shingle set| and count(_hit)
     # counts the collisions, in the same single aggregate.

@@ -45,6 +45,20 @@ def test_contamination_flags_semantics(spark):
     assert {r.doc_id for r in clean.collect()} == {2, 3}
 
 
+def test_contamination_null_text_not_dropped(spark):
+    """A null-text doc must appear in the audit (uncontaminated unless
+    the benchmark also has an empty doc), never silently vanish."""
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"), (2, None)], "doc_id long, text string"
+    )
+    bench = _docs(spark, [(9, "z y x w v")])
+    out = {r.doc_id: r for r in contamination_flags(docs, bench, n=4).collect()}
+    assert set(out) == {1, 2}
+    assert not out[2].contaminated
+    clean = decontaminate(docs, bench, n=4)
+    assert {r.doc_id for r in clean.collect()} == {1, 2}
+
+
 def test_contamination_benchmark_is_broadcast(spark):
     docs = _docs(spark, [(1, "a b c d e")])
     bench = _docs(spark, [(2, "c d e f g")])
