@@ -134,6 +134,70 @@ FROM m
 
 
 # --------------------------------------------------------------------------
+# Per-document keyword extraction (rarity-weighted top terms)
+# --------------------------------------------------------------------------
+#
+# Score is tf/df, NOT tf·ln(N/df): ln differs in final ulps between
+# engines, which would flip ranks of near-equal scores and break the
+# hash compare.  tf and df are small exact ints, so the single IEEE
+# double division is bit-identical everywhere; ordering is the point of
+# a keyword score and tf/df orders sensibly (frequent-in-doc,
+# rare-in-corpus wins).  Shape: explode → two hash aggs (map-side
+# combined) → equi-join on term → WindowGroupLimit top-3 per doc.
+
+def _doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from crypto_data_ingestion_module_spark.functions.text import words
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(words(F.lower(F.col("text")))).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dft = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score"), F.asc("term")
+    )
+    return (
+        tf.join(dft, "term")
+        .withColumn("score", F.col("tf").cast("double") / F.col("df").cast("double"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "term", "tf", "df", "score", "rank")
+    )
+
+
+_register(
+    QuerySpec(
+        name="doc_keywords",
+        survey_ids=("X4",),
+        description="top-3 keywords per document by tf/df rarity score "
+        "(exact-int inputs, one deterministic double division; no ln, "
+        "whose engine-dependent ulps would flip ranks)",
+        spark=_doc_keywords,
+        oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT doc_id, term, tf, df, CAST(tf AS DOUBLE) / CAST(df AS DOUBLE) AS score
+  FROM tf JOIN dft USING (term)
+)
+SELECT doc_id, term, tf, df, score, rank FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rank
+  FROM scored
+) WHERE rank <= 3
+""",
+    )
+)
+
+
+# --------------------------------------------------------------------------
 # Quantized cosine top-k (integer-dot search over int8 codes)
 # --------------------------------------------------------------------------
 
