@@ -134,6 +134,109 @@ FROM m
 
 
 # --------------------------------------------------------------------------
+# Embedding outliers (distance-to-own-centroid curation signal)
+# --------------------------------------------------------------------------
+#
+# The "semantic outlier" filter of an embedding-aware curation pipeline:
+# vectors far from their own label's centroid are mislabeled/noise
+# candidates.  Rank-based (bottom 10 per label), not thresholded — a
+# threshold needs tuning per corpus, a rank is always well-defined.  All
+# sums go through the 1e12 fixed-point policy so centroid, norms, and
+# dot products are bit-identical across engines and aggregation orders.
+# Shape: posexplode → centroid hash-agg → (label,pos) equi-join back →
+# per-vector hash-agg → WindowGroupLimit bottom-k per label.  At scale
+# the centroid table is tiny (labels × dims) and broadcasts.
+
+_FPS = (
+    "CAST(SUM(CAST(round(({x}) * 1e12) AS DECIMAL(38,0))) AS DOUBLE) / 1e12"
+)
+
+
+def _fps(c):  # Spark twin of _FPS
+    return (
+        F.sum(F.round(c * 1e12).cast("decimal(38,0)")).cast("double") / 1e12
+    )
+
+
+def _embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = _t(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos", "x")
+    ).withColumn("x", F.col("x").cast("double"))
+    cen = ex.groupBy("label", "pos").agg(
+        (_fps(F.col("x")) / F.count(F.lit(1)).cast("double")).alias("c")
+    )
+    cnorm = cen.groupBy("label").agg(
+        F.sqrt(_fps(F.col("c") * F.col("c"))).alias("cnorm")
+    )
+    per_vec = (
+        ex.join(F.broadcast(cen), ["label", "pos"])
+        .groupBy("vec_id", "label")
+        .agg(
+            _fps(F.col("x") * F.col("c")).alias("dot"),
+            F.sqrt(_fps(F.col("x") * F.col("x"))).alias("vnorm"),
+        )
+    )
+    w = Window.partitionBy("label").orderBy(
+        F.asc("centroid_cos"), F.asc("vec_id")
+    )
+    return (
+        per_vec.join(F.broadcast(cnorm), "label")
+        .withColumn(
+            "centroid_cos", F.col("dot") / (F.col("vnorm") * F.col("cnorm"))
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("label", "vec_id", "centroid_cos", "rank")
+    )
+
+
+_register(
+    QuerySpec(
+        name="embedding_outliers",
+        survey_ids=("X3", "X5"),
+        description="semantic outliers: bottom-10 vectors per label by "
+        "cosine to their own label centroid (mislabel/noise candidates; "
+        "fixed-point sums end-to-end)",
+        spark=_embedding_outliers,
+        oracle=f"""
+WITH ex AS (
+  SELECT vec_id, label,
+         unnest(range(1, len(embedding) + 1)) AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+),
+cen AS (
+  SELECT label, pos, {_FPS.format(x='x')} / CAST(count(*) AS DOUBLE) AS c
+  FROM ex GROUP BY label, pos
+),
+cnorm AS (
+  SELECT label, sqrt({_FPS.format(x='c * c')}) AS cnorm FROM cen GROUP BY label
+),
+per_vec AS (
+  SELECT vec_id, ex.label,
+         {_FPS.format(x='x * c')} AS dot,
+         sqrt({_FPS.format(x='x * x')}) AS vnorm
+  FROM ex JOIN cen ON ex.label = cen.label AND ex.pos = cen.pos
+  GROUP BY vec_id, ex.label
+),
+scored AS (
+  SELECT p.label, vec_id, dot / (vnorm * cnorm) AS centroid_cos
+  FROM per_vec p JOIN cnorm n ON p.label = n.label
+)
+SELECT label, vec_id, centroid_cos, rank FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY label ORDER BY centroid_cos ASC, vec_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 10
+""",
+    )
+)
+
+
+# --------------------------------------------------------------------------
 # Per-document keyword extraction (rarity-weighted top terms)
 # --------------------------------------------------------------------------
 #
