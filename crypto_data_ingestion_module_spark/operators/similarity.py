@@ -434,6 +434,113 @@ def ann_lsh_topk(
     )
 
 
+def rademacher_planes_md5(
+    n_tables: int, n_planes: int, dim: int
+) -> dict[tuple[int, int], list[int]]:
+    """±1 hyperplanes whose signs come from md5 — the SQL-derivable LSH
+    family: sign(t,p,d) = parity of the first hex nibble of
+    md5("t:p:d"), identical in Python's hashlib and DuckDB's md5().
+    Rademacher sign projections are a valid cosine-LSH family (the
+    collision analysis only needs symmetric ±1 entries)."""
+    import hashlib
+
+    def sign(t: int, p: int, d: int) -> int:
+        h = hashlib.md5(f"{t}:{p}:{d}".encode()).hexdigest()
+        return 1 if int(h[0], 16) % 2 == 0 else -1
+
+    return {
+        (t, p): [sign(t, p, d) for d in range(dim)]
+        for t in range(n_tables)
+        for p in range(n_planes)
+    }
+
+
+def ann_lsh_seed_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_planes: int = 6,
+    n_tables: int = 8,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k via md5-seeded Rademacher LSH — the
+    oracle-checkable sibling of :func:`ann_lsh_topk` (same trick as
+    ``ann_ivf_seed_topk``: make every index stage relational and
+    deterministic so DuckDB can hash-check bucketing, candidate join,
+    and rerank end-to-end; the numpy-matmul variant stays the
+    throughput path with recall pinned in pytest).
+
+    Determinism at the sign boundary: the projection is
+    Σ_d round(x_d·1e12)·s(d) — integer-valued doubles whose partial sums
+    stay far below 2^53, so the sum is EXACT in any order and the
+    ``>= 0`` bucket bit can never flap between engines or partitionings.
+    """
+    planes = rademacher_planes_md5(n_tables, n_planes, dim)
+
+    def bucket_cols(vec: Column) -> list[Column]:
+        out = []
+        for t in range(n_tables):
+            bits = []
+            for p in range(n_planes):
+                signs = F.array(*[F.lit(s) for s in planes[(t, p)]])
+                proj = F.aggregate(
+                    F.zip_with(
+                        vec,
+                        signs,
+                        lambda x, s: F.round(x.cast("double") * 1e12) * s,
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                )
+                bits.append(
+                    F.when(proj >= 0, F.lit(1 << p).cast("long")).otherwise(
+                        F.lit(0).cast("long")
+                    )
+                )
+            b = bits[0]
+            for bit in bits[1:]:
+                b = b + bit
+            out.append(F.struct(F.lit(t).alias("tbl"), b.alias("bucket")))
+        return out
+
+    def bucketed(df: DataFrame, vec: str) -> DataFrame:
+        return df.select(
+            *df.columns,
+            F.explode(F.array(*bucket_cols(F.col(vec)))).alias("_tb"),
+        ).select(*df.columns, F.col("_tb.tbl").alias("tbl"), F.col("_tb.bucket").alias("bucket"))
+
+    q = with_norm(
+        queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")),
+        "qv",
+        exact=True,
+    ).withColumnRenamed("_norm", "qnorm")
+    c = with_norm(
+        corpus.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nv")),
+        "nv",
+        exact=True,
+    ).withColumnRenamed("_norm", "nnorm")
+
+    cand = (
+        F.broadcast(bucketed(q, "qv"))
+        .join(bucketed(c, "nv"), ["tbl", "bucket"])
+        .filter(F.col("qid") != F.col("nid"))
+        .select("qid", "qv", "qnorm", "nid", "nv", "nnorm")
+        .dropDuplicates(["qid", "nid"])
+    )
+    dot = _dot_fp(F.col("qv"), F.col("nv"), FP_SCALE).cast("double") / F.lit(
+        FP_SCALE
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nid"))
+    return (
+        cand.withColumn("cosine", dot / (F.col("qnorm") * F.col("nnorm")))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "nid", "rank", "cosine")
+    )
+
+
 def ann_ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

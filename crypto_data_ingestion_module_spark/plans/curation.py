@@ -301,6 +301,94 @@ SELECT doc_id, term, tf, df, score, rank FROM (
 
 
 # --------------------------------------------------------------------------
+# Oracle-checkable LSH ANN (md5-seeded Rademacher planes)
+# --------------------------------------------------------------------------
+
+# 16 tables × 4 sign bits — the same operating point as the numpy
+# variant's pinned-recall config (few planes + many tables suits this
+# corpus' wide neighbor angles; measured recall 0.88 vs brute force)
+_LSH_T, _LSH_P = 16, 4
+
+
+def _ann_lsh_seed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crypto_data_ingestion_module_spark.operators.similarity import (
+        ann_lsh_seed_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    return ann_lsh_seed_topk(
+        emb, queries, k=10, n_planes=_LSH_P, n_tables=_LSH_T, dim=64
+    )
+
+
+_register(
+    QuerySpec(
+        name="ann_lsh_seed_topk",
+        survey_ids=("X3",),
+        description="approximate top-10 via md5-seeded Rademacher LSH "
+        f"({_LSH_T} tables x {_LSH_P} sign bits): planes, buckets, "
+        "candidate join, and fixed-point rerank are all relational, so "
+        "the oracle hash-checks the whole index (the numpy-hyperplane "
+        "variant keeps its recall pytest as the throughput path)",
+        spark=_ann_lsh_seed,
+        oracle=f"""
+WITH planes AS (
+  SELECT t, p, d,
+         CASE WHEN ('0x' || substr(md5(t || ':' || p || ':' || d), 1, 1))::BIGINT % 2 = 0
+              THEN 1 ELSE -1 END AS s
+  FROM range({_LSH_T}) r1(t), range({_LSH_P}) r2(p), range(64) r3(d)
+),
+c AS (SELECT vec_id AS nid, embedding AS nv FROM embeddings),
+q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id % 100 = 0),
+cx AS (SELECT nid, unnest(range(0, len(nv))) AS d, CAST(unnest(nv) AS DOUBLE) AS x FROM c),
+qx AS (SELECT qid, unnest(range(0, len(qv))) AS d, CAST(unnest(qv) AS DOUBLE) AS x FROM q),
+cproj AS (
+  SELECT nid, t, p, SUM(round(x * 1e12) * s) AS pr
+  FROM cx JOIN planes USING (d) GROUP BY nid, t, p
+),
+qproj AS (
+  SELECT qid, t, p, SUM(round(x * 1e12) * s) AS pr
+  FROM qx JOIN planes USING (d) GROUP BY qid, t, p
+),
+cbuck AS (
+  SELECT nid, t AS tbl,
+         SUM(CASE WHEN pr >= 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS bucket
+  FROM cproj GROUP BY nid, t
+),
+qbuck AS (
+  SELECT qid, t AS tbl,
+         SUM(CASE WHEN pr >= 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS bucket
+  FROM qproj GROUP BY qid, t
+),
+cand AS (
+  SELECT DISTINCT qb.qid, cb.nid
+  FROM qbuck qb JOIN cbuck cb ON qb.tbl = cb.tbl AND qb.bucket = cb.bucket
+  WHERE qb.qid <> cb.nid
+),
+cn AS (SELECT nid, sqrt({_FPS.format(x='x * x')}) AS nnorm FROM cx GROUP BY nid),
+qn AS (SELECT qid, sqrt({_FPS.format(x='x * x')}) AS qnorm FROM qx GROUP BY qid),
+dots AS (
+  SELECT qid, nid, {_FPS.format(x='xq * xn')} AS dot
+  FROM (SELECT cand.qid, cand.nid,
+               CAST(unnest(q.qv) AS DOUBLE) AS xq,
+               CAST(unnest(c.nv) AS DOUBLE) AS xn
+        FROM cand JOIN q ON q.qid = cand.qid JOIN c ON c.nid = cand.nid)
+  GROUP BY qid, nid
+),
+ranked AS (
+  SELECT d.qid, d.nid, d.dot / (qn.qnorm * cn.nnorm) AS cosine,
+         row_number() OVER (PARTITION BY d.qid
+                            ORDER BY d.dot / (qn.qnorm * cn.nnorm) DESC, d.nid) AS rank
+  FROM dots d JOIN qn ON d.qid = qn.qid JOIN cn ON d.nid = cn.nid
+)
+SELECT qid, nid, CAST(rank AS INT) AS rank, cosine FROM ranked WHERE rank <= 10
+""",
+    )
+)
+
+
+# --------------------------------------------------------------------------
 # Quantized cosine top-k (integer-dot search over int8 codes)
 # --------------------------------------------------------------------------
 

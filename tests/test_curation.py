@@ -128,6 +128,29 @@ def test_quantize_reconstruction_bound_and_recall(spark):
     assert recall >= 0.9, recall
 
 
+def test_ann_lsh_seed_recall(spark):
+    """The oracle-checkable seeded-LSH variant must hold the same recall
+    bar as the numpy-hyperplane path at the registered config."""
+    from crypto_data_ingestion_module_spark.operators.similarity import (
+        ann_lsh_seed_topk,
+        cosine_topk,
+    )
+    from crypto_data_ingestion_module_spark.session import load_table
+    from tests.conftest import SF_SMALL
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    q = emb.filter(F.col("vec_id") % 100 == 0)
+    approx = {
+        (r.qid, r.nid)
+        for r in ann_lsh_seed_topk(emb, q, n_planes=4, n_tables=16).collect()
+    }
+    exact = {
+        (r.qid, r.nid)
+        for r in cosine_topk(emb, q, k=10, exact=True, long_safe=True).collect()
+    }
+    assert len(approx & exact) / len(exact) >= 0.8
+
+
 def test_quantized_topk_plan_shape(spark):
     """Queries broadcast, corpus never shuffled, partial top-k
     (WindowGroupLimit) before the single per-query exchange."""
