@@ -189,13 +189,26 @@ def parse_response(exchange: str, status: int, body: object) -> list[list[str]]:
         rows = body["data"]
     elif exchange == "bitstamp":
         # named-field rows → the positional layout normalize_real_pages
-        # rebuilds its struct from (fetch.py bitstamp branch)
+        # rebuilds its struct from (fetch.py bitstamp branch).  A 200
+        # without the data/ohlc envelope is an error page, not an empty
+        # window — raise so the kernel quarantines it.
+        if not isinstance(body, dict) or not isinstance(body.get("data"), dict) \
+                or "ohlc" not in body["data"]:
+            raise RuntimeError("bitstamp: missing data.ohlc envelope")
         rows = [
             [r["timestamp"], r["open"], r["high"], r["low"], r["close"], r["volume"]]
-            for r in body.get("data", {}).get("ohlc", [])
+            for r in body["data"]["ohlc"]
         ]
     else:
         rows = body  # coinbase / bitfinex / binanceus: JSON array of arrays
+    # Shape gate: anything but a list of list-rows raises → quarantined.
+    # Without this, a dict body iterates its KEYS and a string row
+    # iterates its CHARS — silently emitting garbage "klines" downstream
+    # (found by the adversarial-payload fuzz test).
+    if not isinstance(rows, list) or not all(
+        isinstance(r, (list, tuple)) for r in rows
+    ):
+        raise RuntimeError(f"{exchange}: malformed kline payload")
     return [[str(v) for v in row] for row in rows]
 
 
