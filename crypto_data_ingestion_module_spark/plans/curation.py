@@ -301,6 +301,125 @@ SELECT doc_id, term, tf, df, score, rank FROM (
 
 
 # --------------------------------------------------------------------------
+# Per-source corpus report (curation monitoring)
+# --------------------------------------------------------------------------
+#
+# The daily dashboard of a corpus pipeline: per ingestion source, volume,
+# exact-dup rate, mean quality, language mix.  Mean quality goes through
+# the micro-unit fixed-point sum (order-independent) divided by an exact
+# count — deterministic across engines.
+
+def _corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crypto_data_ingestion_module_spark.functions import text as TX
+    from crypto_data_ingestion_module_spark.plans.queries import dsum
+
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("text").alias("n_distinct_text"),
+        (dsum(TX.quality_score("text")) / F.count(F.lit(1)).cast("double")).alias(
+            "mean_quality"
+        ),
+        F.count(F.when(F.col("lang") == "en", 1)).alias("n_en"),
+        F.sum(F.col("n_chars")).alias("total_chars"),
+    )
+
+
+def _corpus_report_oracle() -> str:
+    from crypto_data_ingestion_module_spark.functions import text as TX
+
+    q = TX.oracle_quality_sql("text")
+    return f"""
+SELECT source,
+       count(*) AS n_docs,
+       count(DISTINCT text) AS n_distinct_text,
+       (CAST(SUM(CAST(round(({q}) * 1000000.0) AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0)
+         / CAST(count(*) AS DOUBLE) AS mean_quality,
+       count(CASE WHEN lang = 'en' THEN 1 END) AS n_en,
+       SUM(n_chars) AS total_chars
+FROM documents
+GROUP BY source
+"""
+
+
+_register(
+    QuerySpec(
+        name="corpus_report",
+        survey_ids=("X4", "A2"),
+        description="per-source curation dashboard: volume, exact-dup "
+        "rate, fixed-point mean quality, language mix, char volume",
+        spark=_corpus_report,
+        oracle=_corpus_report_oracle(),
+    )
+)
+
+
+# --------------------------------------------------------------------------
+# Daily-volume anomaly detection (monitoring the ingest stream)
+# --------------------------------------------------------------------------
+#
+# Per event type: aggregate exact daily value totals, then flag days
+# whose total deviates from the type's mean by more than 2 population
+# standard deviations.  Everything that feeds the flag is deterministic:
+# daily totals are fixed-point sums; mean and E[x²] are fixed-point sums
+# of those exact values over an exact count; std = sqrt(E[x²] − mean²)
+# and the z-score are single IEEE ops.  Two hash aggregates + a
+# broadcast join of the per-type stats — no window over raw events.
+
+def _daily_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crypto_data_ingestion_module_spark.plans.queries import dsum
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(dsum(F.col("value")).alias("day_value"))
+    stats = daily.groupBy("event_type").agg(
+        (dsum(F.col("day_value")) / F.count(F.lit(1)).cast("double")).alias("mean_v"),
+        (
+            dsum(F.col("day_value") * F.col("day_value"))
+            / F.count(F.lit(1)).cast("double")
+        ).alias("ex2"),
+    ).withColumn("std_v", F.sqrt(F.col("ex2") - F.col("mean_v") * F.col("mean_v")))
+    return (
+        daily.join(F.broadcast(stats), "event_type")
+        .withColumn("z", (F.col("day_value") - F.col("mean_v")) / F.col("std_v"))
+        .withColumn("is_anomaly", F.abs(F.col("z")) > 2.0)
+        .select("event_type", "day", "day_value", "z", "is_anomaly")
+    )
+
+
+_FP6 = "CAST(SUM(CAST(round(({x}) * 1000000.0) AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0"
+
+_register(
+    QuerySpec(
+        name="daily_volume_anomalies",
+        survey_ids=("A2", "D5"),
+        description="per-type daily value totals flagged at |z| > 2 vs "
+        "the type's mean/std — ingest monitoring; fixed-point sums make "
+        "mean, std, and the flag deterministic",
+        spark=_daily_anomalies,
+        oracle=f"""
+WITH daily AS (
+  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+         {_FP6.format(x='value')} AS day_value
+  FROM events GROUP BY event_type, strftime(ts, '%Y-%m-%d')
+),
+stats AS (
+  SELECT event_type,
+         {_FP6.format(x='day_value')} / CAST(count(*) AS DOUBLE) AS mean_v,
+         {_FP6.format(x='day_value * day_value')} / CAST(count(*) AS DOUBLE) AS ex2
+  FROM daily GROUP BY event_type
+)
+SELECT d.event_type, d.day, d.day_value,
+       (d.day_value - s.mean_v) / sqrt(s.ex2 - s.mean_v * s.mean_v) AS z,
+       abs((d.day_value - s.mean_v) / sqrt(s.ex2 - s.mean_v * s.mean_v)) > 2.0 AS is_anomaly
+FROM daily d JOIN stats s ON d.event_type = s.event_type
+""",
+    )
+)
+
+
+# --------------------------------------------------------------------------
 # Oracle-checkable LSH ANN (md5-seeded Rademacher planes)
 # --------------------------------------------------------------------------
 
