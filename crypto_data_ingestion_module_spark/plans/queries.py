@@ -1490,3 +1490,6 @@ assert len(CHECKED_QUERIES) <= 50, len(CHECKED_QUERIES)
 assert len(set(CHECKED_QUERIES)) == len(CHECKED_QUERIES)
 for _name in CHECKED_QUERIES:
     assert _name in QUERY_SPECS, _name
+    # every driver-checked query must be hash-checkable: a rows-only
+    # spec in the window would silently weaken the correctness gate
+    assert QUERY_SPECS[_name].oracle is not None, _name

@@ -95,6 +95,27 @@ def test_stream_rollup_matches_batch(spark, tmp_path):
     assert got == _rows(_full(spark))
 
 
+def test_rollup_random_split_associativity(spark, tmp_path):
+    """Partial-merge associativity under RANDOM batch splits: any
+    partition of the events into batches must finalize identically."""
+    import numpy as np
+
+    ev = load_table(spark, SF_SMALL, "events")
+    want = _rows(_full(spark))
+    rng = np.random.RandomState(5)
+    for trial in range(2):
+        n_batches = int(rng.randint(2, 6))
+        salt = int(rng.randint(0, 1 << 30))
+        lake = str(tmp_path / f"r{trial}")
+        for i in range(n_batches):
+            batch = ev.filter(
+                F.pmod(F.xxhash64("event_id", F.lit(salt)), F.lit(n_batches)) == i
+            )
+            maintain_rollup(spark, batch, lake, IVL, batch_id=f"{trial}-{i}")
+        got = _rows(finalize(read_rollup(spark, lake), ["event_type"]))
+        assert got == want, (trial, n_batches, salt)
+
+
 def test_rollup_touches_only_batch_dates(spark, tmp_path):
     import glob
     import os
