@@ -3,3 +3,8 @@ from crypto_data_ingestion_module_spark.sinks.parquet_lake import (  # noqa: F40
     upsert_lake,
     write_lake,
 )
+from crypto_data_ingestion_module_spark.sinks.shards import (  # noqa: F401
+    read_manifest,
+    read_shard,
+    write_training_shards,
+)

@@ -3,3 +3,9 @@ from crypto_data_ingestion_module_spark.streaming.live import (  # noqa: F401
     stream_upsert_to_lake,
     watermark_dedup,
 )
+from crypto_data_ingestion_module_spark.streaming.dedup_stream import (  # noqa: F401
+    stream_dedup_ingest,
+)
+from crypto_data_ingestion_module_spark.streaming.rollup_stream import (  # noqa: F401
+    stream_rollup,
+)
