@@ -79,7 +79,11 @@ def write_training_shards(
     )
     sharded.write.mode("overwrite").partitionBy(SHARD_COL).parquet(path)
     spark = df.sparkSession
-    written = spark.read.parquet(path)
+    # explicit schema: an EMPTY corpus writes zero data files and plain
+    # read-back would die on schema inference — an empty corpus is a
+    # legitimate outcome of aggressive curation, and it should produce
+    # an empty manifest, not a crash
+    written = spark.read.schema(sharded.schema).parquet(path)
     manifest = written.groupBy(SHARD_COL).agg(
         F.count(F.lit(1)).alias("n_rows"),
         # order-insensitive: sum of row-id hashes (decimal — a LONG sum

@@ -40,6 +40,17 @@ def test_shards_roundtrip(spark, tmp_path):
     assert max(m.values()) < 3 * min(m.values()), m
 
 
+def test_empty_corpus_yields_empty_manifest(spark, tmp_path):
+    """Aggressive curation can legitimately filter everything; the shard
+    writer must produce an empty manifest, not crash on schema
+    inference over zero data files."""
+    docs = spark.createDataFrame([], "doc_id long, text string")
+    path = str(tmp_path / "sh")
+    m = write_training_shards(docs, path, num_shards=4, id_col="doc_id")
+    assert m.count() == 0
+    assert read_manifest(spark, path).count() == 0
+
+
 def test_shard_assignment_deterministic(spark, tmp_path):
     docs = load_table(spark, SF_SMALL, "documents")
     p1, p2 = str(tmp_path / "a"), str(tmp_path / "b")
