@@ -41,6 +41,12 @@ def test_incremental_equals_from_scratch(spark):
     assert not (_pairs_set(p1) & _pairs_set(p2))
 
 
+def test_ingest_empty_batch_is_noop(spark, tmp_path):
+    docs = spark.createDataFrame([], "doc_id long, text string")
+    p = ingest_batch(spark, str(tmp_path / "fp"), docs)
+    assert p.count() == 0
+
+
 def test_ingest_batch_lake_roundtrip(spark, tmp_path):
     docs = load_table(spark, SF_SMALL, "documents")
     path = str(tmp_path / "fp_index")

@@ -95,6 +95,15 @@ def test_stream_rollup_matches_batch(spark, tmp_path):
     assert got == _rows(_full(spark))
 
 
+def test_rollup_empty_batch_is_noop(spark, tmp_path):
+    ev = load_table(spark, SF_SMALL, "events")
+    lake = str(tmp_path / "r")
+    maintain_rollup(spark, ev, lake, IVL, batch_id="a")
+    want = _rows(finalize(read_rollup(spark, lake), ["event_type"]))
+    maintain_rollup(spark, ev.filter(F.lit(False)), lake, IVL, batch_id="b")
+    assert _rows(finalize(read_rollup(spark, lake), ["event_type"])) == want
+
+
 def test_rollup_random_split_associativity(spark, tmp_path):
     """Partial-merge associativity under RANDOM batch splits: any
     partition of the events into batches must finalize identically."""
