@@ -121,10 +121,15 @@ def ingest_batch(
     re-running the batch is the recovery, and its extra band rows, if
     any landed, are absorbed by the candidate dedup.
     """
-    try:
-        index = spark.read.parquet(index_path)
-    except Exception:
-        index = None
+    # Existence is checked explicitly (Hadoop FS — works for any lake
+    # root): only a genuinely missing index means "first batch ever".
+    # Any OTHER read failure must propagate — swallowing it would check
+    # the batch only against itself and permanently admit duplicates of
+    # the whole existing corpus with no error surfaced.
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(index_path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    index = spark.read.parquet(index_path) if fs.exists(p) else None
     pairs, new_bands = incremental_near_dup(
         new_docs, index, num_hashes, bands, shingle_n, text_col, id_col
     )

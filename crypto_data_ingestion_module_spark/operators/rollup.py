@@ -25,9 +25,17 @@ dynamic-overwrite those partitions.  ``finalize`` projects the partial
 form to the user-facing OHLCV row.
 
 Replay safety: merging is additive, so at-least-once delivery would
-double-count; ``maintain_rollup`` records applied batch ids in
-``_applied/`` and skips repeats, making replays idempotent (the same
-marker discipline as the staged lake commit).
+double-count.  ``maintain_rollup`` therefore commits each touched DATE
+PARTITION by a staged directory rename that carries an
+``_applied-batch-{id}`` marker file INSIDE the partition directory —
+data and marker land in one atomic rename, so the replay check ("does
+this date already contain this batch?") and the data commit share one
+atomic unit, per date.  A replayed batch re-merges only the dates whose
+marker is absent; a crash mid-swap is repaired by the restore pass at
+the next attempt (old content is parked in a deterministic per-batch
+backup dir, never deleted before every swap succeeded).  All marker and
+swap I/O goes through the Hadoop FS API so the discipline holds on any
+lake root (HDFS, s3a via a rename-capable committer, local).
 """
 
 from __future__ import annotations
@@ -100,6 +108,16 @@ def read_rollup(spark: SparkSession, lake_root: str) -> DataFrame:
     return spark.read.parquet(os.path.join(lake_root, "partials"))
 
 
+def _fs(spark: SparkSession, path_str: str):
+    """(Path class, FileSystem) via the Hadoop FS API — the lake root may
+    be any Hadoop-supported filesystem, not just local."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path_str)
+    return jvm.org.apache.hadoop.fs.Path, p.getFileSystem(
+        spark._jsc.hadoopConfiguration()
+    )
+
+
 def maintain_rollup(
     spark: SparkSession,
     batch: DataFrame,
@@ -114,33 +132,85 @@ def maintain_rollup(
 ) -> None:
     """Merge one tick batch into the candle rollup lake.
 
-    Only the date partitions the batch touches are read and rewritten;
-    a batch id seen before is skipped entirely (replay-idempotent).
+    Only the date partitions the batch touches are read and rewritten.
     The touched-date list is collected driver-side — it is bounded by
     the batch's calendar span, not its size.
+
+    Replay idempotence is per DATE PARTITION: the staged content of each
+    touched date carries an ``_applied-batch-{id}`` marker file (parquet
+    readers ignore ``_``-prefixed files), and the directory rename that
+    promotes the partition moves data + marker atomically.  A replay
+    re-merges exactly the dates whose marker is missing; markers of
+    previously applied batches are carried forward into the staged dir
+    before the swap, so older replays stay skipped too.  A crash between
+    "old content parked in backup" and "staged content renamed in" is
+    repaired by the restore pass below at the next attempt of the same
+    batch — backup dirs are deterministic per batch id and deleted only
+    after every swap succeeded.
     """
-    marker = os.path.join(lake_root, "_applied", f"batch-{batch_id}")
-    if os.path.exists(marker):
-        return
-    path = os.path.join(lake_root, "partials")
+    path = f"{lake_root.rstrip('/')}/partials"
+    Path, fs = _fs(spark, lake_root)
+    staging = f"{lake_root.rstrip('/')}/_staging/batch-{batch_id}"
+    backup = f"{lake_root.rstrip('/')}/_backup/batch-{batch_id}"
+
+    # Restore pass: a previous attempt of THIS batch may have crashed
+    # after parking a date's old content in backup but before promoting
+    # the staged replacement — that date is missing from the lake and its
+    # pre-batch content lives only in backup.  Move it back before
+    # recomputing, so the merge below sees the full pre-batch state.
+    if fs.exists(Path(backup)):
+        for st in fs.listStatus(Path(backup)):
+            name = st.getPath().getName()  # date=YYYYMMDD
+            if name.startswith("date=") and not fs.exists(Path(f"{path}/{name}")):
+                fs.mkdirs(Path(path))
+                fs.rename(st.getPath(), Path(f"{path}/{name}"))
+
     new = candle_partials(
         batch, interval_ms, keys, ts_col, price_col, volume_col, tiebreak_col
     ).withColumn("date", F.date_format("bucket_ts", "yyyyMMdd"))
     touched = [r.date for r in new.select("date").distinct().collect()]
-    try:
-        stored = spark.read.parquet(path).filter(F.col("date").isin(touched))
+    marker_name = f"_applied-batch-{batch_id}"
+    pending = [
+        d for d in touched if not fs.exists(Path(f"{path}/date={d}/{marker_name}"))
+    ]
+    if not pending:
+        # fully applied (or empty batch): only leftover dirs to clean
+        fs.delete(Path(staging), True)
+        fs.delete(Path(backup), True)
+        return
+    new = new.filter(F.col("date").isin(pending))
+
+    # Existence is checked explicitly — any OTHER read failure (corrupt
+    # footer, FS hiccup, permissions) must propagate, never be mistaken
+    # for "lake does not exist yet" (that would silently replace the
+    # accumulated history of the touched dates with this batch alone).
+    if fs.exists(Path(path)):
+        stored = spark.read.parquet(path).filter(F.col("date").isin(pending))
         merged = merge_partials(
             stored.unionByName(new), keys
         ).withColumn("date", F.date_format("bucket_ts", "yyyyMMdd"))
-    except Exception:
+    else:
         merged = new
-    # materialize BEFORE the write: the merged plan reads the very
-    # partitions the dynamic overwrite is about to replace
-    merged = merged.localCheckpoint(eager=True)
-    (
-        merged.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("date")
-        .parquet(path)
-    )
-    os.makedirs(marker, exist_ok=True)
+
+    merged.write.mode("overwrite").partitionBy("date").parquet(staging)
+
+    # Per-date atomic promote: stage markers (new + carried-forward),
+    # park old content in backup, rename staged dir in.
+    for d in pending:
+        src = Path(f"{staging}/date={d}")
+        if not fs.exists(src):
+            continue
+        fs.createNewFile(Path(f"{staging}/date={d}/{marker_name}"))
+        dst = Path(f"{path}/date={d}")
+        if fs.exists(dst):
+            for st in fs.listStatus(dst):
+                nm = st.getPath().getName()
+                if nm.startswith("_applied-batch-") and nm != marker_name:
+                    fs.createNewFile(Path(f"{staging}/date={d}/{nm}"))
+            fs.mkdirs(Path(backup))
+            fs.rename(dst, Path(f"{backup}/date={d}"))
+        else:
+            fs.mkdirs(Path(path))
+        fs.rename(src, dst)
+    fs.delete(Path(staging), True)
+    fs.delete(Path(backup), True)

@@ -380,9 +380,20 @@ def _daily_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1)).cast("double")
         ).alias("ex2"),
     ).withColumn("std_v", F.sqrt(F.col("ex2") - F.col("mean_v") * F.col("mean_v")))
+    # Degenerate strata (one day, or constant daily totals) have std 0:
+    # Spark's double division yields NULL there while DuckDB's IEEE
+    # division yields inf/nan, so the z-score is guarded to 0.0 (and the
+    # flag to false) in BOTH engines.  The guard also absorbs a NaN std
+    # from sqrt of a tiny negative E[x²]−mean² (NaN > 0 is false in both).
     return (
         daily.join(F.broadcast(stats), "event_type")
-        .withColumn("z", (F.col("day_value") - F.col("mean_v")) / F.col("std_v"))
+        .withColumn(
+            "z",
+            F.when(
+                F.col("std_v") > 0,
+                (F.col("day_value") - F.col("mean_v")) / F.col("std_v"),
+            ).otherwise(F.lit(0.0)),
+        )
         .withColumn("is_anomaly", F.abs(F.col("z")) > 2.0)
         .select("event_type", "day", "day_value", "z", "is_anomaly")
     )
@@ -411,8 +422,12 @@ stats AS (
   FROM daily GROUP BY event_type
 )
 SELECT d.event_type, d.day, d.day_value,
-       (d.day_value - s.mean_v) / sqrt(s.ex2 - s.mean_v * s.mean_v) AS z,
-       abs((d.day_value - s.mean_v) / sqrt(s.ex2 - s.mean_v * s.mean_v)) > 2.0 AS is_anomaly
+       CASE WHEN sqrt(s.ex2 - s.mean_v * s.mean_v) > 0
+            THEN (d.day_value - s.mean_v) / sqrt(s.ex2 - s.mean_v * s.mean_v)
+            ELSE 0.0 END AS z,
+       abs(CASE WHEN sqrt(s.ex2 - s.mean_v * s.mean_v) > 0
+                THEN (d.day_value - s.mean_v) / sqrt(s.ex2 - s.mean_v * s.mean_v)
+                ELSE 0.0 END) > 2.0 AS is_anomaly
 FROM daily d JOIN stats s ON d.event_type = s.event_type
 """,
     )
