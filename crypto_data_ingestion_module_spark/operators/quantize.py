@@ -72,11 +72,82 @@ def _qdot(a: Column, b: Column) -> Column:
     )
 
 
+def _quantized_topk_kernel(
+    corpus_q: DataFrame, queries_q: DataFrame, k: int, id_col: str
+) -> DataFrame:
+    """Closure-matrix execution of :func:`quantized_cosine_topk` — the
+    same shape as ``similarity._cosine_topk_kernel``: the (bounded)
+    quantized query set rides in the kernel closure, the corpus codes
+    stream through ONE Arrow pass, each batch scores all its rows as a
+    single matmul and emits per-query partial top-k (lossless for the
+    global top-k).  All intermediates are exact integers (code products
+    ≤ 127²·dim ≪ 2^53, exact in float64 BLAS regardless of order), so
+    results are bit-identical to the interpreted lambda twin and the SQL
+    oracle."""
+    from pyspark.sql import Window
+
+    import numpy as np
+    import pandas as pd
+
+    qpd = (
+        queries_q.filter(F.col("scale") > 0)
+        .select(F.col(id_col).cast("long").alias("qid"), "qvec")
+        .toPandas()
+    )
+    empty_schema = "qid long, nid long, rank int, qcosine double"
+    if len(qpd) == 0:
+        return corpus_q.sparkSession.createDataFrame([], empty_schema)
+    qids = qpd["qid"].to_numpy().astype(np.int64)
+    Q = np.vstack(qpd["qvec"].to_numpy()).astype(np.float64)
+    qnorm = np.sqrt((Q * Q).sum(axis=1))
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf["nid"].to_numpy().astype(np.int64)
+            M = np.vstack(pdf["qvec"].to_numpy()).astype(np.float64)
+            nnorm = np.sqrt((M * M).sum(axis=1))
+            C = (M @ Q.T) / (qnorm[None, :] * nnorm[:, None])
+            out_q, out_n, out_c = [], [], []
+            kk = min(k, len(ids))
+            for j in range(len(qids)):
+                keep = ids != qids[j]
+                cj, ij = C[keep, j], ids[keep]
+                if len(ij) == 0:
+                    continue
+                top = np.lexsort((ij, -cj))[:kk]
+                out_q.append(np.full(len(top), qids[j], dtype=np.int64))
+                out_n.append(ij[top])
+                out_c.append(cj[top])
+            if out_q:
+                yield pd.DataFrame(
+                    {
+                        "qid": np.concatenate(out_q),
+                        "nid": np.concatenate(out_n),
+                        "qcosine": np.concatenate(out_c),
+                    }
+                )
+
+    cand = (
+        corpus_q.filter(F.col("scale") > 0)
+        .select(F.col(id_col).cast("long").alias("nid"), "qvec")
+        .mapInPandas(kernel, "qid long, nid long, qcosine double")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("qcosine"), F.asc("nid"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "nid", "rank", "qcosine")
+    )
+
+
 def quantized_cosine_topk(
     corpus_q: DataFrame,
     queries_q: DataFrame,
     k: int = 10,
     id_col: str = "vec_id",
+    vectorized: bool = True,
 ) -> DataFrame:
     """Brute-force cosine top-k over QUANTIZED vectors.
 
@@ -88,12 +159,17 @@ def quantized_cosine_topk(
     which is the determinism the float path needs ``FP_SCALE`` tricks
     for.  Zero vectors (scale 0) are excluded from both sides.
 
-    Same physical shape as ``similarity.cosine_topk``: broadcast the
-    query side, map-side WindowGroupLimit top-k per query — the corpus
-    is scanned once and never shuffled, and each scanned row is 4×
-    smaller than the float path's.
+    Same physical shape as ``similarity.cosine_topk``: the corpus is
+    scanned once and never shuffled, and each scanned row is 4× smaller
+    than the float path's.  ``vectorized=True`` (default) runs the scan
+    as the closure-matrix Arrow kernel (``_quantized_topk_kernel``,
+    bit-identical — parity pinned in tests); False keeps the interpreted
+    broadcast-crossJoin twin the SQL oracle mirrors.
     """
     from pyspark.sql import Window
+
+    if vectorized:
+        return _quantized_topk_kernel(corpus_q, queries_q, k, id_col)
 
     q = (
         queries_q.filter(F.col("scale") > 0)

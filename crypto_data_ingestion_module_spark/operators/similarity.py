@@ -22,31 +22,45 @@ from pyspark.sql import functions as F
 def _dot_fp(
     a: Column, b: Column, scale: float, long_safe: bool = False
 ) -> Column:
-    """Exact fixed-point dot product: per-element double products rounded
-    to ``scale`` units, summed as integers — bit-identical across engines
-    and aggregation orders (same policy as plans.queries.dsum).
+    """Exact fixed-point dot product, PRE-ROUNDED-ELEMENT form:
+    ``Σ_d round(a_d·√scale) · round(b_d·√scale)`` — each element is
+    quantized to √scale units (1e6 for the default 1e12 product scale)
+    and the dot is a sum of exact integer products in ``scale`` units,
+    bit-identical across engines and aggregation orders (same policy as
+    plans.queries.dsum).
+
+    Why elements, not products, are rounded: rounding the VECTOR once
+    makes the dot a plain integer matmul, so the Arrow-batched kernels
+    (``_fpdot_arrow_udf``, the ``cosine_topk``/IVF corpus kernels) can
+    run it as one BLAS call per batch with zero parity risk — identical
+    integers, any order.  Declared element precision is 1e-6 (matching
+    the engine-wide micro-unit policy); SQL oracles use the identical
+    ``round(x*1e6) * round(y*1e6)`` expression.
 
     ``long_safe=True`` accumulates in LONG instead of DECIMAL(38,0) —
     same exact integers, ~1.5× faster (higher-order-function lambdas
-    evaluate interpreted, and BigDecimal adds dominate; an unrolled
-    ``element_at`` codegen chain measured SLOWER than either lambda, so
-    the lambda stays).  Callers opting in assert
-    dim · max|x·y| · scale ≪ 2^63 — true for unit-scale embeddings at
-    scale 1e12 with dim ≤ ~10^5.  Default stays DECIMAL, overflow-safe
-    for any input."""
+    evaluate interpreted, and BigDecimal adds dominate).  Callers opting
+    in assert dim · (√scale·max|x|)² ≪ 2^63 — true for unit-scale
+    embeddings at scale 1e12 with dim ≤ ~10^5.  Default stays DECIMAL,
+    overflow-safe for any input."""
+    elem = float(scale) ** 0.5
     if long_safe:
         prods = F.zip_with(
             a,
             b,
-            lambda x, y: F.round(
-                x.cast("double") * y.cast("double") * F.lit(scale)
+            lambda x, y: (
+                F.round(x.cast("double") * F.lit(elem))
+                * F.round(y.cast("double") * F.lit(elem))
             ).cast("long"),
         )
         return F.aggregate(prods, F.lit(0).cast("long"), lambda acc, v: acc + v).cast(
             "decimal(38,0)"
         )
     prods = F.zip_with(
-        a, b, lambda x, y: F.round(x.cast("double") * y.cast("double") * F.lit(scale))
+        a,
+        b,
+        lambda x, y: F.round(x.cast("double") * F.lit(elem))
+        * F.round(y.cast("double") * F.lit(elem)),
     )
     return F.aggregate(
         prods,
@@ -64,6 +78,55 @@ def _dot_double(a: Column, b: Column) -> Column:
     )
 
 
+def _fpdot_arrow_udf(scale: float):
+    """Arrow-batched fixed-point dot product over (a, b) array-column
+    pairs: ``Σ_d round(a_d·√scale)·round(b_d·√scale)`` as an exact
+    integer-valued double — BIT-IDENTICAL to
+    ``_dot_fp(a, b, scale).cast("double")`` while running one vectorized
+    numpy pass per Arrow batch instead of interpreted
+    higher-order-function lambdas.
+
+    Why parity is exact, not approximate:
+    - rounding is explicit half-away-from-zero (``floor(|x|+0.5)·sign``),
+      matching Spark's and DuckDB's ``round`` — np.round's half-to-even
+      WOULD diverge on exact halves;
+    - the rounded elements are integers ≤ √scale·|a|; their pairwise
+      products and all partial sums stay below 2^53 for unit-scale
+      embeddings at scale 1e12 with dim ≤ ~10³, so every intermediate is
+      an exact integer in float64 and numpy/BLAS reduction order cannot
+      change a single bit.
+
+    Transfer note: this ships BOTH arrays of every pair row through
+    Arrow, so it only pays off where the pair list is the data (e.g. a
+    candidate rerank would ship those rows anyway).  For corpus-wide
+    scans against a small query set, use the closure-matrix kernels in
+    :func:`cosine_topk` / :func:`ann_ivf_seed_topk` instead — they ship
+    the corpus ONCE and matmul against a driver-held query matrix.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    import math
+
+    elem = math.sqrt(scale)
+
+    def _fn(a: "pd.Series", b: "pd.Series") -> "pd.Series":
+        if len(a) == 0:
+            return pd.Series(np.empty(0, dtype=np.float64))
+        A = np.vstack(a.to_numpy()).astype(np.float64) * elem
+        B = np.vstack(b.to_numpy()).astype(np.float64) * elem
+        # round half away from 0 == Spark/DuckDB round (np.round would
+        # diverge on exact halves: half-to-even)
+        Ra = np.floor(np.abs(A) + 0.5) * np.sign(A)
+        Rb = np.floor(np.abs(B) + 0.5) * np.sign(B)
+        return pd.Series((Ra * Rb).sum(axis=1))
+
+    # explicit SCALAR eval type: `from __future__ import annotations`
+    # stringifies hints, which pandas_udf's type inference can't read
+    return pandas_udf(_fn, "double", PandasUDFType.SCALAR)
+
+
 FP_SCALE = 1e12  # dot precision 1e-12; |v|≲1 keeps round() inside 2^53
 
 
@@ -72,9 +135,15 @@ def with_norm(
     vec_col: str = "embedding",
     exact: bool = True,
     long_safe: bool = False,
+    vectorized: bool = False,
 ) -> DataFrame:
     v = F.col(vec_col)
-    if exact:
+    if exact and vectorized:
+        # _fpdot_arrow_udf is bit-identical to the lambda path (see its
+        # docstring); the lambda default wins for rows that stay JVM-side
+        # downstream (no Arrow round-trip just for a norm)
+        norm = F.sqrt(_fpdot_arrow_udf(FP_SCALE)(v, v) / F.lit(FP_SCALE))
+    elif exact:
         norm = F.sqrt(
             _dot_fp(v, v, FP_SCALE, long_safe).cast("double") / F.lit(FP_SCALE)
         )
@@ -91,6 +160,7 @@ def cosine_topk(
     id_col: str = "vec_id",
     exact: bool = True,
     long_safe: bool = False,
+    vectorized: bool = True,
 ) -> DataFrame:
     """Brute-force cosine top-k: for each query vector, the k nearest
     corpus vectors (self excluded), rank-deterministic via (sim desc, id).
@@ -98,18 +168,32 @@ def cosine_topk(
     ``exact=True`` computes fixed-point dots (oracle-parity); False keeps
     plain double accumulation for the bench path.  ``long_safe=True``
     speeds the exact path for bounded inputs (see ``_dot_fp``).
+    ``vectorized=True`` (default) runs the exact path as a closure-matrix
+    kernel: the (small, bounded-by-contract) query set is collected
+    driver-side once and rides in the kernel closure, the corpus streams
+    through ONE Arrow pass, each batch computes all its dots as a single
+    integer matmul and emits only its per-query partial top-k — the
+    distributed top-k shape (map-side partial limit, tiny final window).
+    Bit-identical to the relational formulation (``_dot_fp`` pre-rounded
+    elements: every intermediate is an exact integer in float64; rounding
+    is half-away-from-zero; the final cosine is the same IEEE op
+    sequence) — parity pinned in tests.
     """
+    if exact and vectorized:
+        return _cosine_topk_kernel(corpus, queries, k, vec_col, id_col)
     q = with_norm(
         queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")),
         "qv",
         exact,
         long_safe,
+        vectorized=False,
     ).withColumnRenamed("_norm", "qnorm")
     c = with_norm(
         corpus.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nv")),
         "nv",
         exact,
         long_safe,
+        vectorized=False,
     ).withColumnRenamed("_norm", "nnorm")
 
     pairs = F.broadcast(q).crossJoin(c).filter(F.col("qid") != F.col("nid"))
@@ -124,6 +208,82 @@ def cosine_topk(
     return (
         pairs.withColumn("cosine", sim)
         .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "nid", "rank", "cosine")
+    )
+
+
+def _cosine_topk_kernel(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    vec_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Closure-matrix brute-force cosine top-k (see :func:`cosine_topk`).
+
+    The query collect is bounded BY CONTRACT (brute force is only the
+    right operator for ≤ thousands of queries — the same boundedness
+    argument as the IVF trainer sample); the corpus is never collected,
+    broadcast, or replicated — one Arrow scan, ``mapInPandas`` emits at
+    most k rows per (query, batch), and the final exact window ranks
+    ``k · n_batches`` candidates per query.  Per-batch partial top-k is
+    lossless: any global top-k row is top-k within its own batch under
+    the same (cosine desc, id asc) order.
+    """
+    import numpy as np
+    import pandas as pd
+
+    qpd = (
+        queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"))
+        .toPandas()
+    )
+    if len(qpd) == 0:
+        empty = "qid long, nid long, rank int, cosine double"
+        return corpus.sparkSession.createDataFrame([], empty)
+    qids = qpd["qid"].to_numpy().astype(np.int64)
+    Qs = np.vstack(qpd["qv"].to_numpy()).astype(np.float64) * 1e6
+    Q = np.floor(np.abs(Qs) + 0.5) * np.sign(Qs)  # round half away from 0
+    qnorm = np.sqrt((Q * Q).sum(axis=1) / FP_SCALE)
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf["nid"].to_numpy().astype(np.int64)
+            Ms = np.vstack(pdf["nv"].to_numpy()).astype(np.float64) * 1e6
+            R = np.floor(np.abs(Ms) + 0.5) * np.sign(Ms)
+            nnorm = np.sqrt((R * R).sum(axis=1) / FP_SCALE)
+            # exact integer matmul → the same IEEE divide sequence as the
+            # relational form: (dot/1e12) / (qnorm * nnorm)
+            C = (R @ Q.T / FP_SCALE) / (qnorm[None, :] * nnorm[:, None])
+            out_q, out_n, out_c = [], [], []
+            kk = min(k, len(ids))
+            for j in range(len(qids)):
+                keep = ids != qids[j]  # self excluded
+                cj, ij = C[keep, j], ids[keep]
+                if len(ij) == 0:
+                    continue
+                # partial top-k by (cosine desc, nid asc)
+                top = np.lexsort((ij, -cj))[:kk]
+                out_q.append(np.full(len(top), qids[j], dtype=np.int64))
+                out_n.append(ij[top])
+                out_c.append(cj[top])
+            if out_q:
+                yield pd.DataFrame(
+                    {
+                        "qid": np.concatenate(out_q),
+                        "nid": np.concatenate(out_n),
+                        "cosine": np.concatenate(out_c),
+                    }
+                )
+
+    cand = corpus.select(
+        F.col(id_col).cast("long").alias("nid"), F.col(vec_col).alias("nv")
+    ).mapInPandas(kernel, "qid long, nid long, cosine double")
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nid"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("qid", "nid", "rank", "cosine")
     )
@@ -353,6 +513,11 @@ def near_dup_pairs(
     else:  # pragma: no cover - guarded API
         raise ValueError(f"unknown stage1 {stage1!r} (expected 'block' or 'lsh')")
 
+    # JVM-side fixed-point lambdas, NOT the Arrow pair kernel: candidate
+    # rows already carry both vectors, and shipping them to Python costs
+    # more than the interpreted dots save (measured 3.3 s vs 2.6 s at
+    # sf0.1 — the Arrow win only exists for corpus-scan-vs-closure-matrix
+    # shapes, see _fpdot_arrow_udf's transfer note).
     na = F.sqrt(
         _dot_fp(F.col("va"), F.col("va"), FP_SCALE, long_safe=True).cast("double")
         / F.lit(FP_SCALE)
@@ -530,9 +695,12 @@ def ann_lsh_seed_topk(
         .select("qid", "qv", "qnorm", "nid", "nv", "nnorm")
         .dropDuplicates(["qid", "nid"])
     )
-    dot = _dot_fp(F.col("qv"), F.col("nv"), FP_SCALE).cast("double") / F.lit(
-        FP_SCALE
-    )
+    # rerank dot stays a JVM lambda (LONG-accumulated): candidate rows
+    # already carry both vectors, so an Arrow pair kernel would pay more
+    # in transfer than it saves (measured; see _fpdot_arrow_udf's note)
+    dot = _dot_fp(F.col("qv"), F.col("nv"), FP_SCALE, long_safe=True).cast(
+        "double"
+    ) / F.lit(FP_SCALE)
     w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nid"))
     return (
         cand.withColumn("cosine", dot / (F.col("qnorm") * F.col("nnorm")))
@@ -673,6 +841,7 @@ def ann_ivf_seed_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     long_safe: bool = True,
+    vectorized: bool = True,
 ) -> DataFrame:
     """IVF top-k with a *deterministic seed quantizer* — oracle-checkable.
 
@@ -688,7 +857,18 @@ def ann_ivf_seed_topk(
     bit-for-bit — this is the variant the correctness driver hash-checks,
     while the k-means variant keeps its recall/exactness pytest coverage.
 
-    100 TB shape:
+    100 TB shape (``vectorized=True``, the default): the quantizer
+    (``n_lists`` seed rows, TakeOrderedAndProject + a bounded collect)
+    and the query set (bounded by the search contract) ride in the
+    kernel closure; the corpus streams through ONE ``mapInPandas`` pass
+    that assigns each row's list (integer matmul argmax) and reranks it
+    against only the queries probing that list, emitting per-batch
+    partial top-k.  No corpus shuffle, no crossJoin blowup; at rest the
+    corpus would be bucketed by ``list_id`` (``sinks.bucketed``) so the
+    scan itself prunes to probed lists.  Bit-identical to the relational
+    twin below (``vectorized=False``) — pinned in tests.
+
+    Relational-twin shape (what the SQL oracle describes):
     - Seed selection is a global top-``n_lists`` by hash —
       TakeOrderedAndProject (per-partition partial top-n, no full sort).
     - Assignment is a broadcast cross-join against ``n_lists`` rows
@@ -697,6 +877,10 @@ def ann_ivf_seed_topk(
     - The candidate join is an equi-join on ``list_id``; shuffle carries
       only probed lists (``nprobe/n_lists`` of the corpus per query set).
     """
+    if vectorized:
+        return _ann_ivf_seed_kernel(
+            corpus, queries, k, n_lists, nprobe, vec_col, id_col
+        )
     c = with_norm(
         corpus.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nv")),
         "nv",
@@ -768,6 +952,115 @@ def ann_ivf_seed_topk(
     return (
         cand.withColumn("cosine", sim)
         .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "nid", "rank", "cosine")
+    )
+
+
+def _ann_ivf_seed_kernel(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    n_lists: int,
+    nprobe: int,
+    vec_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Closure-matrix execution of :func:`ann_ivf_seed_topk`.
+
+    Driver-side state is BOUNDED BY DESIGN: the ``n_lists`` seed
+    centroids (one TakeOrderedAndProject + collect of n_lists rows) and
+    the query set (the search contract — same boundedness argument as
+    the brute-force broadcast and the IVF trainer sample).  Probe lists
+    are computed on that driver-side state with the identical fixed-point
+    math the SQL oracle describes.  The corpus is scanned ONCE: each
+    Arrow batch assigns its rows to lists (integer matmul, argmax with
+    first-max tie-break == (csim desc, list_id asc)), then reranks each
+    row against only the queries probing its list, emitting per-(batch,
+    query) partial top-k — lossless for the global top-k under the same
+    (cosine desc, nid asc) order.  Every intermediate is an exact
+    integer in float64 (pre-rounded elements, see ``_dot_fp``), so
+    kernel results are bit-identical to the relational twin and the SQL
+    oracle.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def _fp(M: "np.ndarray") -> "np.ndarray":
+        S = M.astype(np.float64) * 1e6
+        return np.floor(np.abs(S) + 0.5) * np.sign(S)  # round half away from 0
+
+    rows = corpus.select(
+        F.col(id_col).cast("long").alias("nid"), F.col(vec_col).alias("nv")
+    )
+    seeds_pd = (
+        rows.withColumn("_h", F.md5(F.col("nid").cast("string")))
+        .orderBy("_h", "nid")
+        .limit(n_lists)
+        .toPandas()
+    )
+    qpd = queries.select(
+        F.col(id_col).cast("long").alias("qid"), F.col(vec_col).alias("qv")
+    ).toPandas()
+    empty_schema = "qid long, nid long, rank int, cosine double"
+    if len(qpd) == 0 or len(seeds_pd) == 0:
+        return corpus.sparkSession.createDataFrame([], empty_schema)
+
+    Cm = _fp(np.vstack(seeds_pd["nv"].to_numpy()))  # (L, dim) integers
+    cnorm = np.sqrt((Cm * Cm).sum(axis=1) / FP_SCALE)
+    qids = qpd["qid"].to_numpy().astype(np.int64)
+    Q = _fp(np.vstack(qpd["qv"].to_numpy()))
+    qnorm = np.sqrt((Q * Q).sum(axis=1) / FP_SCALE)
+
+    # probes: per query, top-nprobe lists by (csim desc, list_id asc) —
+    # stable argsort keeps the lower list_id on ties, as the oracle's
+    # row_number ordering does
+    qcs = (Q @ Cm.T / FP_SCALE) / cnorm[None, :]
+    order = np.argsort(-qcs, axis=1, kind="stable")[:, :nprobe]
+    probing: dict[int, "np.ndarray"] = {
+        int(l): np.where((order == l).any(axis=1))[0]
+        for l in np.unique(order)
+    }
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf["nid"].to_numpy().astype(np.int64)
+            R = _fp(np.vstack(pdf["nv"].to_numpy()))
+            nnorm = np.sqrt((R * R).sum(axis=1) / FP_SCALE)
+            assign = ((R @ Cm.T / FP_SCALE) / cnorm[None, :]).argmax(axis=1)
+            out_q, out_n, out_c = [], [], []
+            for l, qidx in probing.items():
+                sel = np.where(assign == l)[0]
+                if len(sel) == 0:
+                    continue
+                C = (R[sel] @ Q[qidx].T / FP_SCALE) / (
+                    qnorm[qidx][None, :] * nnorm[sel][:, None]
+                )
+                kk = min(k, len(sel))
+                for col, qi in enumerate(qidx):
+                    keep = ids[sel] != qids[qi]  # self excluded
+                    cj, ij = C[keep, col], ids[sel][keep]
+                    if len(ij) == 0:
+                        continue
+                    top = np.lexsort((ij, -cj))[:kk]
+                    out_q.append(np.full(len(top), qids[qi], dtype=np.int64))
+                    out_n.append(ij[top])
+                    out_c.append(cj[top])
+            if out_q:
+                yield pd.DataFrame(
+                    {
+                        "qid": np.concatenate(out_q),
+                        "nid": np.concatenate(out_n),
+                        "cosine": np.concatenate(out_c),
+                    }
+                )
+
+    cand = rows.mapInPandas(kernel, "qid long, nid long, cosine double")
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nid"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("qid", "nid", "rank", "cosine")
     )

@@ -151,6 +151,14 @@ _FPS = (
     "CAST(SUM(CAST(round(({x}) * 1e12) AS DECIMAL(38,0))) AS DOUBLE) / 1e12"
 )
 
+# Pre-rounded-element fixed-point DOT (operators.similarity._dot_fp):
+# elements quantized to 1e-6, exact integer products in 1e-12 units —
+# the matmul-able form the similarity kernels and their oracles share.
+_FPD = (
+    "CAST(SUM(CAST(round(({a}) * 1e6) * round(({b}) * 1e6)"
+    " AS DECIMAL(38,0))) AS DOUBLE) / 1e12"
+)
+
 
 def _fps(c):  # Spark twin of _FPS
     return (
@@ -500,10 +508,10 @@ cand AS (
   FROM qbuck qb JOIN cbuck cb ON qb.tbl = cb.tbl AND qb.bucket = cb.bucket
   WHERE qb.qid <> cb.nid
 ),
-cn AS (SELECT nid, sqrt({_FPS.format(x='x * x')}) AS nnorm FROM cx GROUP BY nid),
-qn AS (SELECT qid, sqrt({_FPS.format(x='x * x')}) AS qnorm FROM qx GROUP BY qid),
+cn AS (SELECT nid, sqrt({_FPD.format(a='x', b='x')}) AS nnorm FROM cx GROUP BY nid),
+qn AS (SELECT qid, sqrt({_FPD.format(a='x', b='x')}) AS qnorm FROM qx GROUP BY qid),
 dots AS (
-  SELECT qid, nid, {_FPS.format(x='xq * xn')} AS dot
+  SELECT qid, nid, {_FPD.format(a='xq', b='xn')} AS dot
   FROM (SELECT cand.qid, cand.nid,
                CAST(unnest(q.qv) AS DOUBLE) AS xq,
                CAST(unnest(c.nv) AS DOUBLE) AS xn

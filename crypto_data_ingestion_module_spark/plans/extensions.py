@@ -262,8 +262,13 @@ def _cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(emb, queries, k=10, exact=True, long_safe=True)
 
 
+# Pre-rounded-element fixed point (operators.similarity._dot_fp): each
+# element quantized to 1e-6, dot = exact integer products in 1e-12 units.
+# Rounding the VECTOR (not the product) is what lets the Spark side run
+# the dot as one integer matmul per Arrow batch with zero parity risk.
 _COS_DOT = (
-    "CAST(SUM(CAST(round(CAST({a} AS DOUBLE) * CAST({b} AS DOUBLE) * 1e12)"
+    "CAST(SUM(CAST(round(CAST({a} AS DOUBLE) * 1e6)"
+    " * round(CAST({b} AS DOUBLE) * 1e6)"
     " AS DECIMAL(38,0))) AS DOUBLE) / 1e12"
 )
 
@@ -561,7 +566,8 @@ def _embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _COS_DOT_ND = (
-    "CAST(SUM(CAST(round(CAST({a} AS DOUBLE) * CAST({b} AS DOUBLE) * 1e12)"
+    "CAST(SUM(CAST(round(CAST({a} AS DOUBLE) * 1e6)"
+    " * round(CAST({b} AS DOUBLE) * 1e6)"
     " AS DECIMAL(38,0))) AS DOUBLE) / 1e12"
 )
 

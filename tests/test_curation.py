@@ -152,8 +152,10 @@ def test_ann_lsh_seed_recall(spark):
 
 
 def test_quantized_topk_plan_shape(spark):
-    """Queries broadcast, corpus never shuffled, partial top-k
-    (WindowGroupLimit) before the single per-query exchange."""
+    """Kernel path: corpus streams through one Arrow pass with NO join
+    anywhere (queries ride in the closure); the only exchange is the
+    final per-query window over partial top-k rows.  Lambda twin keeps
+    the broadcast-crossJoin + WindowGroupLimit shape the oracle mirrors."""
     from crypto_data_ingestion_module_spark.operators.quantize import (
         quantize_embeddings,
         quantized_cosine_topk,
@@ -162,13 +164,15 @@ def test_quantized_topk_plan_shape(spark):
     from tests.conftest import SF_SMALL
 
     emb = load_table(spark, SF_SMALL, "embeddings")
-    out = quantized_cosine_topk(
-        quantize_embeddings(emb),
-        quantize_embeddings(emb.filter(F.col("vec_id") % 100 == 0)),
-    )
-    plan = physical_plan(out)
-    assert "WindowGroupLimit" in plan
-    assert "BroadcastNestedLoopJoin" in plan  # corpus side streams, no shuffle
+    cq = quantize_embeddings(emb)
+    qq = quantize_embeddings(emb.filter(F.col("vec_id") % 100 == 0))
+    plan = physical_plan(quantized_cosine_topk(cq, qq))
+    assert "MapInPandas" in plan
+    assert "Join" not in plan  # candidate generation never joins
+
+    twin = physical_plan(quantized_cosine_topk(cq, qq, vectorized=False))
+    assert "WindowGroupLimit" in twin
+    assert "BroadcastNestedLoopJoin" in twin  # corpus streams, no shuffle
 
 
 def test_mixture_sample_small_stratum_underfills(spark):

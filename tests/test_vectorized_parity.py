@@ -1,0 +1,71 @@
+"""Bit-parity of the Arrow-batched fixed-point kernels vs the interpreted
+Column-lambda paths.
+
+The vectorized kernels (`similarity._fpdot_arrow_udf`,
+`quantize._qdot_arrow_udf`) claim BIT-IDENTICAL results to the
+higher-order-function formulations — every rounded product is an exact
+integer in float64/int64, so accumulation order cannot matter, and
+rounding is explicit half-away-from-zero.  These tests pin that claim:
+same rows, same float bits, for every operator that switched kernels.
+"""
+
+import struct
+
+from pyspark.sql import functions as F
+
+from crypto_data_ingestion_module_spark.operators.quantize import (
+    quantize_embeddings,
+    quantized_cosine_topk,
+)
+from crypto_data_ingestion_module_spark.operators.similarity import (
+    ann_ivf_seed_topk,
+    cosine_topk,
+)
+from crypto_data_ingestion_module_spark.session import load_table
+from tests.conftest import SF_SMALL
+
+
+def _bits(x: float) -> int:
+    return struct.unpack("<q", struct.pack("<d", x))[0]
+
+
+def _keyed(rows, val_col):
+    return {(r.qid, r.nid, r.rank): _bits(r[val_col]) for r in rows}
+
+
+def test_cosine_topk_vectorized_bit_parity(spark):
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 200 == 0)
+    slow = cosine_topk(
+        emb, queries, k=10, exact=True, long_safe=True, vectorized=False
+    ).collect()
+    fast = cosine_topk(
+        emb, queries, k=10, exact=True, long_safe=True, vectorized=True
+    ).collect()
+    assert _keyed(slow, "cosine") == _keyed(fast, "cosine")
+    # and against the DECIMAL-accumulated default, same bits again
+    dec = cosine_topk(
+        emb, queries, k=10, exact=True, long_safe=False, vectorized=False
+    ).collect()
+    assert _keyed(dec, "cosine") == _keyed(fast, "cosine")
+
+
+def test_ann_ivf_seed_vectorized_bit_parity(spark):
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 200 == 0)
+    slow = ann_ivf_seed_topk(
+        emb, queries, k=10, n_lists=8, nprobe=3, vectorized=False
+    ).collect()
+    fast = ann_ivf_seed_topk(
+        emb, queries, k=10, n_lists=8, nprobe=3, vectorized=True
+    ).collect()
+    assert _keyed(slow, "cosine") == _keyed(fast, "cosine")
+
+
+def test_quantized_topk_vectorized_bit_parity(spark):
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    qemb = quantize_embeddings(emb)
+    qq = qemb.filter(F.col("vec_id") % 200 == 0)
+    slow = quantized_cosine_topk(qemb, qq, k=10, vectorized=False).collect()
+    fast = quantized_cosine_topk(qemb, qq, k=10, vectorized=True).collect()
+    assert _keyed(slow, "qcosine") == _keyed(fast, "qcosine")
