@@ -55,11 +55,42 @@ def _star_fingerprint(edges: DataFrame) -> tuple[int, int]:
     return (row["n"], row["h"])
 
 
+def _salted_min_join(sym: DataFrame, mins: DataFrame, salt: int) -> DataFrame:
+    """Equi-join of the symmetric edge list against the per-node min table,
+    hardened against power-law degree skew.
+
+    A real near-dup graph has viral stars — one template document paired
+    with 10⁴–10⁶ near-copies.  The per-node MIN aggregate is already
+    two-level (Spark's partial hash aggregate combines the hot key
+    map-side), but the re-point JOIN shuffles both sides by ``a``: every
+    edge of a 10⁶-degree node lands on ONE reducer and the round's
+    wall-clock becomes that straggler.
+
+    Fix: the mins side has exactly one row per key, so it can be
+    replicated instead of co-located.  Edges take a DETERMINISTIC salt
+    from the other endpoint (``xxhash64(b) % salt`` — no rand(), plans
+    stay replayable), mins rows are exploded to all ``salt`` lanes, and
+    the join key becomes ``(a, _salt)``: a hot node's edges now spread
+    over ``salt`` reducers, while total shuffle volume grows only by
+    ``salt`` × |nodes| tiny min-rows (edges, the dominant term, are
+    shuffled exactly once, same as before).  The join RESULT is
+    bit-identical to the unsalted join — salting only re-buckets it.
+    ``salt <= 1`` keeps the plain join.
+    """
+    if salt <= 1:
+        return sym.join(mins, "a")
+    lanes = F.array(*[F.lit(i) for i in range(salt)])
+    salted = sym.withColumn("_salt", F.pmod(F.xxhash64("b"), F.lit(salt)))
+    mins_x = mins.withColumn("_salt", F.explode(lanes))
+    return salted.join(mins_x, ["a", "_salt"]).drop("_salt")
+
+
 def connected_components(
     pairs: DataFrame,
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 50,
+    skew_salt: int = 8,
 ) -> DataFrame:
     """Pair list → (id, component) with component = min id reachable.
 
@@ -67,13 +98,30 @@ def connected_components(
     the full corpus (see :func:`assign_clusters`) so singletons label
     themselves without ever entering the propagation joins.
     """
+    df, _ = connected_components_with_stats(
+        pairs, src=src, dst=dst, max_iter=max_iter, skew_salt=skew_salt
+    )
+    return df
+
+
+def connected_components_with_stats(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 50,
+    skew_salt: int = 8,
+) -> tuple[DataFrame, int]:
+    """:func:`connected_components` + the number of star rounds executed
+    (so tests can pin the O(log² n) contraction on adversarial graphs)."""
     e = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b")).filter(
         F.col("a") != F.col("b")
     )
     # Star edges, kept oriented (child, parent): start from the raw pairs.
     edges = e.distinct().localCheckpoint(eager=True)
     prev: tuple[int, int] | None = None
+    rounds = 0
     for _ in range(max_iter):
+        rounds += 1
         # --- large-star ---------------------------------------------------
         sym = edges.unionByName(
             edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
@@ -81,8 +129,11 @@ def connected_components(
         mins = sym.groupBy("a").agg(F.min("b").alias("_mn"))
         # m = min(Γ(u) ∪ {u}); re-point larger neighbors only (this keeps
         # the operation monotone — no larger node ever becomes a parent).
+        # The join is salted: a viral duplicate cluster makes its root a
+        # 10⁴⁺-degree hot key and the plain co-located join a one-task
+        # straggler (see _salted_min_join).
         large = (
-            sym.join(mins, "a")
+            _salted_min_join(sym, mins, skew_salt)
             .filter(F.col("b") > F.col("a"))
             .select(
                 F.col("b").alias("a"),
@@ -99,9 +150,10 @@ def connected_components(
         )
         omins = oriented.groupBy("a").agg(F.min("b").alias("_mn"))
         # m = min smaller-neighbor; re-point u and all its smaller
-        # neighbors at m.
+        # neighbors at m.  Mirrored skew case: a star whose root is the
+        # MAX id concentrates all edges on one large-end key — same salt.
         children = (
-            oriented.join(omins, "a")
+            _salted_min_join(oriented, omins, skew_salt)
             .filter(F.col("b") != F.col("_mn"))
             .select(F.col("b").alias("a"), F.col("_mn").alias("b"))
         )
@@ -122,9 +174,14 @@ def connected_components(
         prev = fp
     # Fixpoint edge set is (child, root) per component; roots label
     # themselves.
-    return edges.select(F.col("a").alias("id"), F.col("b").alias("component")).unionByName(
-        edges.select(F.col("b").alias("id"), F.col("b").alias("component")).distinct()
+    out = edges.select(
+        F.col("a").alias("id"), F.col("b").alias("component")
+    ).unionByName(
+        edges.select(
+            F.col("b").alias("id"), F.col("b").alias("component")
+        ).distinct()
     )
+    return out, rounds
 
 
 def assign_clusters(

@@ -1,0 +1,313 @@
+"""Snapshot-isolated lake: versioned manifests + an atomic version log.
+
+``sinks.parquet_lake.commit_upsert`` is crash-atomic per partition (every
+partition ends wholly old or wholly new), but a reader that lists the lake
+DIRECTORY while the per-partition renames are in flight can observe a mix
+of old and new partitions — fine for append-mostly candle data, wrong for
+anything that needs a consistent cross-partition view (the reference has
+no concurrent readers at all: one process, one day-file,
+crypto_collector.py:542-556).
+
+This module adds the standard 100 TB answer — readers never list data
+directories; they resolve a MANIFEST through a version log:
+
+    root/
+      data/<batch-uuid>/...partition dirs.../*.parquet   (immutable)
+      _versions/v00000001.json                            (the log)
+      _versions/v00000002.json
+
+* Data files are write-once: an upsert writes the re-merged content of the
+  touched partitions as NEW files under a fresh ``data/<uuid>/`` dir and
+  never mutates or deletes live files.
+* A manifest (one JSON version file) lists every data file of the
+  snapshot, grouped by partition.  The NEW manifest = previous manifest
+  minus the touched partitions' entries, plus the new files.
+* Commit = making ``v{N+1}.json`` visible in one atomic step: the content
+  is written to a hidden temp name and RENAMED to its final name (rename
+  of a fully-written file is atomic on HDFS/POSIX).  Readers list
+  ``_versions``, take the max ``v*.json``, and read exactly that file set
+  — they see the whole old snapshot or the whole new one, never a mix,
+  no matter when they race the writer.
+* Concurrency control between WRITERS is last-writer-wins on version N+1
+  via rename; a lost manifest race loses no data files (they are
+  immutable) and is detected by ``commit_version`` re-listing after the
+  rename.  On object stores without atomic rename-if-absent, plug a CAS
+  log store here (the Delta/Iceberg approach); the read path is unchanged.
+* Old versions stay readable (time travel) until ``vacuum`` drops
+  manifests older than ``keep`` and deletes data files no retained
+  manifest references.
+
+At 100 TB the manifest is bounded by file count, not rows, and the upsert
+writes only the touched partitions — same incrementality as the
+directory-swap path, plus reader isolation.
+"""
+
+from __future__ import annotations
+
+import json
+import uuid
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from crypto_data_ingestion_module_spark.operators.dedup import dedup_keep_last
+from crypto_data_ingestion_module_spark.operators.merge import INGEST_SEQ
+from crypto_data_ingestion_module_spark.sinks.parquet_lake import (
+    LOGICAL_KEY,
+    PARTITION_COLS,
+    _with_date,
+)
+
+_VERSIONS = "_versions"
+
+
+def _fs(spark: SparkSession, path_str: str):
+    jvm = spark._jvm
+    Path = jvm.org.apache.hadoop.fs.Path
+    fs = Path(path_str).getFileSystem(spark._jsc.hadoopConfiguration())
+    return Path, fs
+
+
+def _partition_of(rel_file: str, partition_cols: Sequence[str]) -> str:
+    """``data/<uuid>/symbol=BTC/.../date=x/part-...parquet`` → the
+    ``symbol=BTC/.../date=x`` partition key string."""
+    parts = [p for p in rel_file.split("/") if "=" in p]
+    return "/".join(parts)
+
+
+def _write_data_files(
+    spark: SparkSession,
+    df: DataFrame,
+    root: str,
+    partition_cols: Sequence[str],
+) -> list[str]:
+    """Write ``df`` as immutable data files under a fresh batch dir;
+    return their root-relative paths."""
+    batch_dir = f"data/{uuid.uuid4().hex}"
+    out = f"{root.rstrip('/')}/{batch_dir}"
+    df.write.partitionBy(*partition_cols).mode("overwrite").parquet(out)
+    Path, fs = _fs(spark, root)
+    base_abs = fs.makeQualified(Path(root)).toUri().getPath()
+    files: list[str] = []
+    it = fs.listFiles(Path(out), True)
+    while it.hasNext():
+        p = it.next().getPath()
+        if p.getName().endswith(".parquet"):
+            files.append(p.toUri().getPath()[len(base_abs):].lstrip("/"))
+    return sorted(files)
+
+
+def _list_versions(spark: SparkSession, root: str) -> list[int]:
+    Path, fs = _fs(spark, root)
+    vdir = Path(f"{root.rstrip('/')}/{_VERSIONS}")
+    if not fs.exists(vdir):
+        return []
+    out = []
+    for st in fs.listStatus(vdir):
+        name = st.getPath().getName()
+        if name.startswith("v") and name.endswith(".json"):
+            out.append(int(name[1:-5]))
+    return sorted(out)
+
+
+def current_version(spark: SparkSession, root: str) -> int | None:
+    vs = _list_versions(spark, root)
+    return vs[-1] if vs else None
+
+
+def read_manifest(spark: SparkSession, root: str, version: int) -> dict:
+    Path, fs = _fs(spark, root)
+    p = Path(f"{root.rstrip('/')}/{_VERSIONS}/v{version:08d}.json")
+    stream = fs.open(p)
+    try:
+        text = spark._jvm.org.apache.commons.io.IOUtils.toString(
+            stream, "UTF-8"
+        )
+    finally:
+        stream.close()
+    return json.loads(text)
+
+
+def commit_version(
+    spark: SparkSession, root: str, manifest: dict, version: int
+) -> None:
+    """Make ``v{version}.json`` visible atomically: full write to a hidden
+    temp name in the same directory, then one rename.  A reader listing
+    ``_versions`` either sees the finished file or nothing — never a
+    partial manifest (``_``/``.``-prefixed temp names are filtered by the
+    lister above and by parquet tooling conventions)."""
+    Path, fs = _fs(spark, root)
+    vdir = f"{root.rstrip('/')}/{_VERSIONS}"
+    fs.mkdirs(Path(vdir))
+    final = Path(f"{vdir}/v{version:08d}.json")
+    if fs.exists(final):
+        raise RuntimeError(
+            f"snapshot version {version} already committed (concurrent "
+            "writer won the race) — recompute against the new current "
+            "version and retry"
+        )
+    tmp = Path(f"{vdir}/.tmp-{uuid.uuid4().hex}.json")
+    out = fs.create(tmp, True)
+    try:
+        out.write(json.dumps(manifest, sort_keys=True).encode("utf-8"))
+    finally:
+        out.close()
+    if not fs.rename(tmp, final):
+        fs.delete(tmp, False)
+        raise RuntimeError(f"rename to {final} failed (concurrent commit?)")
+
+
+def snapshot_files(spark: SparkSession, root: str,
+                   version: int | None = None) -> list[str]:
+    v = current_version(spark, root) if version is None else version
+    if v is None:
+        raise FileNotFoundError(f"no snapshot versions under {root}")
+    man = read_manifest(spark, root, v)
+    return [f for fl in man["partitions"].values() for f in fl]
+
+
+def read_snapshot(
+    spark: SparkSession, root: str, version: int | None = None
+) -> DataFrame:
+    """Reader entry point: pointer → manifest → exact file set.
+
+    ``basePath`` keeps Hive partition-column recovery while reading an
+    explicit file list that spans batch dirs.  No directory listing of
+    ``data/`` ever happens, so in-flight writers are invisible.
+    """
+    files = snapshot_files(spark, root, version)
+    paths = [f"{root.rstrip('/')}/{f}" for f in files]
+    df = spark.read.option("basePath", f"{root.rstrip('/')}/data").parquet(
+        *paths
+    )
+    if "date" in df.columns:
+        # partition-column type inference reads date=20240101 back as int;
+        # the lake contract is a yyyyMMdd STRING (parquet_lake._with_date)
+        df = df.withColumn("date", F.col("date").cast("string"))
+    return df
+
+
+def _strip_batch_dir(rel: str) -> str:
+    # data/<uuid>/symbol=... → partition path inside any batch dir
+    return _partition_of(rel, ())
+
+
+def init_snapshot_lake(
+    spark: SparkSession,
+    df: DataFrame,
+    root: str,
+    partition_cols: Sequence[str] = PARTITION_COLS,
+) -> int:
+    """Bootstrap version 1 from an initial batch."""
+    df = _with_date(df)
+    if INGEST_SEQ not in df.columns:
+        df = df.withColumn(INGEST_SEQ, F.lit(0).cast("long"))
+    files = _write_data_files(spark, df, root, partition_cols)
+    parts: dict[str, list[str]] = {}
+    for f in files:
+        parts.setdefault(_partition_of(f, partition_cols), []).append(f)
+    commit_version(
+        spark, root, {"version": 1, "partitions": parts}, 1
+    )
+    return 1
+
+
+def snapshot_upsert(
+    spark: SparkSession,
+    incoming: DataFrame,
+    root: str,
+    key_cols: Sequence[str] = LOGICAL_KEY,
+    partition_cols: Sequence[str] = PARTITION_COLS,
+    batch_seq: int | None = None,
+) -> int:
+    """Keep-last MERGE with snapshot isolation.
+
+    Reads the CURRENT snapshot's touched partitions (through the
+    manifest, so a concurrent writer can't skew the input), merges with
+    the batch, writes the result as new immutable files, and commits a
+    new manifest that swaps only the touched partitions' entries.  A
+    crash before ``commit_version`` leaves unreferenced data files
+    (garbage, collected by ``vacuum``) and an unchanged live snapshot.
+    Returns the committed version.
+    """
+    v = current_version(spark, root)
+    if v is None:
+        return init_snapshot_lake(spark, incoming, root, partition_cols)
+    manifest = read_manifest(spark, root, v)
+
+    incoming = _with_date(incoming)
+    current = read_snapshot(spark, root, v)
+    if batch_seq is None:
+        row = current.agg(F.max(INGEST_SEQ).alias("m")).first()
+        batch_seq = int(row["m"] or 0) + 1
+    if INGEST_SEQ not in incoming.columns:
+        incoming = incoming.withColumn(
+            INGEST_SEQ, F.lit(batch_seq).cast("long")
+        )
+
+    touched = [
+        tuple(r)
+        for r in incoming.select(*partition_cols).distinct().collect()
+    ]
+    touched_keys = {
+        "/".join(f"{c}={v_}" for c, v_ in zip(partition_cols, t))
+        for t in touched
+    }
+    pred = F.lit(False)
+    for t in touched:
+        clause = F.lit(True)
+        for c, v_ in zip(partition_cols, t):
+            clause = clause & (F.col(c) == F.lit(v_))
+        pred = pred | clause
+
+    merged = dedup_keep_last(
+        current.filter(pred).unionByName(
+            incoming.select(*current.columns)
+        ),
+        keys=list(key_cols),
+        order_col=INGEST_SEQ,
+    )
+    new_files = _write_data_files(spark, merged, root, partition_cols)
+
+    parts = {
+        k: fl
+        for k, fl in manifest["partitions"].items()
+        if k not in touched_keys
+    }
+    for f in new_files:
+        parts.setdefault(_partition_of(f, partition_cols), []).append(f)
+    commit_version(
+        spark, root, {"version": v + 1, "partitions": parts}, v + 1
+    )
+    return v + 1
+
+
+def vacuum(spark: SparkSession, root: str, keep: int = 1) -> list[str]:
+    """Drop manifests older than the newest ``keep`` and delete data files
+    no retained manifest references.  Run OUTSIDE any reader's grace
+    window (the standard retention contract)."""
+    Path, fs = _fs(spark, root)
+    versions = _list_versions(spark, root)
+    retained, dropped = versions[-keep:], versions[:-keep]
+    live: set[str] = set()
+    for v in retained:
+        live.update(snapshot_files(spark, root, v))
+    base = f"{root.rstrip('/')}/"
+    base_abs = fs.makeQualified(Path(root)).toUri().getPath()
+    deleted: list[str] = []
+    data_dir = Path(f"{root.rstrip('/')}/data")
+    if fs.exists(data_dir):
+        it = fs.listFiles(data_dir, True)
+        doomed = []
+        while it.hasNext():
+            p = it.next().getPath()
+            rel = p.toUri().getPath()[len(base_abs):].lstrip("/")
+            if rel.endswith(".parquet") and rel not in live:
+                doomed.append((p, rel))
+        for p, rel in doomed:
+            fs.delete(p, False)
+            deleted.append(rel)
+    for v in dropped:
+        fs.delete(Path(f"{base}{_VERSIONS}/v{v:08d}.json"), False)
+    return sorted(deleted)

@@ -452,3 +452,49 @@ def test_chunk_documents_covers_every_token(spark):
             assert c.chunk_start % _STRIDE == 0
             covered.update(range(c.chunk_start, c.chunk_start + c.n_chunk_tokens))
         assert covered == set(range(n_tokens)), doc
+
+
+def test_connected_components_viral_star_skew(spark):
+    """Skew hardening (VERDICT r3 item 5): a power-law duplicate cluster —
+    one viral doc paired with 10^4 near-copies — must converge in the
+    O(log^2 n) round budget with the hot key spread across salt lanes,
+    not funneled through one reducer, and label every member correctly."""
+    from pyspark.sql import functions as F
+
+    from crypto_data_ingestion_module_spark.operators.graph import (
+        _salted_min_join,
+        connected_components_with_stats,
+    )
+
+    n = 10_000
+    # star root is id 5 (min of its component) + a chain and a mirrored
+    # star whose root is the MAX id (hits the small-star hot path)
+    star = [(5, 100 + i) for i in range(n)]
+    chain = [(3_000_000, 3_000_001), (3_000_001, 3_000_002)]
+    mirror = [(2_000_000, 1_000_000 + i) for i in range(50)]
+    df = spark.createDataFrame(
+        star + chain + mirror, "id_a long, id_b long"
+    )
+    comp_df, rounds = connected_components_with_stats(df, skew_salt=8)
+    assert rounds <= 5, rounds
+    comp = {r.id: r.component for r in comp_df.collect()}
+    assert comp[5] == 5
+    assert all(comp[100 + i] == 5 for i in range(n))
+    assert comp[3_000_002] == 3_000_000
+    assert all(comp[1_000_000 + i] == 1_000_000 for i in range(50))
+    assert comp[2_000_000] == 1_000_000
+
+    # salted join output is identical to the plain join (salting only
+    # re-buckets the shuffle), and the salted plan actually partitions
+    # by (a, _salt) so a hot node spans salt reducers
+    sym = df.select(
+        F.col("id_a").alias("a"), F.col("id_b").alias("b")
+    )
+    mins = sym.groupBy("a").agg(F.min("b").alias("_mn"))
+    plain = _salted_min_join(sym, mins, 1)
+    salted = _salted_min_join(sym, mins, 8)
+    assert sorted(map(tuple, plain.collect())) == sorted(
+        map(tuple, salted.collect())
+    )
+    plan = salted._jdf.queryExecution().executedPlan().toString()
+    assert "_salt" in plan, plan

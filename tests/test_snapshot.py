@@ -1,0 +1,183 @@
+"""Snapshot-isolated lake (sinks/snapshot.py): readers racing a writer see
+exactly the old or the new snapshot, never a mix (VERDICT r3 item 4)."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from crypto_data_ingestion_module_spark.sinks.snapshot import (
+    commit_version,
+    current_version,
+    init_snapshot_lake,
+    read_manifest,
+    read_snapshot,
+    snapshot_files,
+    snapshot_upsert,
+    vacuum,
+)
+
+T0 = dt.datetime(2024, 1, 1, 0, 0)
+T1 = dt.datetime(2024, 1, 1, 0, 15)
+T2 = dt.datetime(2024, 1, 2, 0, 0)  # next day → different partition
+
+
+def _candles(spark, rows):
+    return spark.createDataFrame(
+        [
+            (o, o + 1, o - 1, o + 0.5, v, ts, sym, ex, ivl, "spot")
+            for (o, v, ts, sym, ex, ivl) in rows
+        ],
+        "open double, high double, low double, close double, volume double, "
+        "timestamp timestamp, symbol string, exchange string, "
+        "interval string, data_type string",
+    )
+
+
+def _state(df):
+    return sorted(
+        (r.symbol, r.date, r.timestamp, r.open, r.volume)
+        for r in df.select(
+            "symbol", "date", "timestamp", "open", "volume"
+        ).collect()
+    )
+
+
+def test_snapshot_upsert_keep_last(spark, tmp_path):
+    root = str(tmp_path / "snap")
+    v1 = snapshot_upsert(
+        spark,
+        _candles(
+            spark,
+            [
+                (100.0, 1.0, T0, "BTC-USDT", "coinbase", "15m"),
+                (110.0, 1.5, T1, "BTC-USDT", "coinbase", "15m"),
+            ],
+        ),
+        root,
+    )
+    assert v1 == 1
+    v2 = snapshot_upsert(
+        spark,
+        _candles(
+            spark,
+            [
+                (999.0, 9.0, T0, "BTC-USDT", "coinbase", "15m"),  # correction
+                (120.0, 2.0, T2, "BTC-USDT", "coinbase", "15m"),  # new day
+            ],
+        ),
+        root,
+    )
+    assert v2 == 2
+    got = read_snapshot(spark, root)
+    assert _state(got) == _state(
+        _candles(
+            spark,
+            [
+                (999.0, 9.0, T0, "BTC-USDT", "coinbase", "15m"),
+                (110.0, 1.5, T1, "BTC-USDT", "coinbase", "15m"),
+                (120.0, 2.0, T2, "BTC-USDT", "coinbase", "15m"),
+            ],
+        ).withColumn("date", F.date_format("timestamp", "yyyyMMdd"))
+    )
+    # time travel: version 1 still reads the pre-correction state
+    old = read_snapshot(spark, root, version=1)
+    assert [r.open for r in old.filter(F.col("timestamp") == T0).collect()] == [
+        100.0
+    ]
+
+
+def test_reader_sees_old_or_new_never_mixed(spark, tmp_path):
+    """Simulate every intermediate writer state a racing reader could
+    observe and pin that the resolved snapshot is always exactly-old or
+    exactly-new — the property the directory-swap path cannot give."""
+    root = str(tmp_path / "snap")
+    base = _candles(
+        spark,
+        [
+            (100.0, 1.0, T0, "BTC-USDT", "coinbase", "15m"),
+            (200.0, 2.0, T2, "BTC-USDT", "coinbase", "15m"),
+        ],
+    )
+    snapshot_upsert(spark, base, root)
+    old_state = _state(read_snapshot(spark, root))
+
+    patch = _candles(
+        spark,
+        [
+            (111.0, 1.1, T0, "BTC-USDT", "coinbase", "15m"),
+            (222.0, 2.2, T2, "BTC-USDT", "coinbase", "15m"),
+        ],
+    )
+
+    # --- mid-write: new data files exist on disk, manifest not committed.
+    # A reader resolving through the pointer must still see the old state.
+    from crypto_data_ingestion_module_spark.sinks.snapshot import (
+        _write_data_files,
+    )
+
+    staged = _write_data_files(
+        spark,
+        patch.withColumn("date", F.date_format("timestamp", "yyyyMMdd"))
+        .withColumn("_ingest_seq", F.lit(5).cast("long")),
+        root,
+        (
+            "symbol",
+            "interval",
+            "data_type",
+            "exchange",
+            "date",
+        ),
+    )
+    assert staged, "staged files should exist"
+    assert _state(read_snapshot(spark, root)) == old_state
+    assert current_version(spark, root) == 1
+
+    # --- the real commit path (re-merges; the orphaned staged files above
+    # stay invisible garbage until vacuum)
+    v = snapshot_upsert(spark, patch, root, batch_seq=6)
+    new_state = _state(read_snapshot(spark, root))
+    assert v == 2
+    assert new_state != old_state
+    assert [s[3] for s in new_state] == [111.0, 222.0]
+    # old version remains fully intact — no partial overwrite of its files
+    assert _state(read_snapshot(spark, root, version=1)) == old_state
+
+
+def test_concurrent_commit_detected(spark, tmp_path):
+    root = str(tmp_path / "snap")
+    init_snapshot_lake(
+        spark,
+        _candles(spark, [(100.0, 1.0, T0, "BTC-USDT", "coinbase", "15m")]),
+        root,
+    )
+    man = read_manifest(spark, root, 1)
+    # a second writer committing the same next-version must fail loudly
+    commit_version(spark, root, dict(man, version=2), 2)
+    with pytest.raises(RuntimeError, match="already committed"):
+        commit_version(spark, root, dict(man, version=2), 2)
+
+
+def test_vacuum_drops_only_unreferenced(spark, tmp_path):
+    root = str(tmp_path / "snap")
+    snapshot_upsert(
+        spark,
+        _candles(spark, [(100.0, 1.0, T0, "BTC-USDT", "coinbase", "15m")]),
+        root,
+    )
+    snapshot_upsert(
+        spark,
+        _candles(spark, [(111.0, 1.1, T0, "BTC-USDT", "coinbase", "15m")]),
+        root,
+        batch_seq=2,
+    )
+    before = _state(read_snapshot(spark, root))
+    v1_files = set(snapshot_files(spark, root, 1))
+    v2_files = set(snapshot_files(spark, root, 2))
+    deleted = vacuum(spark, root, keep=1)
+    # everything v1-only is gone, everything the live snapshot needs stays
+    assert set(deleted) == v1_files - v2_files
+    assert _state(read_snapshot(spark, root)) == before
+    assert current_version(spark, root) == 2
+    with pytest.raises(Exception):
+        read_manifest(spark, root, 1)
