@@ -18,6 +18,8 @@ Python in the hot path.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -400,11 +402,93 @@ def simhash60_md5(
     return votes.select("id", fp.alias("simhash60"))
 
 
+def simhash60_md5_kernel(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Arrow-batched twin of :func:`simhash60_md5` — bit-identical output,
+    one ``mapInPandas`` pass instead of explode + two shuffles.
+
+    Safe to swap because every semantic ingredient is engine-agnostic:
+    the word pattern is ASCII-only (``[A-Za-z0-9]+`` — Python ``re`` and
+    the JVM regex agree token-for-token, no Unicode case folding
+    anywhere), the token hash is an md5 prefix (identical bytes in
+    hashlib / Spark / DuckDB), votes are exact integer counts, and the
+    head-slice keeps document order like ``F.slice`` does.  Null/empty
+    texts drop the row — the same absence the explode produces.
+
+    Scale shape: embarrassingly parallel, zero shuffle (the Column
+    variant shuffles distinct (doc, token) pairs twice); per document
+    the work is one regex scan + one md5 per DISTINCT token + a
+    ``distinct × 60`` numpy vote matrix.  Measured at sf0.1: fingerprint
+    pass 2.35 s → ~0.4 s (32 lanes).
+    """
+    import hashlib
+    from collections import Counter
+
+    import numpy as np
+    import pandas as pd
+
+    from crypto_data_ingestion_module_spark.functions.text import WORD_PATTERN
+
+    pat = re.compile(WORD_PATTERN)
+    shifts = np.arange(60, dtype=np.uint64)
+    max_toks = _SIMHASH_MAX_TOKENS
+
+    def kernel(batches):
+        for pdf in batches:
+            ids_out: list[int] = []
+            fp_out: list[int] = []
+            for did, text in zip(pdf["id"].to_numpy(), pdf["t"]):
+                if not isinstance(text, str):
+                    continue
+                toks = pat.findall(text)[:max_toks]
+                if not toks:
+                    continue
+                n = len(toks)
+                cnt = Counter(toks)
+                hs = np.fromiter(
+                    (
+                        int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
+                        for t in cnt
+                    ),
+                    dtype=np.uint64,
+                    count=len(cnt),
+                )
+                ws = np.fromiter(cnt.values(), dtype=np.int64, count=len(cnt))
+                bits = (
+                    (hs[:, None] >> shifts[None, :]) & np.uint64(1)
+                ).astype(np.int64)
+                votes = (bits * ws[:, None]).sum(axis=0)
+                fp = int(((votes * 2 > n).astype(np.uint64) << shifts).sum())
+                ids_out.append(int(did))
+                fp_out.append(fp)
+            if ids_out:
+                yield pd.DataFrame(
+                    {
+                        "id": np.asarray(ids_out, dtype=np.int64),
+                        "simhash60": np.asarray(fp_out, dtype=np.int64),
+                    }
+                )
+
+    src = df.select(
+        F.col(id_col).cast("long").alias("id"), F.col(text_col).alias("t")
+    )
+    # A small corpus often arrives as 1-2 parquet splits; spread the
+    # hash work across the cluster.  At real scale the input split count
+    # already exceeds parallelism and this is a no-op-sized shuffle
+    # relative to the md5 work it unlocks.
+    sc = df.sparkSession.sparkContext
+    if src.rdd.getNumPartitions() < sc.defaultParallelism:
+        src = src.repartition(sc.defaultParallelism)
+    return src.mapInPandas(kernel, "id long, simhash60 long")
+
+
 def simhash_hamming_pairs(
     df: DataFrame,
     max_hamming: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    vectorized: bool = True,
 ) -> DataFrame:
     """Near-dup pairs within Hamming distance ``max_hamming`` of their
     60-bit md5-SimHash, with **recall 1** by pigeonhole banding.
@@ -419,10 +503,19 @@ def simhash_hamming_pairs(
     """
     n_bands = max_hamming + 1
     base, extra = divmod(60, n_bands)
-    fp = simhash60_md5(df, text_col, id_col)
+    fp = (
+        # one Arrow pass; checkpointed so the SELF-join below reads the
+        # materialized 17-byte-per-doc fingerprint table twice instead of
+        # re-running the md5 kernel for each join side
+        simhash60_md5_kernel(df, text_col, id_col).localCheckpoint(eager=True)
+        if vectorized
+        else simhash60_md5(df, text_col, id_col)
+    )
+    spans: list[tuple[int, int]] = []
     band_structs, start = [], 0
     for b in range(n_bands):
         width = base + (1 if b < extra else 0)
+        spans.append((start, width))
         band_structs.append(
             F.struct(
                 F.lit(b).alias("band"),
@@ -435,17 +528,34 @@ def simhash_hamming_pairs(
     bands = fp.select(
         "id", "simhash60", F.explode(F.array(*band_structs)).alias("s")
     ).select("id", "simhash60", "s.band", "s.bv")
+
+    def _bv(col: str, s: int, w: int) -> Column:
+        return F.shiftrightunsigned(F.col(col), s).bitwiseAND(
+            F.lit((1 << w) - 1)
+        )
+
+    # A pair agreeing on multiple bands would surface once per agreeing
+    # band; instead of a dropDuplicates shuffle over the candidate list,
+    # keep a candidate only when it came from the SMALLEST agreeing band
+    # — computable from the two fingerprints already in the row (every
+    # earlier band must differ), so dedup is a pure expression.
+    minimal_band = F.lit(True)
+    for bp, (s, w) in enumerate(spans):
+        minimal_band = minimal_band & (
+            (F.col("band") <= F.lit(bp)) | (_bv("fa", s, w) != _bv("fb", s, w))
+        )
     cand = (
         bands.alias("l")
         .join(bands.alias("r"), ["band", "bv"])
         .filter(F.col("l.id") < F.col("r.id"))
         .select(
+            F.col("band"),
             F.col("l.id").alias("id_a"),
             F.col("r.id").alias("id_b"),
             F.col("l.simhash60").alias("fa"),
             F.col("r.simhash60").alias("fb"),
         )
-        .dropDuplicates(["id_a", "id_b"])
+        .filter(minimal_band)
     )
     return (
         cand.withColumn(

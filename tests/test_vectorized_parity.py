@@ -69,3 +69,45 @@ def test_quantized_topk_vectorized_bit_parity(spark):
     slow = quantized_cosine_topk(qemb, qq, k=10, vectorized=False).collect()
     fast = quantized_cosine_topk(qemb, qq, k=10, vectorized=True).collect()
     assert _keyed(slow, "qcosine") == _keyed(fast, "qcosine")
+
+
+def test_simhash60_kernel_bit_parity(spark):
+    """Arrow md5-SimHash kernel vs the Column/SQL formulation: identical
+    fingerprints (including null/empty-text row absence) and identical
+    Hamming pair sets through both paths of simhash_hamming_pairs."""
+    from crypto_data_ingestion_module_spark.operators.text_dedup import (
+        simhash60_md5,
+        simhash60_md5_kernel,
+        simhash_hamming_pairs,
+    )
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    # adversarial rows: null text, empty text, whitespace-only, >cap dup
+    extra = spark.createDataFrame(
+        [
+            (900001, None),
+            (900002, ""),
+            (900003, "   \t\n "),
+            (900004, "tok " * 70000),
+            (900005, "Mixed CASE tokens 42 mixed case TOKENS 42"),
+        ],
+        "doc_id long, text string",
+    )
+    df = docs.select("doc_id", "text").unionByName(extra)
+    col_fp = {(r.id, r.simhash60) for r in simhash60_md5(df).collect()}
+    ker_fp = {(r.id, r.simhash60) for r in simhash60_md5_kernel(df).collect()}
+    assert col_fp == ker_fp
+    # null/empty/whitespace docs are absent from BOTH
+    present = {i for i, _ in ker_fp}
+    assert {900001, 900002, 900003}.isdisjoint(present)
+    assert {900004, 900005} <= present
+
+    slow = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in simhash_hamming_pairs(df, vectorized=False).collect()
+    }
+    fast = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in simhash_hamming_pairs(df, vectorized=True).collect()
+    }
+    assert slow == fast
