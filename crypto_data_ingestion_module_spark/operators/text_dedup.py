@@ -483,6 +483,96 @@ def simhash60_md5_kernel(
     return src.mapInPandas(kernel, "id long, simhash60 long")
 
 
+def _simhash_band_spans(max_hamming: int) -> list[tuple[int, int]]:
+    """(start_bit, width) of the ``max_hamming + 1`` disjoint pigeonhole
+    bands over the 60-bit fingerprint."""
+    n_bands = max_hamming + 1
+    base, extra = divmod(60, n_bands)
+    spans, start = [], 0
+    for b in range(n_bands):
+        width = base + (1 if b < extra else 0)
+        spans.append((start, width))
+        start += width
+    return spans
+
+
+def simhash60_band_rows(fp: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """(id, simhash60) → exploded (id, simhash60, band, bv) pigeonhole
+    rows — the joinable index form shared by the one-shot pair query and
+    the incremental/streaming ingestion path (band values are a pure
+    function of the fingerprint, so rows built batch-by-batch are
+    identical to rows built from the whole corpus)."""
+    band_structs = []
+    for b, (start, width) in enumerate(_simhash_band_spans(max_hamming)):
+        band_structs.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftrightunsigned(F.col("simhash60"), start)
+                .bitwiseAND(F.lit((1 << width) - 1))
+                .alias("bv"),
+            )
+        )
+    return fp.select(
+        "id", "simhash60", F.explode(F.array(*band_structs)).alias("s")
+    ).select("id", "simhash60", "s.band", "s.bv")
+
+
+def incremental_simhash_pairs(
+    new_docs: DataFrame,
+    index: DataFrame | None,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, DataFrame]:
+    """Check a new batch against an accumulated SimHash band index.
+
+    Returns ``(pairs, new_band_rows)``: every Hamming ≤ ``max_hamming``
+    pair with at least one side in ``new_docs`` (new-vs-index and
+    new-vs-new), canonicalized ``id_a < id_b``; and the batch's band
+    rows for the caller to append (``index ∪ new_band_rows`` serves the
+    next batch).  Band collision is a pure pairwise predicate of the two
+    fingerprints, so batch-by-batch ingestion finds EXACTLY the pairs
+    :func:`simhash_hamming_pairs` finds over the union — recall 1 stays
+    recall 1 incrementally (same argument as the MinHash path in
+    ``operators.incremental``, pinned by the streaming-curation test).
+    """
+    fp = simhash60_md5_kernel(new_docs, text_col, id_col).localCheckpoint(
+        eager=True
+    )
+    new_bands = simhash60_band_rows(fp, max_hamming)
+    full = new_bands if index is None else new_bands.unionByName(index)
+    a, b = new_bands.alias("a"), full.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.id") != F.col("b.id")),
+        )
+        .select(
+            F.least(F.col("a.id"), F.col("b.id")).alias("id_a"),
+            F.greatest(F.col("a.id"), F.col("b.id")).alias("id_b"),
+            F.when(
+                F.col("a.id") < F.col("b.id"), F.col("a.simhash60")
+            ).otherwise(F.col("b.simhash60")).alias("fa"),
+            F.when(
+                F.col("a.id") < F.col("b.id"), F.col("b.simhash60")
+            ).otherwise(F.col("a.simhash60")).alias("fb"),
+        )
+        # new-vs-new double matches + multi-band agreements collapse here;
+        # per-batch candidate lists are small so this shuffle is bounded
+        # by the batch, never the corpus
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("fa").bitwiseXOR(F.col("fb"))).cast("long"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+    return pairs, new_bands
+
+
 def simhash_hamming_pairs(
     df: DataFrame,
     max_hamming: int = 3,
@@ -501,8 +591,6 @@ def simhash_hamming_pairs(
     volume is (bands × docs) fingerprint rows — never documents, never
     n² — the same scale shape as the MinHash banding join.
     """
-    n_bands = max_hamming + 1
-    base, extra = divmod(60, n_bands)
     fp = (
         # one Arrow pass; checkpointed so the SELF-join below reads the
         # materialized 17-byte-per-doc fingerprint table twice instead of
@@ -511,23 +599,7 @@ def simhash_hamming_pairs(
         if vectorized
         else simhash60_md5(df, text_col, id_col)
     )
-    spans: list[tuple[int, int]] = []
-    band_structs, start = [], 0
-    for b in range(n_bands):
-        width = base + (1 if b < extra else 0)
-        spans.append((start, width))
-        band_structs.append(
-            F.struct(
-                F.lit(b).alias("band"),
-                F.shiftrightunsigned(F.col("simhash60"), start)
-                .bitwiseAND(F.lit((1 << width) - 1))
-                .alias("bv"),
-            )
-        )
-        start += width
-    bands = fp.select(
-        "id", "simhash60", F.explode(F.array(*band_structs)).alias("s")
-    ).select("id", "simhash60", "s.band", "s.bv")
+    bands = simhash60_band_rows(fp, max_hamming)
 
     def _bv(col: str, s: int, w: int) -> Column:
         return F.shiftrightunsigned(F.col(col), s).bitwiseAND(
@@ -540,7 +612,7 @@ def simhash_hamming_pairs(
     # — computable from the two fingerprints already in the row (every
     # earlier band must differ), so dedup is a pure expression.
     minimal_band = F.lit(True)
-    for bp, (s, w) in enumerate(spans):
+    for bp, (s, w) in enumerate(_simhash_band_spans(max_hamming)):
         minimal_band = minimal_band & (
             (F.col("band") <= F.lit(bp)) | (_bv("fa", s, w) != _bv("fb", s, w))
         )

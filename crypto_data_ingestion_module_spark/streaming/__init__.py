@@ -9,3 +9,7 @@ from crypto_data_ingestion_module_spark.streaming.dedup_stream import (  # noqa:
 from crypto_data_ingestion_module_spark.streaming.rollup_stream import (  # noqa: F401
     stream_rollup,
 )
+from crypto_data_ingestion_module_spark.streaming.curate_stream import (  # noqa: F401
+    finalize_curated,
+    stream_curate_ingest,
+)
