@@ -894,66 +894,116 @@ def ann_ivf_seed_topk(
         long_safe=long_safe,
     ).withColumnRenamed("_norm", "qnorm")
 
-    # centroids: n_lists corpus vectors with smallest (md5(id), id).
-    # orderBy().limit() compiles to TakeOrderedAndProject; the row_number
-    # window then runs on n_lists rows only.
-    seeds = (
-        c.withColumn("_h", F.md5(F.col("nid").cast("string")))
-        .orderBy("_h", "nid")
-        .limit(n_lists)
-    )
-    w_seed = Window.orderBy("_h", "nid")
-    cent = seeds.select(
-        (F.row_number().over(w_seed) - 1).alias("list_id"),
-        F.col("nv").alias("cv"),
-        F.col("nnorm").alias("cnorm"),
-    )
-
-    def _fpdot(a: str, b: str) -> Column:
-        return _dot_fp(F.col(a), F.col(b), FP_SCALE, long_safe).cast(
-            "double"
-        ) / F.lit(FP_SCALE)
-
-    # assignment: argmax_j dot(nv, cv_j)/|cv_j| (|nv| constant per nid —
-    # dropping it cannot change the argmax).  min(struct(-csim, list_id))
-    # is the partial-aggregable argmax with the (sim desc, list asc)
-    # tie-break the oracle mirrors.
-    def _csim(vec: str) -> Column:
-        return (_fpdot(vec, "cv") / F.col("cnorm")).alias("csim")
-
-    assigned = (
-        c.crossJoin(F.broadcast(cent))
-        .select("nid", "nv", "nnorm", "list_id", _csim("nv"))
-        .groupBy("nid")
-        .agg(
-            F.min(F.struct((-F.col("csim")).alias("n"), F.col("list_id").alias("l"))).alias("_a"),
-            F.first("nv").alias("nv"),
-            F.first("nnorm").alias("nnorm"),
-        )
-        .select("nid", F.col("_a.l").alias("list_id"), "nv", "nnorm")
-    )
-
-    w_probe = Window.partitionBy("qid").orderBy(F.desc("csim"), F.asc("list_id"))
-    probes = (
-        q.crossJoin(F.broadcast(cent))
-        .select("qid", "qv", "qnorm", "list_id", _csim("qv"))
-        .withColumn("_pr", F.row_number().over(w_probe))
-        .filter(F.col("_pr") <= nprobe)
-        .select("qid", "qv", "qnorm", "list_id")
-    )
+    cent = _seed_centroids(c, n_lists)
+    assigned = _ivf_seed_assign_normed(c, cent, long_safe)
+    probes = _ivf_probe_lists(q, cent, nprobe, long_safe)
 
     cand = (
         F.broadcast(probes)
         .join(assigned, "list_id")
         .filter(F.col("qid") != F.col("nid"))
     )
-    sim = _fpdot("qv", "nv") / (F.col("qnorm") * F.col("nnorm"))
+    sim = _ivf_fpdot("qv", "nv", long_safe) / (
+        F.col("qnorm") * F.col("nnorm")
+    )
     w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nid"))
     return (
         cand.withColumn("cosine", sim)
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("qid", "nid", "rank", "cosine")
+    )
+
+
+def _ivf_fpdot(a: str, b: str, long_safe: bool = True) -> Column:
+    return _dot_fp(F.col(a), F.col(b), FP_SCALE, long_safe).cast(
+        "double"
+    ) / F.lit(FP_SCALE)
+
+
+def _seed_centroids(c: DataFrame, n_lists: int) -> DataFrame:
+    """Seed quantizer: the ``n_lists`` corpus vectors with smallest
+    ``(md5(id), id)`` → (list_id, cv, cnorm).  ``c`` must carry
+    (nid, nv, nnorm).  ``orderBy().limit()`` compiles to
+    TakeOrderedAndProject; the row_number window then runs on
+    ``n_lists`` rows only."""
+    seeds = (
+        c.withColumn("_h", F.md5(F.col("nid").cast("string")))
+        .orderBy("_h", "nid")
+        .limit(n_lists)
+    )
+    w_seed = Window.orderBy("_h", "nid")
+    return seeds.select(
+        (F.row_number().over(w_seed) - 1).alias("list_id"),
+        F.col("nv").alias("cv"),
+        F.col("nnorm").alias("cnorm"),
+    )
+
+
+def _csim_expr(vec: str, long_safe: bool) -> Column:
+    return (_ivf_fpdot(vec, "cv", long_safe) / F.col("cnorm")).alias("csim")
+
+
+def _ivf_seed_assign_normed(
+    c: DataFrame, cent: DataFrame, long_safe: bool = True
+) -> DataFrame:
+    """(nid, nv, nnorm) × centroids → (nid, list_id, nv, nnorm).
+
+    Assignment is argmax_j dot(nv, cv_j)/|cv_j| (|nv| constant per nid —
+    dropping it cannot change the argmax).  ``min(struct(-csim, list))``
+    is the partial-aggregable argmax with the (sim desc, list asc)
+    tie-break the oracle mirrors.
+    """
+    return (
+        c.crossJoin(F.broadcast(cent))
+        .select("nid", "nv", "nnorm", "list_id", _csim_expr("nv", long_safe))
+        .groupBy("nid")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("csim")).alias("n"), F.col("list_id").alias("l")
+                )
+            ).alias("_a"),
+            F.first("nv").alias("nv"),
+            F.first("nnorm").alias("nnorm"),
+        )
+        .select("nid", F.col("_a.l").alias("list_id"), "nv", "nnorm")
+    )
+
+
+def ivf_seed_assign(
+    corpus: DataFrame,
+    n_lists: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    long_safe: bool = True,
+) -> DataFrame:
+    """Seeded-IVF inverted-list assignment of a whole corpus:
+    (nid, list_id, nv, nnorm) — the at-rest index form
+    ``sinks.ann_lake.write_ivf_index`` buckets by ``list_id``."""
+    c = with_norm(
+        corpus.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nv")),
+        "nv",
+        exact=True,
+        long_safe=long_safe,
+    ).withColumnRenamed("_norm", "nnorm")
+    return _ivf_seed_assign_normed(c, _seed_centroids(c, n_lists), long_safe)
+
+
+def _ivf_probe_lists(
+    q: DataFrame, cent: DataFrame, nprobe: int, long_safe: bool = True
+) -> DataFrame:
+    """(qid, qv, qnorm) × centroids → each query's ``nprobe`` nearest
+    lists: (qid, qv, qnorm, list_id)."""
+    w_probe = Window.partitionBy("qid").orderBy(
+        F.desc("csim"), F.asc("list_id")
+    )
+    return (
+        q.crossJoin(F.broadcast(cent))
+        .select("qid", "qv", "qnorm", "list_id", _csim_expr("qv", long_safe))
+        .withColumn("_pr", F.row_number().over(w_probe))
+        .filter(F.col("_pr") <= nprobe)
+        .select("qid", "qv", "qnorm", "list_id")
     )
 
 

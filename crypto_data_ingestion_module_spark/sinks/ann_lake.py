@@ -1,0 +1,165 @@
+"""IVF index at rest: inverted lists as a ``list_id``-bucketed table.
+
+``operators.similarity.ann_ivf_seed_topk`` builds its inverted file
+per query run — right for ad-hoc search, wrong for a served index over
+a 100 TB corpus, where assignment is paid once at WRITE time and every
+probe afterwards should touch only ``nprobe / n_lists`` of the data.
+
+This module materializes the assignment with ``sinks.bucketed``:
+
+- :func:`write_ivf_index` computes (nid, list_id, nv, nnorm) with the
+  seeded quantizer and writes it bucketed by ``list_id`` (one bucket per
+  list, sorted by (list_id, nid)).
+- :func:`ann_ivf_probe_bucketed` recomputes the centroids FROM the
+  stored table (the seed quantizer is a pure function of (id, vector),
+  so the index is self-describing — no side-channel centroid file),
+  ranks each query's ``nprobe`` lists, and pushes the probed list ids
+  into the scan as an ``isin`` literal filter: Spark's bucket pruning
+  then reads only the probed buckets (``SelectedBucketsCount: nprobe
+  out of n_lists`` in the plan) and the candidate join is
+  broadcast-hash — **zero shuffle Exchange** over the corpus, pinned by
+  ``tests/test_ann_lake.py``.
+
+The probe set is collected driver-side before the scan: it is bounded
+by queries × nprobe (the search contract), and turning it into literals
+is exactly what lets the scan prune — the same trade every IVF serving
+system makes.
+
+Results are bit-identical to ``ann_ivf_seed_topk(vectorized=False)``
+with the same parameters (pinned in tests): same quantizer, same
+fixed-point dots, same tie-breaks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from crypto_data_ingestion_module_spark.operators.similarity import (
+    _ivf_fpdot,
+    _ivf_probe_lists,
+    _seed_centroids,
+    ivf_seed_assign,
+    with_norm,
+)
+from crypto_data_ingestion_module_spark.sinks.bucketed import (
+    physical_plan,
+    read_bucketed,
+    write_bucketed,
+)
+
+
+def write_ivf_index(
+    corpus: DataFrame,
+    table: str,
+    n_lists: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    path: str | None = None,
+    long_safe: bool = True,
+) -> None:
+    """Materialize the seeded-IVF inverted lists, bucketed by list."""
+    assigned = ivf_seed_assign(corpus, n_lists, vec_col, id_col, long_safe)
+    write_bucketed(
+        assigned,
+        table,
+        bucket_cols=["list_id"],
+        num_buckets=n_lists,
+        sort_cols=["list_id", "nid"],
+        path=path,
+    )
+
+
+def ann_ivf_probe_bucketed(
+    spark: SparkSession,
+    table: str,
+    queries: DataFrame,
+    k: int = 10,
+    n_lists: int = 16,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    long_safe: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """Probe a stored IVF index.
+
+    Returns ``(topk, candidates)``: the final (qid, nid, rank, cosine)
+    frame, plus the pre-rank candidate frame whose plan the tests assert
+    is shuffle-free (the final rank's per-query row_number exchanges
+    only ``k·nprobe``-bounded candidate rows — the scale-irrelevant
+    tail, kept out of the plan assertion for honesty, not hidden).
+    """
+    # Spark's auto-bucketed-scan heuristic turns the bucketed read OFF
+    # when no join/agg exploits the bucket partitioning — and a broadcast
+    # probe join doesn't.  But bucket PRUNING (reading only the probed
+    # lists) exists only on a bucketed scan, and pruning is the entire
+    # point of IVF at rest, so pin the scan on for this session.  Cost:
+    # plain scans of bucketed tables schedule one task per bucket
+    # instead of size-based splits — irrelevant for the serving tables
+    # this module owns.
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    inv = read_bucketed(spark, table)
+    # centroids from the stored vectors — the same smallest-md5 rows the
+    # writer used, so probe ranking matches the write-time assignment
+    cent = _seed_centroids(
+        inv.select("nid", "nv", F.col("nnorm")), n_lists
+    )
+    q = with_norm(
+        queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")),
+        "qv",
+        exact=True,
+        long_safe=long_safe,
+    ).withColumnRenamed("_norm", "qnorm")
+    # Bounded collect (queries × nprobe rows): probed list ids must be
+    # LITERALS for the scan's bucket pruning, and the probe rows become
+    # a LocalTableScan so the candidate plan has no query-side window
+    # Exchange either.
+    probe_rows = _ivf_probe_lists(q, cent, nprobe, long_safe).collect()
+    if not probe_rows:
+        empty = spark.createDataFrame(
+            [], "qid long, nid long, rank int, cosine double"
+        )
+        return empty, empty
+    probed_ids = sorted({r["list_id"] for r in probe_rows})
+    probes = spark.createDataFrame(probe_rows)
+
+    pruned = inv.filter(F.col("list_id").isin(probed_ids))
+    cand = (
+        F.broadcast(probes)
+        .join(pruned, "list_id")
+        .filter(F.col("qid") != F.col("nid"))
+        .select(
+            "qid",
+            "nid",
+            (
+                _ivf_fpdot("qv", "nv", long_safe)
+                / (F.col("qnorm") * F.col("nnorm"))
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nid"))
+    topk = (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "nid", "rank", "cosine")
+    )
+    return topk, cand
+
+
+def assert_pruned_no_shuffle_probe(cand: DataFrame, nprobe_lists: int) -> None:
+    """The serving contract, as one assertion: the candidate plan reads
+    only the probed buckets and never shuffles the corpus."""
+    plan = physical_plan(cand)
+    if "Exchange hashpartitioning" in plan:
+        raise AssertionError(f"probe candidate plan shuffles:\n{plan}")
+    if "SelectedBucketsCount" not in plan:
+        raise AssertionError(f"no bucket pruning in probe plan:\n{plan}")
+    import re
+
+    m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
+    if not m or int(m.group(1)) > nprobe_lists:
+        raise AssertionError(
+            f"expected <= {nprobe_lists} probed buckets, plan says "
+            f"{m.group(0) if m else 'nothing'}:\n{plan}"
+        )
