@@ -38,6 +38,12 @@ HEADLINE: tuple[str, ...] = (
     "ann_ivf_topk",
     "embedding_near_dup_pairs",
     "ohlcv_resample_15m",
+    # round-4 additions: the current most-expensive operators (the r1
+    # ranking above is retained unchanged for cross-round comparability)
+    "curated_corpus",
+    "dedup_clusters",
+    "ann_lsh_seed_topk",
+    "cosine_topk_quantized",
 )
 
 

@@ -99,6 +99,73 @@ def _shingle_rows(
     )
 
 
+def dup_ngram_stats(
+    df: DataFrame,
+    n: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """X1/X2 (substring axis): per-document duplicated-n-gram statistics.
+
+    Document-level dedup misses the dominant contamination mode of web
+    corpora: long VERBATIM SPANS (boilerplate, licenses, templated
+    pages) shared across otherwise-distinct documents.  The standard
+    signal is the fraction of a document's n-gram INSTANCES (with
+    multiplicity — every occurrence counts) that occur in at least one
+    OTHER document; curation pipelines drop or trim documents whose
+    ratio crosses a threshold.
+
+    Returns ``(doc_id, n_grams, dup_grams, dup_ratio)`` for EVERY corpus
+    row — documents with no tokens (null text) report zeros, so the
+    operator is safe to left-compose into a curation filter.
+
+    Scale shape: one explode of gram instances, one hash-agg per gram
+    (count-distinct docs, map-side combined), one equi-join back, one
+    hash-agg per doc — shuffle volume is gram instances, never pairs,
+    never n².  Shared-by-many grams fan out at join time exactly as
+    often as they appear, which is the honest cost of instance-level
+    attribution.
+    """
+    w = F.col("_w")
+    cnt = F.size(w)
+    idx = F.sequence(F.lit(0), cnt - n)
+    grams = F.transform(idx, lambda i: F.array_join(F.slice(w, i + 1, n), " "))
+    # multiplicity kept (no array_distinct) — instances, not the set;
+    # same <n-words fallback and F.shuffle optimizer barrier as
+    # _shingle_rows (see its docstring for the measured reasons)
+    inst_arr = F.when(cnt >= n, grams).otherwise(
+        F.array(F.array_join(w, " "))
+    )
+    inst = (
+        df.select(F.col(id_col).alias("id"), words(text_col).alias("_w"))
+        .select("id", F.shuffle(inst_arr).alias("_g"))
+        .select("id", F.explode("_g").alias("g"))
+    )
+    g_docs = inst.groupBy("g").agg(F.count_distinct("id").alias("nd"))
+    stats = (
+        inst.join(g_docs, "g")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum((F.col("nd") > 1).cast("long")).alias("dup_grams"),
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(stats, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.coalesce("dup_grams", F.lit(0)).alias("dup_grams"),
+            F.coalesce(
+                F.col("dup_grams").cast("double")
+                / F.col("n_grams").cast("double"),
+                F.lit(0.0),
+            ).alias("dup_ratio"),
+        )
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     threshold: float = 0.5,

@@ -203,6 +203,61 @@ FROM documents
 
 
 # --------------------------------------------------------------------------
+# X1/X2 substring axis: duplicated-n-gram span statistics per document.
+# Document-level dedup misses verbatim spans (boilerplate/templates)
+# shared across distinct documents — the signal curation pipelines
+# threshold on is the fraction of a doc's gram INSTANCES shared with at
+# least one other doc.
+# --------------------------------------------------------------------------
+
+def _dup_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crypto_data_ingestion_module_spark.operators.text_dedup import (
+        dup_ngram_stats,
+    )
+
+    return dup_ngram_stats(_t(spark, sf_dir, "documents"), n=4)
+
+
+_register(
+    QuerySpec(
+        name="dup_ngram_stats",
+        survey_ids=("X1", "X2"),
+        description="per-document duplicated word-4-gram instance stats "
+        "(substring-level dedup signal: fraction of a doc's gram "
+        "instances occurring in at least one other doc)",
+        spark=_dup_ngram_stats,
+        oracle="""
+WITH w AS (
+  SELECT doc_id, regexp_extract_all(text, '[A-Za-z0-9]+') AS ws
+  FROM documents WHERE text IS NOT NULL
+),
+inst AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len(ws) >= 4
+         THEN list_transform(range(1, len(ws) - 2),
+                             i -> array_to_string(ws[i:i+3], ' '))
+         ELSE [array_to_string(ws, ' ')] END) AS g
+  FROM w
+),
+gd AS (SELECT g, count(DISTINCT doc_id) AS nd FROM inst GROUP BY g),
+st AS (
+  SELECT doc_id,
+         count(*) AS n_grams,
+         sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS dup_grams
+  FROM inst JOIN gd USING (g) GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(st.n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(COALESCE(st.dup_grams, 0) AS BIGINT) AS dup_grams,
+       COALESCE(CAST(st.dup_grams AS DOUBLE) / CAST(st.n_grams AS DOUBLE),
+                0.0) AS dup_ratio
+FROM documents d LEFT JOIN st USING (doc_id)
+""",
+    )
+)
+
+
+# --------------------------------------------------------------------------
 # X2 exact n-gram Jaccard near-dup pairs
 # --------------------------------------------------------------------------
 
@@ -729,11 +784,14 @@ fp AS (SELECT doc_id AS id, CAST({bits} AS BIGINT) AS simhash60 FROM votes)
 
 
 def _simhash60_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Arrow kernel path — bit-identical to the Column/SWAR twin
+    # (simhash60_md5, parity-pinned in tests/test_vectorized_parity.py),
+    # ~4× faster at sf0.1
     from crypto_data_ingestion_module_spark.operators.text_dedup import (
-        simhash60_md5,
+        simhash60_md5_kernel,
     )
 
-    return simhash60_md5(_t(spark, sf_dir, "documents"))
+    return simhash60_md5_kernel(_t(spark, sf_dir, "documents"))
 
 
 _register(
@@ -741,7 +799,8 @@ _register(
         name="simhash60_fingerprints",
         survey_ids=("X2",),
         description="oracle-checkable 60-bit SimHash (md5-prefix token "
-        "hash, identical in both engines; SWAR majority vote)",
+        "hash, identical in both engines; Arrow hash-vote kernel, "
+        "SWAR-vote Column twin parity-pinned)",
         spark=_simhash60_q,
         oracle=f"WITH {_SIMHASH60_FP_CTE} SELECT id, simhash60 FROM fp",
     )

@@ -76,6 +76,18 @@ def _partition_of(rel_file: str, partition_cols: Sequence[str]) -> str:
     return "/".join(parts)
 
 
+#: Partition values are DUPLICATED into the data files under this prefix
+#: (``partitionBy`` strips them from file content).  Readers resolve an
+#: explicit FILE list from the manifest — never a directory listing — so
+#: Hive-style partition-column inference is never used: it cannot even
+#: run consistently over files that span multiple immutable batch dirs
+#: (the steady state of this lake), and skipping it also means partition
+#: column TYPES round-trip exactly instead of being re-guessed from
+#: directory names.  The hive-style dirs remain for humans and pruning
+#: keys only.
+_PCOPY = "__pv_"
+
+
 def _write_data_files(
     spark: SparkSession,
     df: DataFrame,
@@ -86,6 +98,8 @@ def _write_data_files(
     return their root-relative paths."""
     batch_dir = f"data/{uuid.uuid4().hex}"
     out = f"{root.rstrip('/')}/{batch_dir}"
+    for c in partition_cols:
+        df = df.withColumn(_PCOPY + c, F.col(c))
     df.write.partitionBy(*partition_cols).mode("overwrite").parquet(out)
     Path, fs = _fs(spark, root)
     base_abs = fs.makeQualified(Path(root)).toUri().getPath()
@@ -167,30 +181,23 @@ def snapshot_files(spark: SparkSession, root: str,
     return [f for fl in man["partitions"].values() for f in fl]
 
 
-def read_snapshot(
-    spark: SparkSession, root: str, version: int | None = None
-) -> DataFrame:
-    """Reader entry point: pointer → manifest → exact file set.
-
-    ``basePath`` keeps Hive partition-column recovery while reading an
-    explicit file list that spans batch dirs.  No directory listing of
-    ``data/`` ever happens, so in-flight writers are invisible.
-    """
-    files = snapshot_files(spark, root, version)
+def _read_files(spark: SparkSession, root: str, files: list[str]) -> DataFrame:
+    """Exact-file-list read: no directory listing (in-flight writers are
+    invisible), no partition inference (see ``_PCOPY``) — the partition
+    values come back from inside the files with their written types."""
     paths = [f"{root.rstrip('/')}/{f}" for f in files]
-    df = spark.read.option("basePath", f"{root.rstrip('/')}/data").parquet(
-        *paths
-    )
-    if "date" in df.columns:
-        # partition-column type inference reads date=20240101 back as int;
-        # the lake contract is a yyyyMMdd STRING (parquet_lake._with_date)
-        df = df.withColumn("date", F.col("date").cast("string"))
+    df = spark.read.parquet(*paths)
+    for c in list(df.columns):
+        if c.startswith(_PCOPY):
+            df = df.withColumnRenamed(c, c[len(_PCOPY):])
     return df
 
 
-def _strip_batch_dir(rel: str) -> str:
-    # data/<uuid>/symbol=... → partition path inside any batch dir
-    return _partition_of(rel, ())
+def read_snapshot(
+    spark: SparkSession, root: str, version: int | None = None
+) -> DataFrame:
+    """Reader entry point: pointer → manifest → exact file set."""
+    return _read_files(spark, root, snapshot_files(spark, root, version))
 
 
 def init_snapshot_lake(
@@ -283,10 +290,56 @@ def snapshot_upsert(
     return v + 1
 
 
+def compact_snapshot(
+    spark: SparkSession,
+    root: str,
+    max_files_per_partition: int = 1,
+    partition_cols: Sequence[str] = PARTITION_COLS,
+) -> int | None:
+    """OPTIMIZE for the snapshot lake: rewrite partitions whose file
+    count exceeds ``max_files_per_partition`` as fresh merged files and
+    commit a new version swapping only those partitions' manifest
+    entries.  Readers keep full snapshot isolation throughout (the old
+    version's files are untouched until ``vacuum``); content is
+    byte-identical because only file layout changes.
+
+    Returns the committed version, or None if nothing breached.
+    """
+    v = current_version(spark, root)
+    if v is None:
+        return None
+    manifest = read_manifest(spark, root, v)
+    breached = {
+        part: files
+        for part, files in manifest["partitions"].items()
+        if len(files) > max_files_per_partition
+    }
+    if not breached:
+        return None
+    doomed = _read_files(
+        spark, root, [f for fl in breached.values() for f in fl]
+    )
+    compacted = doomed.repartition(*[F.col(c) for c in partition_cols])
+    new_files = _write_data_files(spark, compacted, root, partition_cols)
+    parts = {
+        k: fl
+        for k, fl in manifest["partitions"].items()
+        if k not in breached
+    }
+    for f in new_files:
+        parts.setdefault(_partition_of(f, partition_cols), []).append(f)
+    commit_version(
+        spark, root, {"version": v + 1, "partitions": parts}, v + 1
+    )
+    return v + 1
+
+
 def vacuum(spark: SparkSession, root: str, keep: int = 1) -> list[str]:
     """Drop manifests older than the newest ``keep`` and delete data files
     no retained manifest references.  Run OUTSIDE any reader's grace
     window (the standard retention contract)."""
+    if keep < 1:
+        raise ValueError("vacuum must retain at least the live snapshot")
     Path, fs = _fs(spark, root)
     versions = _list_versions(spark, root)
     retained, dropped = versions[-keep:], versions[:-keep]

@@ -8,7 +8,8 @@ Usage:
     python3 scripts/validate.py [sf_dir]      # default /root/testdata/sf0.01
 
 Exit 0 = entry() runs and every oracle-paired spec matches bit-for-bit.
-This is the recipe in .claude/skills/verify/SKILL.md, runnable directly.
+Rows-only specs (no SQL-expressible oracle) report their row counts and
+are listed separately; any exception or mismatch fails the sweep.
 """
 
 from __future__ import annotations

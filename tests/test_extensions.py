@@ -498,3 +498,41 @@ def test_connected_components_viral_star_skew(spark):
     )
     plan = salted._jdf.queryExecution().executedPlan().toString()
     assert "_salt" in plan, plan
+
+
+def test_dup_ngram_stats_span_semantics(spark):
+    """Substring-level dedup signal: only gram instances shared with
+    ANOTHER doc count; self-repetition alone does not, and null-text
+    docs stay visible with zeros."""
+    from crypto_data_ingestion_module_spark.operators.text_dedup import (
+        dup_ngram_stats,
+    )
+
+    span = "alpha beta gamma delta"  # one shared 4-gram
+    docs = spark.createDataFrame(
+        [
+            (1, f"{span} unique one tail words here"),
+            (2, f"prefix words {span} other ending"),
+            (3, "completely different text with no shared spans at all"),
+            (4, "rep rep rep rep rep rep rep rep"),  # self-repeats only
+            (5, None),
+            (6, "short"),  # < n words → whole text is the single gram
+            (7, "short"),  # exact dup of 6 → that gram is shared
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_grams, r.dup_grams, round(r.dup_ratio, 6))
+        for r in dup_ngram_stats(docs, n=4).collect()
+    }
+    assert set(got) == {1, 2, 3, 4, 5, 6, 7}
+    # doc1: 9 words → 6 grams, exactly 1 shared (the leading span)
+    assert got[1] == (6, 1, round(1 / 6, 6))
+    # doc2: 8 words → 5 grams, the span sits mid-text → 1 shared
+    assert got[2] == (5, 1, 0.2)
+    assert got[3][1] == 0
+    # self-repetition is not duplication across docs
+    assert got[4][1] == 0 and got[4][0] == 5
+    assert got[5] == (0, 0, 0.0)
+    # <n-word twin docs share their single whole-text gram
+    assert got[6] == (1, 1, 1.0) and got[7] == (1, 1, 1.0)

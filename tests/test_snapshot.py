@@ -181,3 +181,67 @@ def test_vacuum_drops_only_unreferenced(spark, tmp_path):
     assert current_version(spark, root) == 2
     with pytest.raises(Exception):
         read_manifest(spark, root, 1)
+
+
+def test_compact_snapshot_preserves_content_and_isolation(spark, tmp_path):
+    from crypto_data_ingestion_module_spark.sinks.snapshot import (
+        compact_snapshot,
+    )
+
+    root = str(tmp_path / "snap")
+    # Build a version whose 20240101 partition holds files from two
+    # separate write batches (the many-tasks-per-partition layout a
+    # large write produces): two data batches, one stitched manifest.
+    from crypto_data_ingestion_module_spark.sinks.parquet_lake import (
+        PARTITION_COLS,
+    )
+    from crypto_data_ingestion_module_spark.sinks.snapshot import (
+        _partition_of,
+        _write_data_files,
+    )
+
+    def _prep(df, seq):
+        return df.withColumn(
+            "date", F.date_format("timestamp", "yyyyMMdd")
+        ).withColumn("_ingest_seq", F.lit(seq).cast("long"))
+
+    f1 = _write_data_files(
+        spark,
+        _prep(
+            _candles(
+                spark, [(100.0, 1.0, T0, "BTC-USDT", "coinbase", "15m")]
+            ),
+            0,
+        ),
+        root,
+        PARTITION_COLS,
+    )
+    f2 = _write_data_files(
+        spark,
+        _prep(
+            _candles(
+                spark, [(110.0, 1.5, T1, "BTC-USDT", "coinbase", "15m")]
+            ),
+            0,
+        ),
+        root,
+        PARTITION_COLS,
+    )
+    parts = {}
+    for f in f1 + f2:
+        parts.setdefault(_partition_of(f, PARTITION_COLS), []).append(f)
+    commit_version(spark, root, {"version": 1, "partitions": parts}, 1)
+    before = _state(read_snapshot(spark, root))
+    man1 = read_manifest(spark, root, 1)
+    assert any(len(fl) > 1 for fl in man1["partitions"].values())
+
+    v = compact_snapshot(spark, root, max_files_per_partition=1)
+    assert v == 2
+    # content byte-identical, layout compacted to one file per partition
+    assert _state(read_snapshot(spark, root)) == before
+    man = read_manifest(spark, root, 2)
+    assert all(len(fl) == 1 for fl in man["partitions"].values())
+    # the pre-compaction snapshot still reads intact (isolation)
+    assert _state(read_snapshot(spark, root, version=1)) == before
+    # idempotent: nothing left to compact
+    assert compact_snapshot(spark, root, max_files_per_partition=1) is None
