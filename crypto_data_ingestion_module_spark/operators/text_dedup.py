@@ -22,6 +22,7 @@ import re
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from crypto_data_ingestion_module_spark.functions.text import normalize_ws, words
 
@@ -119,12 +120,16 @@ def dup_ngram_stats(
     row — documents with no tokens (null text) report zeros, so the
     operator is safe to left-compose into a curation filter.
 
-    Scale shape: one explode of gram instances, one hash-agg per gram
-    (count-distinct docs, map-side combined), one equi-join back, one
-    hash-agg per doc — shuffle volume is gram instances, never pairs,
-    never n².  Shared-by-many grams fan out at join time exactly as
-    often as they appear, which is the honest cost of instance-level
-    attribution.
+    Scale shape: the explode collapses IMMEDIATELY to the distinct
+    (doc, gram, multiplicity) grain — one hash-agg with map-side
+    combine, so raw instances never cross the wire — then a count
+    window over the gram partition attaches each gram's document count
+    with no self-join and no second evaluation of the gram transform
+    (the first cut joined the instance stream against its own
+    aggregate: the explode ran twice and the shuffle carried raw
+    instance strings both times — measured 10.6 s vs 0.5 s at sf0.1).
+    Shuffle volume is distinct (doc, gram) pairs, never instances,
+    never n².
     """
     w = F.col("_w")
     cnt = F.size(w)
@@ -136,18 +141,26 @@ def dup_ngram_stats(
     inst_arr = F.when(cnt >= n, grams).otherwise(
         F.array(F.array_join(w, " "))
     )
-    inst = (
-        df.select(F.col(id_col).alias("id"), words(text_col).alias("_w"))
+    pair = (
+        # null text → null token array → the fallback branch would emit
+        # one NULL gram; the oracle (WHERE text IS NOT NULL) and the
+        # zero-filled left join below both say such docs have no grams
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias("id"), words(text_col).alias("_w"))
         .select("id", F.shuffle(inst_arr).alias("_g"))
         .select("id", F.explode("_g").alias("g"))
+        .groupBy("id", "g")
+        .agg(F.count(F.lit(1)).alias("m"))
     )
-    g_docs = inst.groupBy("g").agg(F.count_distinct("id").alias("nd"))
+    nd = F.count(F.lit(1)).over(Window.partitionBy("g"))
     stats = (
-        inst.join(g_docs, "g")
+        pair.withColumn("nd", nd)
         .groupBy("id")
         .agg(
-            F.count(F.lit(1)).alias("n_grams"),
-            F.sum((F.col("nd") > 1).cast("long")).alias("dup_grams"),
+            F.sum("m").alias("n_grams"),
+            F.sum(
+                F.when(F.col("nd") > 1, F.col("m")).otherwise(F.lit(0))
+            ).alias("dup_grams"),
         )
     )
     return (

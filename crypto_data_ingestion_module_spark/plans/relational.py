@@ -518,3 +518,190 @@ LIMIT 10
 """,
     )
 )
+
+
+# --------------------------------------------------------------------------
+# Q7 shape: cross-nation shipping volume by year.  Two BROADCAST dim
+# joins (nation aliased twice — supplier side and customer side) hanging
+# off the fact⨝fact chain; the year extraction lands in the group key.
+# The classic two-nation literal filter is widened to "different
+# nations" because the synthetic supplier table is thin — the join/agg
+# shape (the point of the query) is identical.
+# --------------------------------------------------------------------------
+
+def _volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .join(
+            _t(spark, sf_dir, "supplier"),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(
+            _t(spark, sf_dir, "orders"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            _t(spark, sf_dir, "customer"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("cn_key"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "volume"
+            )
+        )
+    )
+
+
+_register(
+    QuerySpec(
+        name="volume_shipping_by_year",
+        survey_ids=("A2",),
+        description="TPC-H Q7 shape: fact chain with the nation dim "
+        "broadcast-joined twice (supplier side + customer side), "
+        "cross-nation filter, year-bucketed volume",
+        spark=_volume_shipping,
+        oracle=f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+       {osum('l_extendedprice * (1 - l_discount)')} AS volume
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE n1.n_name <> n2.n_name
+GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
+""",
+    )
+)
+
+
+# --------------------------------------------------------------------------
+# Q18 shape: large-volume customers — a grouped-HAVING subquery feeding a
+# semi join back into the fact chain (the "IN (SELECT ... GROUP BY ...
+# HAVING ...)" pattern), then a re-aggregation at order grain.
+# --------------------------------------------------------------------------
+
+def _large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(dsum(F.col("l_quantity")).alias("_q"))
+        .filter(F.col("_q") > 250.0)
+        .select("l_orderkey")
+    )
+    return (
+        _t(spark, sf_dir, "orders")
+        .join(big, F.col("o_orderkey") == big["l_orderkey"], "left_semi")
+        .join(
+            _t(spark, sf_dir, "customer"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(li, F.col("o_orderkey") == li["l_orderkey"])
+        .groupBy(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
+        )
+        .agg(dsum(F.col("l_quantity")).alias("total_qty"))
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(20)
+    )
+
+
+_register(
+    QuerySpec(
+        name="large_volume_customers",
+        survey_ids=("A2", "D6"),
+        description="TPC-H Q18 shape: grouped-HAVING subquery (orders "
+        "whose summed quantity crosses a threshold) semi-joined back "
+        "into the fact chain, re-aggregated at order grain, "
+        "deterministic top-20",
+        spark=_large_volume_customers,
+        oracle=f"""
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+       {osum('l_quantity')} AS total_qty
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (
+  SELECT l_orderkey FROM lineitem
+  GROUP BY l_orderkey
+  HAVING {osum('l_quantity')} > 250.0
+)
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 20
+""",
+    )
+)
+
+
+# --------------------------------------------------------------------------
+# Q10 shape: returned-item customer ranking — quarter-windowed fact
+# chain restricted to returned lines, revenue ranked per customer with
+# the nation dim broadcast in, deterministic top-20.
+# --------------------------------------------------------------------------
+
+def _returned_item_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= _TS("1997-01-01 00:00:00"))
+        & (F.col("o_orderdate") < _TS("1997-04-01 00:00:00"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        _t(spark, sf_dir, "customer")
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(
+            F.broadcast(_t(spark, sf_dir, "nation")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("c_custkey", "c_name", "c_acctbal", F.col("n_name").alias("nation"))
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+_register(
+    QuerySpec(
+        name="returned_item_ranking",
+        survey_ids=("A2", "D6"),
+        description="TPC-H Q10 shape: quarter-windowed returned-lines "
+        "fact chain, per-customer revenue with broadcast nation dim, "
+        "deterministic top-20",
+        spark=_returned_item_ranking,
+        oracle=f"""
+SELECT c_custkey, c_name, c_acctbal, n_name AS nation,
+       {osum('l_extendedprice * (1 - l_discount)')} AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+""",
+    )
+)
