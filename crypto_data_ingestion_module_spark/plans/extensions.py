@@ -601,6 +601,76 @@ SELECT qid, nid, CAST(rank AS INT) AS rank, cosine FROM ranked WHERE rank <= 10
 
 
 # --------------------------------------------------------------------------
+# X2/X3: SemDeDup-shaped semantic near-dup — coarse-cluster the corpus
+# with the seeded quantizer, exact cosine pairs WITHIN each cluster only
+# (candidates Σ|list|² instead of n²; n_lists scales with the corpus).
+# --------------------------------------------------------------------------
+
+def _semantic_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crypto_data_ingestion_module_spark.operators.similarity import (
+        semantic_near_dup_pairs,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return semantic_near_dup_pairs(emb, n_lists=16, threshold=0.42)
+
+
+_register(
+    QuerySpec(
+        name="semantic_near_dup_pairs",
+        survey_ids=("X2", "X3"),
+        description="SemDeDup-shaped pairs: seeded coarse clustering, "
+        "exact fixed-point cosine >= 0.42 within each cluster only — "
+        "clustering AND pair selection both oracle-checked",
+        spark=_semantic_near_dup,
+        oracle=f"""
+WITH c AS (SELECT vec_id AS nid, embedding AS nv FROM embeddings),
+cn AS (
+  SELECT nid, sqrt({_COS_DOT.format(a='x', b='x')}) AS nnorm
+  FROM (SELECT nid, unnest(nv) AS x FROM c) GROUP BY nid
+),
+cent AS (
+  SELECT row_number() OVER (ORDER BY md5(CAST(nid AS VARCHAR)), nid) - 1 AS list_id,
+         nid AS cid, nv AS cv
+  FROM c ORDER BY md5(CAST(nid AS VARCHAR)), nid LIMIT 16
+),
+centn AS (SELECT cent.list_id, cn.nnorm AS cnorm FROM cent JOIN cn ON cn.nid = cent.cid),
+adots AS (
+  SELECT nid, list_id, {_COS_DOT.format(a='xn', b='xc')} AS dot
+  FROM (SELECT c.nid, cent.list_id, unnest(c.nv) AS xn, unnest(cent.cv) AS xc
+        FROM c CROSS JOIN cent)
+  GROUP BY nid, list_id
+),
+assigned AS (
+  SELECT nid, list_id FROM (
+    SELECT a.nid, a.list_id,
+           row_number() OVER (PARTITION BY a.nid
+                              ORDER BY a.dot / n.cnorm DESC, a.list_id) AS rn
+    FROM adots a JOIN centn n USING (list_id)
+  ) WHERE rn = 1
+),
+pdots AS (
+  SELECT list_id, id_a, id_b, {_COS_DOT.format(a='xa', b='xb')} AS dot
+  FROM (SELECT a1.list_id, a1.nid AS id_a, a2.nid AS id_b,
+               unnest(ca.nv) AS xa, unnest(cb.nv) AS xb
+        FROM assigned a1
+        JOIN assigned a2 ON a1.list_id = a2.list_id AND a1.nid < a2.nid
+        JOIN c ca ON ca.nid = a1.nid
+        JOIN c cb ON cb.nid = a2.nid)
+  GROUP BY list_id, id_a, id_b
+)
+SELECT CAST(p.list_id AS BIGINT) AS list_id, p.id_a, p.id_b,
+       p.dot / (na.nnorm * nb.nnorm) AS cosine
+FROM pdots p
+JOIN cn na ON na.nid = p.id_a
+JOIN cn nb ON nb.nid = p.id_b
+WHERE p.dot / (na.nnorm * nb.nnorm) >= 0.42
+""",
+    )
+)
+
+
+# --------------------------------------------------------------------------
 # X2/X3: embedding-cosine near-duplicate pairs (exact, fp-deterministic)
 # --------------------------------------------------------------------------
 

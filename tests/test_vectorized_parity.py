@@ -111,3 +111,22 @@ def test_simhash60_kernel_bit_parity(spark):
         for r in simhash_hamming_pairs(df, vectorized=True).collect()
     }
     assert slow == fast
+
+
+def test_semantic_near_dup_vectorized_bit_parity(spark):
+    """Per-list matmul kernel (assignment argmax + pair matrix) vs the
+    relational twin: identical pair sets, bit-identical cosines."""
+    from crypto_data_ingestion_module_spark.operators.similarity import (
+        semantic_near_dup_pairs,
+    )
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    slow = {
+        (r.list_id, r.id_a, r.id_b): _bits(r.cosine)
+        for r in semantic_near_dup_pairs(emb, vectorized=False).collect()
+    }
+    fast = {
+        (r.list_id, r.id_a, r.id_b): _bits(r.cosine)
+        for r in semantic_near_dup_pairs(emb, vectorized=True).collect()
+    }
+    assert slow == fast and len(fast) > 0
