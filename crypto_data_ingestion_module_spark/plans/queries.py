@@ -1423,6 +1423,14 @@ _register(
 #   doc_fingerprint          — X1 evidenced by dedup_exact_documents
 #   multimodal_meta          — X5 evidenced by label_centroids (the decode)
 #   minhash_lsh_pairs        — rows-only; recall >= 0.8 pinned in pytest
+#   ngram_jaccard_pairs      — X2 pair family evidenced by
+#                              simhash_hamming_pairs + dup_ngram_stats +
+#                              semantic_near_dup_pairs (round-4 rotation)
+#   cross_stream_compare     — §2.5 join family evidenced by the as-of
+#                              join + waiting_suppliers + revenue_by_nation
+#                              + shipping/promo rows (round-4 rotation)
+#   volume_shipping_by_year, large_volume_customers, returned_item_ranking
+#                            — §2.5 Q7/Q18/Q10 shapes, pytest-green oracle
 #   simhash_fingerprints     — rows-only; superseded by simhash60 pair query
 #   ann_lsh_topk             — rows-only; seeded twin ann_lsh_seed_topk is
 #                              in-window, recall pinned in pytest
@@ -1466,7 +1474,6 @@ CHECKED_QUERIES: tuple[str, ...] = (
     "pricing_summary",
     "revenue_by_nation",
     "asof_last_view_before_purchase",
-    "cross_stream_compare",
     "user_sessions_30m",
     "sliding_value_stats_1h_15m",
     "order_cube_status_year",
@@ -1477,8 +1484,9 @@ CHECKED_QUERIES: tuple[str, ...] = (
     "dedup_exact_documents",
     "text_quality",
     "lang_id",
-    "ngram_jaccard_pairs",
+    "dup_ngram_stats",
     "simhash_hamming_pairs",
+    "semantic_near_dup_pairs",
     "dedup_clusters",
     "embedding_near_dup_pairs",
     "cosine_topk",

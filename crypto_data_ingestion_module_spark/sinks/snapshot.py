@@ -227,8 +227,38 @@ def snapshot_upsert(
     key_cols: Sequence[str] = LOGICAL_KEY,
     partition_cols: Sequence[str] = PARTITION_COLS,
     batch_seq: int | None = None,
+    retries: int = 2,
 ) -> int:
-    """Keep-last MERGE with snapshot isolation.
+    """Keep-last MERGE with snapshot isolation and optimistic retry.
+
+    A concurrent writer winning the version race surfaces as the
+    ``commit_version`` conflict error; the losing upsert is safely
+    recomputed against the NEW current snapshot (its orphaned data
+    files become vacuum-able garbage, the live lake is untouched) —
+    standard optimistic concurrency control, up to ``retries`` times.
+    """
+    last: RuntimeError | None = None
+    for _ in range(retries + 1):
+        try:
+            return _snapshot_upsert_once(
+                spark, incoming, root, key_cols, partition_cols, batch_seq
+            )
+        except RuntimeError as e:
+            if "already committed" not in str(e):
+                raise
+            last = e
+    raise last
+
+
+def _snapshot_upsert_once(
+    spark: SparkSession,
+    incoming: DataFrame,
+    root: str,
+    key_cols: Sequence[str] = LOGICAL_KEY,
+    partition_cols: Sequence[str] = PARTITION_COLS,
+    batch_seq: int | None = None,
+) -> int:
+    """One optimistic attempt of the keep-last MERGE.
 
     Reads the CURRENT snapshot's touched partitions (through the
     manifest, so a concurrent writer can't skew the input), merges with

@@ -245,3 +245,43 @@ def test_compact_snapshot_preserves_content_and_isolation(spark, tmp_path):
     assert _state(read_snapshot(spark, root, version=1)) == before
     # idempotent: nothing left to compact
     assert compact_snapshot(spark, root, max_files_per_partition=1) is None
+
+
+def test_snapshot_upsert_retries_on_lost_commit_race(spark, tmp_path, monkeypatch):
+    """Optimistic concurrency: if another writer claims the next version
+    between merge and commit, the upsert recomputes against the NEW
+    current snapshot and lands on a later version with both writers'
+    rows intact."""
+    import crypto_data_ingestion_module_spark.sinks.snapshot as snap
+
+    root = str(tmp_path / "snap")
+    snapshot_upsert(
+        spark,
+        _candles(spark, [(100.0, 1.0, T0, "BTC-USDT", "coinbase", "15m")]),
+        root,
+    )
+
+    competitor = _candles(
+        spark, [(500.0, 5.0, T2, "BTC-USDT", "coinbase", "15m")]
+    )
+    real_commit = snap.commit_version
+    fired = {"n": 0}
+
+    def racing_commit(sp, r, manifest, version):
+        if fired["n"] == 0:
+            fired["n"] += 1
+            # another writer wins version 2 first
+            snap._snapshot_upsert_once(sp, competitor, r, batch_seq=7)
+        return real_commit(sp, r, manifest, version)
+
+    monkeypatch.setattr(snap, "commit_version", racing_commit)
+    v = snapshot_upsert(
+        spark,
+        _candles(spark, [(111.0, 1.1, T1, "BTC-USDT", "coinbase", "15m")]),
+        root,
+        batch_seq=9,
+    )
+    # competitor took v2; our retry landed v3 with everyone's rows
+    assert v == 3
+    state = _state(read_snapshot(spark, root))
+    assert [s[3] for s in state] == [100.0, 111.0, 500.0]
