@@ -181,6 +181,34 @@ def snapshot_files(spark: SparkSession, root: str,
     return [f for fl in man["partitions"].values() for f in fl]
 
 
+def _file_time_stats(
+    spark: SparkSession, root: str, files: list[str], ts_col: str = "timestamp"
+) -> dict:
+    """Per-file min/max of ``ts_col`` in epoch micros — the data-skipping
+    statistics the manifest carries so time-range readers prune the file
+    list driver-side (manifest-only; no parquet footer is opened).  One
+    bounded aggregate job over exactly the NEW files of a commit."""
+    if not files:
+        return {}
+    Path, fs = _fs(spark, root)
+    base_abs = fs.makeQualified(Path(root)).toUri().getPath()
+    df = _read_files(spark, root, files).select(
+        F.input_file_name().alias("_f"),
+        F.unix_micros(F.col(ts_col)).alias("_us"),
+    )
+    out = {}
+    for r in df.groupBy("_f").agg(
+        F.min("_us").alias("lo"), F.max("_us").alias("hi")
+    ).collect():
+        p = r["_f"]
+        if "://" in p:
+            p = p.split("://", 1)[1]
+            p = p[p.index("/"):] if not p.startswith("/") else p
+        rel = p[len(base_abs):].lstrip("/")
+        out[rel] = {"ts_min_us": int(r["lo"]), "ts_max_us": int(r["hi"])}
+    return out
+
+
 def _read_files(spark: SparkSession, root: str, files: list[str]) -> DataFrame:
     """Exact-file-list read: no directory listing (in-flight writers are
     invisible), no partition inference (see ``_PCOPY``) — the partition
@@ -193,11 +221,68 @@ def _read_files(spark: SparkSession, root: str, files: list[str]) -> DataFrame:
     return df
 
 
+def _to_micros(t) -> int:
+    import datetime as _dt
+
+    if isinstance(t, _dt.datetime):
+        if t.tzinfo is None:
+            t = t.replace(tzinfo=_dt.timezone.utc)
+        return int(t.timestamp() * 1_000_000)
+    return int(t)
+
+
+def snapshot_files_in_range(
+    spark: SparkSession,
+    root: str,
+    time_range: tuple,
+    version: int | None = None,
+) -> list[str]:
+    """Data-skipping file selection: keep only files whose manifest
+    [ts_min, ts_max] interval intersects ``time_range`` (files missing
+    stats — e.g. written by an older layout — are conservatively
+    kept)."""
+    v = current_version(spark, root) if version is None else version
+    if v is None:
+        raise FileNotFoundError(f"no snapshot versions under {root}")
+    man = read_manifest(spark, root, v)
+    stats = man.get("file_stats", {})
+    lo, hi = _to_micros(time_range[0]), _to_micros(time_range[1])
+    out = []
+    for fl in man["partitions"].values():
+        for f in fl:
+            st = stats.get(f)
+            if st is None or (
+                st["ts_min_us"] <= hi and st["ts_max_us"] >= lo
+            ):
+                out.append(f)
+    return sorted(out)
+
+
 def read_snapshot(
-    spark: SparkSession, root: str, version: int | None = None
+    spark: SparkSession,
+    root: str,
+    version: int | None = None,
+    time_range: tuple | None = None,
+    ts_col: str = "timestamp",
 ) -> DataFrame:
-    """Reader entry point: pointer → manifest → exact file set."""
-    return _read_files(spark, root, snapshot_files(spark, root, version))
+    """Reader entry point: pointer → manifest → exact file set.
+
+    ``time_range=(lo, hi)`` (datetimes or epoch micros, inclusive)
+    prunes the file list through the manifest's per-file min/max stats
+    BEFORE any scan is planned — the Iceberg-style data-skipping path —
+    then applies the exact predicate, so results equal a full read +
+    filter while IO is bounded by the files that can match.
+    """
+    if time_range is None:
+        return _read_files(spark, root, snapshot_files(spark, root, version))
+    files = snapshot_files_in_range(spark, root, time_range, version)
+    if not files:
+        full = _read_files(spark, root, snapshot_files(spark, root, version))
+        return full.filter(F.lit(False))
+    lo, hi = _to_micros(time_range[0]), _to_micros(time_range[1])
+    df = _read_files(spark, root, files)
+    us = F.unix_micros(F.col(ts_col))
+    return df.filter((us >= F.lit(lo)) & (us <= F.lit(hi)))
 
 
 def init_snapshot_lake(
@@ -215,7 +300,14 @@ def init_snapshot_lake(
     for f in files:
         parts.setdefault(_partition_of(f, partition_cols), []).append(f)
     commit_version(
-        spark, root, {"version": 1, "partitions": parts}, 1
+        spark,
+        root,
+        {
+            "version": 1,
+            "partitions": parts,
+            "file_stats": _file_time_stats(spark, root, files),
+        },
+        1,
     )
     return 1
 
@@ -312,10 +404,20 @@ def _snapshot_upsert_once(
         for k, fl in manifest["partitions"].items()
         if k not in touched_keys
     }
+    kept = {f for fl in parts.values() for f in fl}
     for f in new_files:
         parts.setdefault(_partition_of(f, partition_cols), []).append(f)
+    stats = {
+        f: st
+        for f, st in manifest.get("file_stats", {}).items()
+        if f in kept
+    }
+    stats.update(_file_time_stats(spark, root, new_files))
     commit_version(
-        spark, root, {"version": v + 1, "partitions": parts}, v + 1
+        spark,
+        root,
+        {"version": v + 1, "partitions": parts, "file_stats": stats},
+        v + 1,
     )
     return v + 1
 
@@ -356,10 +458,20 @@ def compact_snapshot(
         for k, fl in manifest["partitions"].items()
         if k not in breached
     }
+    kept = {f for fl in parts.values() for f in fl}
     for f in new_files:
         parts.setdefault(_partition_of(f, partition_cols), []).append(f)
+    stats = {
+        f: st
+        for f, st in manifest.get("file_stats", {}).items()
+        if f in kept
+    }
+    stats.update(_file_time_stats(spark, root, new_files))
     commit_version(
-        spark, root, {"version": v + 1, "partitions": parts}, v + 1
+        spark,
+        root,
+        {"version": v + 1, "partitions": parts, "file_stats": stats},
+        v + 1,
     )
     return v + 1
 

@@ -285,3 +285,58 @@ def test_snapshot_upsert_retries_on_lost_commit_race(spark, tmp_path, monkeypatc
     assert v == 3
     state = _state(read_snapshot(spark, root))
     assert [s[3] for s in state] == [100.0, 111.0, 500.0]
+
+
+def test_time_range_read_prunes_files_via_manifest_stats(spark, tmp_path):
+    """Data skipping: the manifest's per-file ts min/max prunes the file
+    list driver-side; the pruned read equals full-read + filter."""
+    import datetime as dt
+
+    from crypto_data_ingestion_module_spark.sinks.snapshot import (
+        snapshot_files_in_range,
+    )
+
+    root = str(tmp_path / "snap")
+    snapshot_upsert(
+        spark,
+        _candles(
+            spark,
+            [
+                (100.0, 1.0, T0, "BTC-USDT", "coinbase", "15m"),
+                (110.0, 1.5, T1, "BTC-USDT", "coinbase", "15m"),
+                (200.0, 2.0, T2, "BTC-USDT", "coinbase", "15m"),
+            ],
+        ),
+        root,
+    )
+    man = read_manifest(spark, root, 1)
+    assert man["file_stats"] and all(
+        st["ts_min_us"] <= st["ts_max_us"] for st in man["file_stats"].values()
+    )
+
+    day1 = (
+        dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc),
+        dt.datetime(2024, 1, 1, 23, 59, tzinfo=dt.timezone.utc),
+    )
+    pruned = snapshot_files_in_range(spark, root, day1)
+    assert 0 < len(pruned) < len(snapshot_files(spark, root, 1))
+
+    got = _state(read_snapshot(spark, root, time_range=day1))
+    want = _state(
+        read_snapshot(spark, root).filter(
+            F.col("timestamp") < dt.datetime(2024, 1, 2)
+        )
+    )
+    assert got == want and len(got) == 2
+
+    # an empty window reads nothing but keeps the schema
+    empty = read_snapshot(
+        spark,
+        root,
+        time_range=(
+            dt.datetime(2030, 1, 1, tzinfo=dt.timezone.utc),
+            dt.datetime(2030, 1, 2, tzinfo=dt.timezone.utc),
+        ),
+    )
+    assert empty.count() == 0
+    assert set(empty.columns) == set(read_snapshot(spark, root).columns)
