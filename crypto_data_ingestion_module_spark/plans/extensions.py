@@ -1590,3 +1590,62 @@ FROM t GROUP BY term
 """,
     )
 )
+
+
+# --------------------------------------------------------------------------
+# X3 on the time axis: subsequence similarity search — rank every
+# length-k sliding window of the per-type event stream by squared
+# distance to a literal query pattern (UCR-style subsequence scan).
+# --------------------------------------------------------------------------
+
+_PATTERN = (120.5, 130.25, 99.75, 250.0, 180.125, 75.5, 310.0, 42.625)
+
+
+def _pattern_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crypto_data_ingestion_module_spark.operators.patterns import (
+        pattern_topk_windows,
+    )
+
+    return pattern_topk_windows(_t(spark, sf_dir, "events"), _PATTERN)
+
+
+_register(
+    QuerySpec(
+        name="pattern_topk_windows",
+        survey_ids=("X3",),
+        description="time-series subsequence search: top-20 length-8 "
+        "sliding windows per event stream by squared distance to a "
+        "literal pattern (milli-unit fixed point, total window order)",
+        spark=_pattern_topk,
+        oracle="""
+WITH e AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+),
+p(off, pv) AS (VALUES {vals}),
+win AS (
+  SELECT a.event_type, a.rn AS start_rn,
+         SUM((round(b.value * 1000.0) - round(CAST(pv AS DOUBLE) * 1000.0))
+             * (round(b.value * 1000.0) - round(CAST(pv AS DOUBLE) * 1000.0)))
+           / 1e6 AS dist,
+         count(*) AS n
+  FROM e a
+  CROSS JOIN p
+  JOIN e b ON b.event_type = a.event_type AND b.rn = a.rn + p.off
+  GROUP BY a.event_type, a.rn
+  HAVING count(*) = {k}
+)
+SELECT event_type, CAST(start_rn AS BIGINT) AS start_rn, dist
+FROM win
+ORDER BY dist, event_type, start_rn
+LIMIT 20
+""".format(
+            vals=", ".join(
+                f"({i}, {v})" for i, v in enumerate(_PATTERN)
+            ),
+            k=len(_PATTERN),
+        ),
+    )
+)

@@ -536,3 +536,28 @@ def test_dup_ngram_stats_span_semantics(spark):
     assert got[5] == (0, 0, 0.0)
     # <n-word twin docs share their single whole-text gram
     assert got[6] == (1, 1, 1.0) and got[7] == (1, 1, 1.0)
+
+
+def test_pattern_topk_windows_exact_match_wins(spark):
+    """A window identical to the pattern scores distance 0 and ranks
+    first; trailing sub-length windows never appear."""
+    import datetime as dt
+
+    from crypto_data_ingestion_module_spark.operators.patterns import (
+        pattern_topk_windows,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    series = [5.0, 1.0, 2.0, 3.0, 9.0, 8.0]  # pattern [1,2,3] at rn=2
+    for i, v in enumerate(series):
+        rows.append((i, base + dt.timedelta(minutes=i), "a", v))
+    rows.append((100, base, "b", 1.0))  # type with < k rows → no window
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    )
+    got = pattern_topk_windows(df, [1.0, 2.0, 3.0], k_out=10).collect()
+    assert (got[0].event_type, got[0].start_rn, got[0].dist) == ("a", 2, 0.0)
+    # windows per type 'a': 6 - 3 + 1 = 4; type 'b' has none
+    assert len(got) == 4
+    assert all(r.event_type == "a" for r in got)
