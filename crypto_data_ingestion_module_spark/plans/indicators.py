@@ -1,0 +1,478 @@
+"""Technical-indicator suite over the tick stream (events as price series).
+
+The reference stops at raw OHLCV persistence (crypto_collector.py:523-558);
+any user of that collector computes indicators downstream.  This module owns
+that downstream natively: VWAP, rolling volatility, Bollinger breakouts,
+RSI, max drawdown, and cross-stream spread — each as one declarative
+DataFrame expression the Catalyst optimizer can fuse with the scan
+(column pruning + partition pruning reach the parquet reader).
+
+Determinism policy (cross-engine hash parity with DuckDB):
+
+- Every windowed/group sum runs over INTEGER-VALUED DOUBLES obtained by
+  ``round(x * unit)`` (centi-units for prices, milli-units for returns).
+  Integer-valued doubles below 2^53 sum exactly in ANY accumulation order,
+  so Spark's hash-agg / window partial order and DuckDB's segment-tree
+  order produce identical bits.  Magnitude audit: price centi-units
+  <= 6e4 (value <= 560.21 at sf0.1), squares <= 3.2e9, 24-row sums
+  <= 8e10 — far under 2^53.  Returns are winsorized to [-100, 100]
+  (standard realized-vol practice) so milli-unit squares stay <= 1e10.
+- Everything AFTER the sums is ordinary double arithmetic on inputs that
+  are already bit-identical across engines, written with the same
+  expression shape on both sides — deterministic because IEEE ops are.
+- ``sqrt`` is correctly rounded per IEEE-754 in both engines (unlike
+  ln/exp/pow, which this module deliberately avoids).
+- Row windows are totally ordered by (ts, event_id): event_id is unique,
+  so frame membership can never differ between engines.
+
+Scale notes (100 TB): every query is a per-key window or hash aggregate —
+one shuffle on event_type (or none when the lake is already bucketed by
+type), no self-joins, no driver state.  The cross-stream spread join is an
+equi-join on the time bucket, co-partitioned with both aggregates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from crypto_data_ingestion_module_spark.plans.queries import (
+    QuerySpec,
+    _register,
+    _t,
+    dsum,
+    obucket,
+    osum,
+)
+
+
+def _series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tick stream with only the indicator-relevant columns.
+
+    Explicit select so the parquet scan prunes ``props``/``user_id``
+    (ReadSchema carries 4 of 6 columns).
+    """
+    return _t(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+
+
+_ORD = ["ts", "event_id"]  # unique total order within an event_type
+
+
+def _w_trail(n: int):
+    return (
+        Window.partitionBy("event_type")
+        .orderBy(*_ORD)
+        .rowsBetween(-(n - 1), 0)
+    )
+
+
+_O_ORD = "ORDER BY ts, event_id"
+
+
+def _o_trail(n: int) -> str:
+    return (
+        f"PARTITION BY event_type {_O_ORD} "
+        f"ROWS BETWEEN {n - 1} PRECEDING AND CURRENT ROW"
+    )
+
+
+# --------------------------------------------------------------------------
+# VWAP: volume-weighted average price per (type, 1h bucket).  Volume is the
+# JSON ``props.k`` field — exercising JSON extraction in the hot path
+# (get_json_object is JVM-side codegen, not a UDF).
+# --------------------------------------------------------------------------
+
+def _vwap_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "ts",
+        "event_type",
+        "value",
+        F.get_json_object(F.col("props"), "$.k").cast("double").alias("qty"),
+    )
+    agg = (
+        ev.groupBy(F.window(F.col("ts"), "1 hour"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_trades"),
+            dsum(F.col("qty")).alias("volume"),
+            dsum(F.col("value") * F.col("qty")).alias("turnover"),
+        )
+        .select(
+            F.col("window.start").alias("bucket_start"),
+            "event_type",
+            "n_trades",
+            "volume",
+            (
+                F.when(
+                    F.col("volume") > 0,
+                    F.col("turnover") / F.col("volume"),
+                ).otherwise(F.lit(None).cast("double"))
+            ).alias("vwap"),
+        )
+    )
+    return agg
+
+
+_register(
+    QuerySpec(
+        name="vwap_1h",
+        survey_ids=("A1", "A2"),
+        description="volume-weighted average price per 1h bucket; volume "
+        "parsed from the JSON props column JVM-side (no UDF)",
+        spark=_vwap_1h,
+        oracle=f"""
+SELECT {obucket('ts', 3_600_000)} AS bucket_start,
+       event_type,
+       count(*) AS n_trades,
+       {osum("CAST(json_extract_string(props, '$.k') AS DOUBLE)")} AS volume,
+       CASE WHEN {osum("CAST(json_extract_string(props, '$.k') AS DOUBLE)")} > 0
+            THEN {osum("value * CAST(json_extract_string(props, '$.k') AS DOUBLE)")}
+                 / {osum("CAST(json_extract_string(props, '$.k') AS DOUBLE)")}
+            ELSE NULL END AS vwap
+FROM events
+GROUP BY bucket_start, event_type
+""",
+    )
+)
+
+
+# --------------------------------------------------------------------------
+# Rolling realized volatility: stddev of winsorized simple returns over a
+# trailing 24-tick frame per type.
+# --------------------------------------------------------------------------
+
+def _ret_milli() -> Column:
+    """Winsorized simple return in exact milli-units (integer-valued dbl)."""
+    prev = F.lag("value").over(Window.partitionBy("event_type").orderBy(*_ORD))
+    ret = F.when(prev > 0, (F.col("value") - prev) / prev)
+    clamped = F.greatest(F.least(ret, F.lit(100.0)), F.lit(-100.0))
+    return F.round(clamped * 1000.0)
+
+
+def _rolling_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = _w_trail(24)
+    df = _series(spark, sf_dir).withColumn("ret_m", _ret_milli())
+    n = F.count("ret_m").over(w)  # non-null returns in frame
+    s1 = F.sum("ret_m").over(w)
+    s2 = F.sum(F.col("ret_m") * F.col("ret_m")).over(w)
+    # sample variance in milli^2; all inputs integer-valued doubles, so the
+    # expression evaluates to identical bits in both engines.
+    var_m = (n * s2 - s1 * s1) / (n * (n - 1))
+    return (
+        df.withColumn("n", n)
+        .withColumn("var_m", var_m)
+        .select(
+            "event_id",
+            "event_type",
+            "ts",
+            "value",
+            F.when(F.col("n") >= 2, F.sqrt(F.col("var_m")) / 1000.0)
+            .otherwise(F.lit(None).cast("double"))
+            .alias("volatility"),
+            F.col("n").alias("n_returns"),
+        )
+    )
+
+
+_register(
+    QuerySpec(
+        name="rolling_volatility_24",
+        survey_ids=("A1", "D1"),
+        description="trailing-24-tick realized volatility of winsorized "
+        "simple returns, exact under any aggregation order",
+        spark=_rolling_volatility,
+        oracle=f"""
+WITH r AS (
+  SELECT event_id, event_type, ts, value,
+         round(greatest(least(CASE WHEN lag(value) OVER
+                 (PARTITION BY event_type {_O_ORD}) > 0
+               THEN (value - lag(value) OVER (PARTITION BY event_type {_O_ORD}))
+                    / lag(value) OVER (PARTITION BY event_type {_O_ORD})
+               END, 100.0), -100.0) * 1000.0) AS ret_m
+  FROM events
+), s AS (
+  SELECT event_id, event_type, ts, value,
+         count(ret_m) OVER w AS n,
+         sum(ret_m) OVER w AS s1,
+         sum(ret_m * ret_m) OVER w AS s2
+  FROM r
+  WINDOW w AS ({_o_trail(24)})
+)
+SELECT event_id, event_type, ts, value,
+       CASE WHEN n >= 2
+            THEN sqrt((n * s2 - s1 * s1) / (n * (n - 1))) / 1000.0
+            ELSE NULL END AS volatility,
+       n AS n_returns
+FROM s
+""",
+    )
+)
+
+
+# --------------------------------------------------------------------------
+# Bollinger breakouts: trailing-20 MA +/- 2 sigma band, flag escapes.
+# --------------------------------------------------------------------------
+
+def _bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = _w_trail(20)
+    df = _series(spark, sf_dir).withColumn(
+        "v_c", F.round(F.col("value") * 100.0)  # exact centi-units
+    )
+    n = F.count(F.lit(1)).over(w)
+    s1 = F.sum("v_c").over(w)
+    s2 = F.sum(F.col("v_c") * F.col("v_c")).over(w)
+    df = (
+        df.withColumn("n", n)
+        .withColumn("ma_c", s1 / n)
+        .withColumn(
+            "sd_c",
+            F.when(
+                F.col("n") >= 2,
+                F.sqrt((n * s2 - s1 * s1) / (n * (n - 1))),
+            ),
+        )
+    )
+    return df.select(
+        "event_id",
+        "event_type",
+        "ts",
+        "value",
+        (F.col("ma_c") / 100.0).alias("ma20"),
+        (F.col("sd_c") / 100.0).alias("sd20"),
+        F.when(
+            F.col("sd_c").isNotNull(),
+            (F.col("v_c") - F.col("ma_c")) > 2.0 * F.col("sd_c"),
+        )
+        .otherwise(F.lit(None).cast("boolean"))
+        .alias("above_band"),
+        F.when(
+            F.col("sd_c").isNotNull(),
+            (F.col("ma_c") - F.col("v_c")) > 2.0 * F.col("sd_c"),
+        )
+        .otherwise(F.lit(None).cast("boolean"))
+        .alias("below_band"),
+    )
+
+
+_register(
+    QuerySpec(
+        name="bollinger_breakouts_20",
+        survey_ids=("A1", "D1"),
+        description="trailing-20 Bollinger band (MA +/- 2 sigma) with "
+        "above/below breakout flags",
+        spark=_bollinger,
+        oracle=f"""
+WITH c AS (
+  SELECT event_id, event_type, ts, value, round(value * 100.0) AS v_c
+  FROM events
+), s AS (
+  SELECT event_id, event_type, ts, value, v_c,
+         count(*) OVER w AS n,
+         sum(v_c) OVER w AS s1,
+         sum(v_c * v_c) OVER w AS s2
+  FROM c
+  WINDOW w AS ({_o_trail(20)})
+), b AS (
+  SELECT event_id, event_type, ts, value, v_c, n,
+         s1 / n AS ma_c,
+         CASE WHEN n >= 2
+              THEN sqrt((n * s2 - s1 * s1) / (n * (n - 1))) END AS sd_c
+  FROM s
+)
+SELECT event_id, event_type, ts, value,
+       ma_c / 100.0 AS ma20,
+       sd_c / 100.0 AS sd20,
+       CASE WHEN sd_c IS NOT NULL
+            THEN (v_c - ma_c) > 2.0 * sd_c END AS above_band,
+       CASE WHEN sd_c IS NOT NULL
+            THEN (ma_c - v_c) > 2.0 * sd_c END AS below_band
+FROM b
+""",
+    )
+)
+
+
+# --------------------------------------------------------------------------
+# RSI(14): SMA variant (Cutler's RSI) — SQL-expressible, no recursion.
+# --------------------------------------------------------------------------
+
+def _rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wl = Window.partitionBy("event_type").orderBy(*_ORD)
+    w = _w_trail(14)
+    df = _series(spark, sf_dir).withColumn(
+        "diff_c",
+        F.round(F.col("value") * 100.0)
+        - F.round(F.lag("value").over(wl) * 100.0),
+    )
+    gain = F.sum(F.greatest(F.col("diff_c"), F.lit(0.0))).over(w)
+    loss = F.sum(F.greatest(-F.col("diff_c"), F.lit(0.0))).over(w)
+    n = F.count("diff_c").over(w)
+    df = (
+        df.withColumn("n", n)
+        .withColumn("gain_c", gain)
+        .withColumn("loss_c", loss)
+    )
+    rsi = F.when(F.col("n") < 14, F.lit(None).cast("double")).otherwise(
+        F.when(F.col("loss_c") == 0.0, F.lit(100.0)).otherwise(
+            100.0 - 100.0 / (1.0 + F.col("gain_c") / F.col("loss_c"))
+        )
+    )
+    return df.select(
+        "event_id", "event_type", "ts", "value", rsi.alias("rsi14")
+    )
+
+
+_register(
+    QuerySpec(
+        name="rsi_14",
+        survey_ids=("A1", "D1"),
+        description="Cutler's RSI over a trailing 14-tick frame (SMA of "
+        "centi-unit gains/losses; exact window sums)",
+        spark=_rsi,
+        oracle=f"""
+WITH d AS (
+  SELECT event_id, event_type, ts, value,
+         round(value * 100.0)
+           - round(lag(value) OVER (PARTITION BY event_type {_O_ORD}) * 100.0)
+           AS diff_c
+  FROM events
+), s AS (
+  SELECT event_id, event_type, ts, value,
+         count(diff_c) OVER w AS n,
+         sum(greatest(diff_c, 0.0)) OVER w AS gain_c,
+         sum(greatest(-diff_c, 0.0)) OVER w AS loss_c
+  FROM d
+  WINDOW w AS ({_o_trail(14)})
+)
+SELECT event_id, event_type, ts, value,
+       CASE WHEN n < 14 THEN NULL
+            WHEN loss_c = 0.0 THEN 100.0
+            ELSE 100.0 - 100.0 / (1.0 + gain_c / loss_c) END AS rsi14
+FROM s
+""",
+    )
+)
+
+
+# --------------------------------------------------------------------------
+# Max drawdown per type: running peak -> per-type worst drawdown.  Pure
+# max/count aggregates, no floating sums at all.
+# --------------------------------------------------------------------------
+
+def _max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wrun = (
+        Window.partitionBy("event_type")
+        .orderBy(*_ORD)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    df = _series(spark, sf_dir).withColumn(
+        "peak", F.max("value").over(wrun)
+    )
+    dd = F.when(
+        F.col("peak") > 0, (F.col("peak") - F.col("value")) / F.col("peak")
+    ).otherwise(F.lit(0.0))
+    return (
+        df.withColumn("dd", dd)
+        .groupBy("event_type")
+        .agg(
+            F.max("dd").alias("max_drawdown"),
+            F.max("peak").alias("all_time_high"),
+            F.sum(
+                F.when(F.col("value") == F.col("peak"), 1).otherwise(0)
+            ).alias("n_new_highs"),
+        )
+    )
+
+
+_register(
+    QuerySpec(
+        name="max_drawdown",
+        survey_ids=("A2", "D1"),
+        description="per-type maximum drawdown from the running peak "
+        "(order-exact: max/compare only, no float accumulation)",
+        spark=_max_drawdown,
+        oracle=f"""
+WITH p AS (
+  SELECT event_type, value,
+         max(value) OVER (PARTITION BY event_type {_O_ORD}
+                          ROWS UNBOUNDED PRECEDING) AS peak
+  FROM events
+)
+SELECT event_type,
+       max(CASE WHEN peak > 0 THEN (peak - value) / peak ELSE 0.0 END)
+         AS max_drawdown,
+       max(peak) AS all_time_high,
+       sum(CASE WHEN value = peak THEN 1 ELSE 0 END) AS n_new_highs
+FROM p
+GROUP BY event_type
+""",
+    )
+)
+
+
+# --------------------------------------------------------------------------
+# Cross-stream spread: hourly fixed-point means of two streams, equi-joined
+# on the bucket — the arbitrage-monitor shape (venue A vs venue B price).
+# --------------------------------------------------------------------------
+
+def _hourly_mean(spark: SparkSession, sf_dir: str, etype: str) -> DataFrame:
+    return (
+        _series(spark, sf_dir)
+        .filter(F.col("event_type") == etype)
+        .groupBy(F.window(F.col("ts"), "1 hour").alias("w"))
+        .agg(
+            (dsum(F.col("value")) / F.count(F.lit(1))).alias("mean"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(F.col("w.start").alias("bucket_start"), "mean", "n")
+    )
+
+
+def _cross_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = _hourly_mean(spark, sf_dir, "view").withColumnsRenamed(
+        {"mean": "mean_view", "n": "n_view"}
+    )
+    b = _hourly_mean(spark, sf_dir, "click").withColumnsRenamed(
+        {"mean": "mean_click", "n": "n_click"}
+    )
+    j = a.join(b, "bucket_start")
+    return j.select(
+        "bucket_start",
+        "mean_view",
+        "mean_click",
+        "n_view",
+        "n_click",
+        (F.col("mean_view") - F.col("mean_click")).alias("spread"),
+        F.when(
+            F.col("mean_click") > 0,
+            (F.col("mean_view") - F.col("mean_click")) / F.col("mean_click"),
+        ).alias("spread_pct"),
+    )
+
+
+_register(
+    QuerySpec(
+        name="cross_stream_spread_1h",
+        survey_ids=("A2", "D5"),
+        description="hourly spread between two streams (arbitrage-monitor "
+        "shape): fixed-point means equi-joined on the time bucket",
+        spark=_cross_spread,
+        oracle=f"""
+WITH a AS (
+  SELECT {obucket('ts', 3_600_000)} AS bucket_start,
+         {osum('value')} / count(*) AS mean_view, count(*) AS n_view
+  FROM events WHERE event_type = 'view' GROUP BY 1
+), b AS (
+  SELECT {obucket('ts', 3_600_000)} AS bucket_start,
+         {osum('value')} / count(*) AS mean_click, count(*) AS n_click
+  FROM events WHERE event_type = 'click' GROUP BY 1
+)
+SELECT a.bucket_start, mean_view, mean_click, n_view, n_click,
+       mean_view - mean_click AS spread,
+       CASE WHEN mean_click > 0
+            THEN (mean_view - mean_click) / mean_click END AS spread_pct
+FROM a JOIN b ON a.bucket_start = b.bucket_start
+""",
+    )
+)

@@ -859,6 +859,10 @@ from crypto_data_ingestion_module_spark.plans import extensions as _extensions  
 # registration side effect: TPC-H-shaped relational breadth suite
 from crypto_data_ingestion_module_spark.plans import relational as _relational  # noqa: E402,F401
 
+# registration side effect: technical-indicator suite (VWAP, volatility,
+# Bollinger, RSI, drawdown, cross-stream spread)
+from crypto_data_ingestion_module_spark.plans import indicators as _indicators  # noqa: E402,F401
+
 # registration side effect: round-3 curation queries (decontamination,
 # mixture composition) — pytest-checked, outside the frozen 50-window
 from crypto_data_ingestion_module_spark.plans import curation as _curation  # noqa: E402,F401

@@ -705,3 +705,442 @@ LIMIT 20
 """,
     )
 )
+
+
+# --------------------------------------------------------------------------
+# Q4 shape: order-priority checking — EXISTS with a mixed equi + range
+# condition pushed into a left-semi join.  Adapted: the testdata lineitem
+# carries no commitdate/receiptdate (crypto_collector's schema world has no
+# such columns either), so the late-line predicate is l_shipdate >
+# o_orderdate — same decorrelation shape, same join strategy.
+# --------------------------------------------------------------------------
+
+def _order_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= _TS("1996-07-01 00:00:00"))
+        & (F.col("o_orderdate") < _TS("1996-10-01 00:00:00"))
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        orders.join(
+            li,
+            (F.col("o_orderkey") == F.col("l_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+_register(
+    QuerySpec(
+        name="order_priority_exists",
+        survey_ids=("A2", "A3"),
+        description="TPC-H Q4 shape: EXISTS decorrelated to a left-semi "
+        "join with an extra range conjunct, priority-grouped counts",
+        spark=_order_priority_exists,
+        oracle="""
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+  )
+GROUP BY o_orderpriority
+""",
+    )
+)
+
+
+# --------------------------------------------------------------------------
+# Q8 shape: national market share — one pass computes both the numerator
+# (revenue supplied by the target nation) and the denominator (all revenue
+# into the target region) as conditional fixed-point sums; no second join.
+# --------------------------------------------------------------------------
+
+def _market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sn = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    cn = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"),
+        F.col("n_regionkey").alias("c_regionkey"),
+    )
+    asia = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    promo_parts = _t(spark, sf_dir, "part").filter(
+        F.col("p_type") == "PROMO"
+    ).select("p_partkey")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .join(promo_parts, F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .join(_t(spark, sf_dir, "orders"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(_t(spark, sf_dir, "customer"), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .join(
+            F.broadcast(asia),
+            F.col("c_regionkey") == F.col("r_regionkey"),
+            "left_semi",
+        )
+        .join(_t(spark, sf_dir, "supplier"), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            dsum(
+                F.when(F.col("supp_nation") == "NATION_3", rev).otherwise(0.0)
+            ).alias("nation_revenue"),
+            dsum(rev).alias("total_revenue"),
+        )
+        .select(
+            "o_year",
+            "nation_revenue",
+            "total_revenue",
+            (F.col("nation_revenue") / F.col("total_revenue")).alias(
+                "market_share"
+            ),
+        )
+    )
+
+
+_register(
+    QuerySpec(
+        name="market_share_by_year",
+        survey_ids=("A2",),
+        description="TPC-H Q8 shape: NATION_3's yearly share of PROMO-part "
+        "revenue into ASIA; numerator and denominator as conditional "
+        "fixed-point sums in a single aggregation pass",
+        spark=_market_share,
+        oracle=f"""
+SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+  {osum("CASE WHEN n1.n_name = 'NATION_3' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END")}
+    AS nation_revenue,
+  {osum('l_extendedprice * (1 - l_discount)')} AS total_revenue,
+  {osum("CASE WHEN n1.n_name = 'NATION_3' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END")}
+    / {osum('l_extendedprice * (1 - l_discount)')} AS market_share
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_type = 'PROMO')
+  AND n2.n_regionkey IN (SELECT r_regionkey FROM region WHERE r_name = 'ASIA')
+GROUP BY year(o_orderdate)
+""",
+    )
+)
+
+
+# --------------------------------------------------------------------------
+# Q9 shape: product-line profit by supplier nation and year.  Adapted: the
+# testdata has no partsupp/ps_supplycost, so cost is modeled as 10% of the
+# part's retail price per unit — the join/aggregation shape (part-name
+# pattern filter, dual fact-dim chain, nation x year profit) is Q9's.
+# --------------------------------------------------------------------------
+
+def _product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    widget_parts = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%widget%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
+        "p_retailprice"
+    ) * 0.1 * F.col("l_quantity")
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .join(widget_parts, F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            _t(spark, sf_dir, "supplier"),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(
+            F.broadcast(_t(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            _t(spark, sf_dir, "orders"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(dsum(profit).alias("profit"))
+    )
+
+
+_register(
+    QuerySpec(
+        name="product_profit_by_nation_year",
+        survey_ids=("A2",),
+        description="TPC-H Q9 shape: part-name pattern filter, "
+        "supplier-nation x order-year profit (cost modeled from "
+        "p_retailprice; testdata has no partsupp)",
+        spark=_product_profit,
+        oracle=f"""
+SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+  {osum('l_extendedprice * (1 - l_discount) - p_retailprice * 0.1 * l_quantity')}
+    AS profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%widget%'
+GROUP BY n_name, year(o_orderdate)
+""",
+    )
+)
+
+
+# --------------------------------------------------------------------------
+# Q11 shape: important-part identification — per-part shipped value vs a
+# scalar-subquery threshold (a fraction of the global total).  The global
+# total is a one-row aggregate broadcast into the HAVING comparison.
+# --------------------------------------------------------------------------
+
+def _important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    value = F.col("l_quantity") * F.col("l_extendedprice")
+    per_part = li.groupBy("l_partkey").agg(dsum(value).alias("part_value"))
+    # scale-free threshold: 1.2x the mean per-part value (a fixed global
+    # fraction returns nothing once the part count grows with SF).
+    total = F.broadcast(
+        li.agg(
+            (
+                dsum(value) / F.count_distinct(F.col("l_partkey")) * 1.2
+            ).alias("_threshold")
+        )
+    )
+    return (
+        per_part.crossJoin(total)
+        .filter(F.col("part_value") > F.col("_threshold"))
+        .select("l_partkey", "part_value")
+    )
+
+
+_register(
+    QuerySpec(
+        name="important_parts",
+        survey_ids=("A2",),
+        description="TPC-H Q11 shape: per-part value filtered by a "
+        "broadcast scalar-subquery threshold (1.2x the mean per-part "
+        "value, scale-free)",
+        spark=_important_parts,
+        oracle=f"""
+SELECT l_partkey, {osum('l_quantity * l_extendedprice')} AS part_value
+FROM lineitem
+GROUP BY l_partkey
+HAVING {osum('l_quantity * l_extendedprice')} > (
+  SELECT {osum('l_quantity * l_extendedprice')}
+           / count(DISTINCT l_partkey) * 1.2
+  FROM lineitem
+)
+""",
+    )
+)
+
+
+# --------------------------------------------------------------------------
+# Q19 shape: disjunctive predicate revenue — an OR-of-ANDs across both join
+# sides.  Catalyst extracts the common l_partkey = p_partkey conjunct as the
+# equi-join key and leaves the disjunction as a post-join filter; the
+# per-branch part predicates are pushed into the part scan as
+# (brand=.. AND size..) OR (brand=.. AND size..).
+# --------------------------------------------------------------------------
+
+def _disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    j = li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+    branch1 = (
+        (F.col("p_brand") == "Brand#13")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1.0, 20.0)
+    )
+    branch2 = (
+        (F.col("p_brand") == "Brand#20")
+        & F.col("p_size").between(10, 30)
+        & F.col("l_quantity").between(10.0, 40.0)
+    )
+    branch3 = (
+        (F.col("p_brand") == "Brand#7")
+        & F.col("p_size").between(20, 50)
+        & F.col("l_quantity").between(20.0, 50.0)
+    )
+    return j.filter(branch1 | branch2 | branch3).agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "revenue"
+        ),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+_register(
+    QuerySpec(
+        name="disjunctive_revenue",
+        survey_ids=("A2", "F1"),
+        description="TPC-H Q19 shape: OR-of-ANDs predicate spanning both "
+        "join sides; common equi-key extracted, branch predicates pushed "
+        "to the part scan",
+        spark=_disjunctive_revenue,
+        oracle=f"""
+SELECT {osum('l_extendedprice * (1 - l_discount)')} AS revenue,
+       count(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1.0 AND 20.0)
+   OR (p_brand = 'Brand#20' AND p_size BETWEEN 10 AND 30
+       AND l_quantity BETWEEN 10.0 AND 40.0)
+   OR (p_brand = 'Brand#7' AND p_size BETWEEN 20 AND 50
+       AND l_quantity BETWEEN 20.0 AND 50.0)
+""",
+    )
+)
+
+
+# --------------------------------------------------------------------------
+# Q2 shape: cheapest-supplier selection per part — a correlated MIN
+# subquery decorrelated to a per-part window rank over the candidate
+# suppliers (distinct shippers from lineitem).  Adapted: no partsupp table,
+# so "candidate suppliers of a part" = suppliers that shipped it and the
+# minimized attribute is s_acctbal (tie-broken by s_suppkey so both engines
+# select the identical row).
+# --------------------------------------------------------------------------
+
+def _min_acctbal_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    shippers = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    cand = shippers.join(
+        _t(spark, sf_dir, "supplier"),
+        F.col("l_suppkey") == F.col("s_suppkey"),
+    )
+    w = Window.partitionBy("l_partkey").orderBy(
+        F.asc("s_acctbal"), F.asc("s_suppkey")
+    )
+    best = (
+        cand.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    big_parts = _t(spark, sf_dir, "part").filter(F.col("p_size") >= 40)
+    return (
+        best.join(big_parts, F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            F.broadcast(_t(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select(
+            "p_partkey",
+            "p_name",
+            "p_brand",
+            "p_size",
+            F.col("s_name").alias("supplier"),
+            "s_acctbal",
+            F.col("n_name").alias("supp_nation"),
+        )
+    )
+
+
+_register(
+    QuerySpec(
+        name="min_acctbal_supplier_per_part",
+        survey_ids=("A2", "D6"),
+        description="TPC-H Q2 shape: correlated-MIN supplier selection "
+        "decorrelated to a per-part window rank over distinct shippers, "
+        "deterministic tie-break",
+        spark=_min_acctbal_supplier,
+        oracle="""
+WITH cand AS (
+  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+), ranked AS (
+  SELECT l_partkey, s_name, s_acctbal, s_nationkey,
+         row_number() OVER (PARTITION BY l_partkey
+                            ORDER BY s_acctbal ASC, s_suppkey ASC) AS rn
+  FROM cand JOIN supplier ON l_suppkey = s_suppkey
+)
+SELECT p_partkey, p_name, p_brand, p_size,
+       s_name AS supplier, s_acctbal, n_name AS supp_nation
+FROM ranked
+JOIN part ON l_partkey = p_partkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE rn = 1 AND p_size >= 40
+""",
+    )
+)
+
+
+# --------------------------------------------------------------------------
+# Q20 shape: excess-share suppliers — suppliers holding an outsized share
+# of some part's total shipped quantity (grouped subquery with a
+# same-grain ratio threshold, then a semi join up to the supplier dim).
+# --------------------------------------------------------------------------
+
+def _excess_share_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    per_pair = li.groupBy("l_partkey", "l_suppkey").agg(
+        dsum(F.col("l_quantity")).alias("pair_qty")
+    )
+    per_part = li.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        dsum(F.col("l_quantity")).alias("part_qty"),
+        F.count_distinct(F.col("l_suppkey")).alias("n_supp"),
+    )
+    # scale-free threshold: a supplier shipping >2x its fair share
+    # (1/n_supp) of the part's quantity — an absolute share cutoff
+    # returns nothing once supplier counts grow with SF.
+    hot = (
+        per_pair.join(per_part, F.col("l_partkey") == F.col("_pk"))
+        .filter(
+            F.col("pair_qty") * F.col("n_supp") > 2.0 * F.col("part_qty")
+        )
+        .select("l_suppkey")
+    )
+    return (
+        _t(spark, sf_dir, "supplier")
+        .join(hot, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .join(
+            F.broadcast(_t(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name", F.col("n_name").alias("supp_nation"))
+    )
+
+
+_register(
+    QuerySpec(
+        name="excess_share_suppliers",
+        survey_ids=("A2",),
+        description="TPC-H Q20 shape: suppliers shipping >2x their fair "
+        "share of some part's quantity — two-grain aggregate join "
+        "feeding a semi join into the supplier dim",
+        spark=_excess_share_suppliers,
+        oracle=f"""
+SELECT s_suppkey, s_name, n_name AS supp_nation
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+WHERE s_suppkey IN (
+  SELECT pp.l_suppkey
+  FROM (
+    SELECT l_partkey, l_suppkey, {osum('l_quantity')} AS pair_qty
+    FROM lineitem GROUP BY l_partkey, l_suppkey
+  ) pp
+  JOIN (
+    SELECT l_partkey, {osum('l_quantity')} AS part_qty,
+           count(DISTINCT l_suppkey) AS n_supp
+    FROM lineitem GROUP BY l_partkey
+  ) pt ON pp.l_partkey = pt.l_partkey
+  WHERE pp.pair_qty * pt.n_supp > 2.0 * pt.part_qty
+)
+""",
+    )
+)
