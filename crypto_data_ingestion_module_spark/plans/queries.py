@@ -1445,6 +1445,23 @@ _register(
 #   order_grouping_sets, order_revenue_by_priority
 #                            — A2 partial/final-agg family; kept evidence =
 #                              pricing_summary + order_cube_status_year
+#   sliding_value_stats_1h_15m, promo_revenue_share, quantize_embeddings,
+#   corpus_mixture, corpus_report, chunk_documents
+#                            — rotated out round 4 for the indicator suite
+#                              and Q2/Q4/Q8 shapes; each family keeps an
+#                              in-window twin (user_sessions/ohlcv for A1
+#                              windows, pricing_summary for scalar aggs,
+#                              cosine_topk_quantized for quantization,
+#                              stratified_sample/decontaminate for
+#                              curation, doc_keywords for monitoring,
+#                              pack_sequences for token transforms)
+#   bollinger_breakouts_20, rsi_14, cross_stream_spread_1h,
+#   product_profit_by_nation_year, disjunctive_revenue, important_parts,
+#   excess_share_suppliers
+#                            — round-4 additions whose families are
+#                              in-window via rolling_volatility_24 /
+#                              vwap_1h / max_drawdown / market_share /
+#                              min_acctbal_supplier / order_priority_exists
 #   open_order_customers_by_nation, rich_idle_customers,
 #   small_qty_part_revenue, customer_order_counts_dist,
 #   supplier_part_breadth, top_supplier_revenue
@@ -1479,11 +1496,16 @@ CHECKED_QUERIES: tuple[str, ...] = (
     "revenue_by_nation",
     "asof_last_view_before_purchase",
     "user_sessions_30m",
-    "sliding_value_stats_1h_15m",
     "order_cube_status_year",
     "shipping_priority_topk",
-    "promo_revenue_share",
     "waiting_suppliers",
+    "order_priority_exists",
+    "market_share_by_year",
+    "min_acctbal_supplier_per_part",
+    # technical indicators (round-4: the candle lake's downstream analytics)
+    "vwap_1h",
+    "rolling_volatility_24",
+    "max_drawdown",
     # LLM-data-pipeline operators (X1–X5)
     "dedup_exact_documents",
     "text_quality",
@@ -1497,18 +1519,14 @@ CHECKED_QUERIES: tuple[str, ...] = (
     "ann_ivf_topk",
     "ann_lsh_seed_topk",
     "cosine_topk_quantized",
-    "quantize_embeddings",
     "hybrid_search_rerank",
     "stratified_sample_events",
     "pack_sequences",
-    "chunk_documents",
     "vocab_stats",
     "curated_corpus",
     "label_centroids",
     "decontaminate_docs",
-    "corpus_mixture",
     "doc_keywords",
-    "corpus_report",
 )
 
 assert len(CHECKED_QUERIES) <= 50, len(CHECKED_QUERIES)
