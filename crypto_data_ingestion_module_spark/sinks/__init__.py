@@ -8,3 +8,7 @@ from crypto_data_ingestion_module_spark.sinks.shards import (  # noqa: F401
     read_shard,
     write_training_shards,
 )
+from crypto_data_ingestion_module_spark.sinks.zorder import (  # noqa: F401
+    read_pruned,
+    write_zordered,
+)
