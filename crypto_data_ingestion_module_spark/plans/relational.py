@@ -909,12 +909,15 @@ def _important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     value = F.col("l_quantity") * F.col("l_extendedprice")
     per_part = li.groupBy("l_partkey").agg(dsum(value).alias("part_value"))
     # scale-free threshold: 1.2x the mean per-part value (a fixed global
-    # fraction returns nothing once the part count grows with SF).
+    # fraction returns nothing once the part count grows with SF).  The
+    # global total re-aggregates the PART-GRAIN frame — part_value is
+    # integer micro-units, so dsum-of-dsums is exact and equals a direct
+    # sum, and lineitem is scanned exactly once.
     total = F.broadcast(
-        li.agg(
-            (
-                dsum(value) / F.count_distinct(F.col("l_partkey")) * 1.2
-            ).alias("_threshold")
+        per_part.agg(
+            (dsum(F.col("part_value")) / F.count(F.lit(1)) * 1.2).alias(
+                "_threshold"
+            )
         )
     )
     return (
@@ -1091,9 +1094,13 @@ def _excess_share_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_pair = li.groupBy("l_partkey", "l_suppkey").agg(
         dsum(F.col("l_quantity")).alias("pair_qty")
     )
-    per_part = li.groupBy(F.col("l_partkey").alias("_pk")).agg(
-        dsum(F.col("l_quantity")).alias("part_qty"),
-        F.count_distinct(F.col("l_suppkey")).alias("n_supp"),
+    # part grain derives from the pair grain (pair_qty is integer
+    # micro-units, so the re-sum is exact; the pair grain already holds
+    # one row per supplier, so count(*) IS the distinct supplier count)
+    # — one lineitem scan, no count-distinct expand.
+    per_part = per_pair.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        dsum(F.col("pair_qty")).alias("part_qty"),
+        F.count(F.lit(1)).alias("n_supp"),
     )
     # scale-free threshold: a supplier shipping >2x its fair share
     # (1/n_supp) of the part's quantity — an absolute share cutoff
