@@ -1649,3 +1649,90 @@ LIMIT 20
         ),
     )
 )
+
+
+# --------------------------------------------------------------------------
+# X3/X5: distributed Lloyd's k-means — the trainer itself as a hash-checked
+# DataFrame program (operators/clustering.py).  k=8, 2 Lloyd rounds from
+# the md5-seeded init the IVF stack shares; every corpus row comes back
+# with its final cluster and exact squared distance.
+# --------------------------------------------------------------------------
+
+def _embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crypto_data_ingestion_module_spark.operators.clustering import (
+        kmeans_lloyd,
+    )
+
+    return kmeans_lloyd(_t(spark, sf_dir, "embeddings"), k=8, iters=2)
+
+
+def _kmeans_oracle(k: int, iters: int) -> str:
+    """Generate the iteration CTE chain (assignment + centroid update per
+    Lloyd round) — the SQL twin of the kmeans_lloyd loop."""
+    parts = [
+        """WITH pts AS (
+  SELECT vec_id AS nid,
+         list_transform(embedding,
+                        x -> round(CAST(x AS DOUBLE) * 1000000.0)) AS xu
+  FROM embeddings
+),
+cent0 AS (
+  SELECT row_number() OVER (ORDER BY md5(CAST(nid AS VARCHAR)), nid) - 1
+           AS cluster,
+         xu AS cu
+  FROM pts ORDER BY md5(CAST(nid AS VARCHAR)), nid LIMIT {k}
+)""".format(k=k)
+    ]
+    d2 = "CAST(SUM(CAST((x - c) * (x - c) AS DECIMAL(38,0))) AS DOUBLE)"
+    for i in range(iters):
+        parts.append(
+            """d{i} AS (
+  SELECT nid, cluster, {d2} AS d2
+  FROM (SELECT p.nid, c_.cluster, unnest(p.xu) AS x, unnest(c_.cu) AS c
+        FROM pts p CROSS JOIN cent{i} c_)
+  GROUP BY nid, cluster
+),
+a{i} AS (
+  SELECT nid, cluster FROM (
+    SELECT nid, cluster,
+           row_number() OVER (PARTITION BY nid ORDER BY d2, cluster) AS rn
+    FROM d{i}) WHERE rn = 1
+),
+cent{j} AS (
+  SELECT cluster, list(m ORDER BY pos) AS cu FROM (
+    SELECT a.cluster, e.pos,
+           round(CAST(SUM(CAST(e.x AS DECIMAL(38,0))) AS DOUBLE)
+                 / count(*)) AS m
+    FROM (SELECT nid, unnest(xu) AS x, generate_subscripts(xu, 1) AS pos
+          FROM pts) e
+    JOIN a{i} a ON a.nid = e.nid
+    GROUP BY a.cluster, e.pos
+  ) GROUP BY cluster
+)""".format(i=i, j=i + 1, d2=d2)
+        )
+    parts.append(
+        """dF AS (
+  SELECT nid, cluster, {d2} AS d2
+  FROM (SELECT p.nid, c_.cluster, unnest(p.xu) AS x, unnest(c_.cu) AS c
+        FROM pts p CROSS JOIN cent{T} c_)
+  GROUP BY nid, cluster
+)
+SELECT nid AS vec_id, cluster, d2 / 1e12 AS dist2 FROM (
+  SELECT nid, cluster, d2,
+         row_number() OVER (PARTITION BY nid ORDER BY d2, cluster) AS rn
+  FROM dF) WHERE rn = 1""".format(T=iters, d2=d2)
+    )
+    return ",\n".join(parts)
+
+
+_register(
+    QuerySpec(
+        name="embedding_kmeans",
+        survey_ids=("X3", "X5"),
+        description="distributed Lloyd's k-means (k=8, 2 rounds, "
+        "md5-seeded init): per-row final cluster + exact squared "
+        "distance; fixed-point folds make every iteration hash-exact",
+        spark=_embedding_kmeans,
+        oracle=_kmeans_oracle(8, 2),
+    )
+)
