@@ -143,11 +143,16 @@ GROUP BY bucket_start, event_type
 # --------------------------------------------------------------------------
 
 def _ret_milli() -> Column:
-    """Winsorized simple return in exact milli-units (integer-valued dbl)."""
+    """Winsorized simple return in exact milli-units (integer-valued dbl).
+
+    The clamp sits INSIDE the null guard: least/greatest skip NULL in
+    both Spark and DuckDB, so clamping a NULL return would fabricate a
+    +100 "return" on the first tick of every series.
+    """
     prev = F.lag("value").over(Window.partitionBy("event_type").orderBy(*_ORD))
-    ret = F.when(prev > 0, (F.col("value") - prev) / prev)
+    ret = (F.col("value") - prev) / prev
     clamped = F.greatest(F.least(ret, F.lit(100.0)), F.lit(-100.0))
-    return F.round(clamped * 1000.0)
+    return F.round(F.when(prev > 0, clamped) * 1000.0)
 
 
 def _rolling_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -185,11 +190,13 @@ _register(
         oracle=f"""
 WITH r AS (
   SELECT event_id, event_type, ts, value,
-         round(greatest(least(CASE WHEN lag(value) OVER
+         round(CASE WHEN lag(value) OVER
                  (PARTITION BY event_type {_O_ORD}) > 0
-               THEN (value - lag(value) OVER (PARTITION BY event_type {_O_ORD}))
-                    / lag(value) OVER (PARTITION BY event_type {_O_ORD})
-               END, 100.0), -100.0) * 1000.0) AS ret_m
+               THEN greatest(least(
+                 (value - lag(value) OVER (PARTITION BY event_type {_O_ORD}))
+                    / lag(value) OVER (PARTITION BY event_type {_O_ORD}),
+                 100.0), -100.0)
+               END * 1000.0) AS ret_m
   FROM events
 ), s AS (
   SELECT event_id, event_type, ts, value,

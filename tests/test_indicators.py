@@ -1,0 +1,109 @@
+"""Semantic invariants for the technical-indicator suite and the k-means
+trainer — properties the DuckDB hash parity (test_queries_oracle) cannot
+express: bounds, monotonicity, and algebraic identities.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from crypto_data_ingestion_module_spark.operators.clustering import kmeans_lloyd
+from crypto_data_ingestion_module_spark.plans.queries import QUERY_SPECS
+from tests.conftest import SF_SMALL
+
+
+def _run(spark, name):
+    return QUERY_SPECS[name].spark(spark, SF_SMALL)
+
+
+def test_rsi_bounds(spark):
+    df = _run(spark, "rsi_14").filter(F.col("rsi14").isNotNull())
+    bad = df.filter((F.col("rsi14") < 0) | (F.col("rsi14") > 100)).count()
+    assert bad == 0
+    # warm-up rows (fewer than 14 prior diffs) must be NULL
+    n_null = _run(spark, "rsi_14").filter(F.col("rsi14").isNull()).count()
+    assert n_null > 0
+
+
+def test_drawdown_bounds_and_peak_monotone(spark):
+    df = _run(spark, "max_drawdown")
+    rows = df.collect()
+    assert rows, "every event_type must report"
+    for r in rows:
+        assert 0.0 <= r.max_drawdown <= 1.0
+        assert r.n_new_highs >= 1  # the first row is always a new peak
+
+
+def test_volatility_nonnegative_and_warmup_null(spark):
+    df = _run(spark, "rolling_volatility_24")
+    assert df.filter(F.col("volatility") < 0).count() == 0
+    # the first row of every type has no return -> n_returns == 0
+    assert df.filter(F.col("n_returns") == 0).count() > 0
+
+
+def test_bollinger_band_flags_exclusive(spark):
+    df = _run(spark, "bollinger_breakouts_20")
+    both = df.filter(F.col("above_band") & F.col("below_band")).count()
+    assert both == 0
+
+
+def test_vwap_between_bucket_min_max(spark):
+    """VWAP is a convex combination of prices in its bucket."""
+    from crypto_data_ingestion_module_spark.session import load_table
+
+    ev = load_table(spark, SF_SMALL, "events")
+    bounds = ev.groupBy(
+        F.window(F.col("ts"), "1 hour")["start"].alias("bucket_start"),
+        "event_type",
+    ).agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    vw = _run(spark, "vwap_1h").filter(F.col("vwap").isNotNull())
+    joined = vw.join(bounds, ["bucket_start", "event_type"])
+    assert joined.count() == vw.count()
+    out = joined.filter(
+        (F.col("vwap") < F.col("lo") - 1e-9)
+        | (F.col("vwap") > F.col("hi") + 1e-9)
+    ).count()
+    assert out == 0
+
+
+def test_cross_spread_identity(spark):
+    df = _run(spark, "cross_stream_spread_1h")
+    bad = df.filter(
+        F.abs(F.col("spread") - (F.col("mean_view") - F.col("mean_click")))
+        > 1e-12
+    ).count()
+    assert bad == 0
+
+
+def test_kmeans_lloyd_descends(spark):
+    """Lloyd's algorithm never increases total within-cluster distance:
+    cost(iters=2) <= cost(iters=1) <= cost(iters=0)."""
+    from crypto_data_ingestion_module_spark.session import load_table
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    costs = []
+    for it in (0, 1, 2):
+        a = kmeans_lloyd(emb, k=8, iters=it)
+        costs.append(a.agg(F.sum("dist2")).collect()[0][0])
+    assert costs[1] <= costs[0] + 1e-9
+    assert costs[2] <= costs[1] + 1e-9
+
+
+def test_kmeans_covers_corpus_once(spark):
+    from crypto_data_ingestion_module_spark.session import load_table
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    a = kmeans_lloyd(emb, k=8, iters=2)
+    assert a.count() == emb.count()
+    assert a.select("vec_id").distinct().count() == emb.count()
+    n_clusters = a.select("cluster").distinct().count()
+    assert 1 <= n_clusters <= 8
+
+
+def test_kmeans_checkpoint_parity(spark):
+    """Lineage truncation must not change a single assignment."""
+    from crypto_data_ingestion_module_spark.session import load_table
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    a = kmeans_lloyd(emb, k=4, iters=2, checkpoint=False)
+    b = kmeans_lloyd(emb, k=4, iters=2, checkpoint=True)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
