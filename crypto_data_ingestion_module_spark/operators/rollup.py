@@ -48,7 +48,15 @@ from pyspark.sql import functions as F
 
 from crypto_data_ingestion_module_spark.functions.timeutil import bucket_start
 
-PARTIAL_COLS = ("open_s", "high", "low", "close_s", "volume_u6", "n_rows")
+PARTIAL_COLS = (
+    "open_s",
+    "high",
+    "low",
+    "close_s",
+    "volume_u6",
+    "turnover_u6",
+    "n_rows",
+)
 
 
 def candle_partials(
@@ -74,6 +82,13 @@ def candle_partials(
         F.min(F.col(price_col)).alias("low"),
         F.max(order_price).alias("close_s"),
         F.sum(F.round(vol * 1_000_000.0).cast("long")).alias("volume_u6"),
+        # price x size in micro-units: the VWAP numerator is associative
+        # and exact, so the continuous aggregate maintains VWAP for free.
+        # (When no volume column exists vol == price and turnover/volume
+        # degenerates to the price-weighted mean — unused but harmless.)
+        F.sum(F.round(F.col(price_col) * vol * 1_000_000.0).cast("long")).alias(
+            "turnover_u6"
+        ),
         F.count(F.lit(1)).alias("n_rows"),
     )
 
@@ -86,6 +101,7 @@ def merge_partials(partials: DataFrame, keys: Sequence[str]) -> DataFrame:
         F.min("low").alias("low"),
         F.max("close_s").alias("close_s"),
         F.sum("volume_u6").alias("volume_u6"),
+        F.sum("turnover_u6").alias("turnover_u6"),
         F.sum("n_rows").alias("n_rows"),
     )
 
@@ -100,6 +116,11 @@ def finalize(partials: DataFrame, keys: Sequence[str]) -> DataFrame:
         "low",
         F.col("close_s.v").alias("close"),
         (F.col("volume_u6").cast("double") / 1_000_000.0).alias("volume"),
+        F.when(
+            F.col("volume_u6") > 0,
+            F.col("turnover_u6").cast("double")
+            / F.col("volume_u6").cast("double"),
+        ).alias("vwap"),
         "n_rows",
     )
 

@@ -150,3 +150,68 @@ def test_rollup_touches_only_batch_dates(spark, tmp_path):
         for p in set(after) - set(before) | {p for p in before if before[p] != after.get(p, before[p])}
     }
     assert changed_dates == {"20240115"}
+
+
+def test_stream_vwap_matches_batch_query(spark, tmp_path):
+    """Streaming continuous-aggregate VWAP == the registered vwap_1h
+    batch query, on the same events with the JSON-extracted size column.
+
+    The rollup maintains turnover/volume as exact micro-unit LONG sums;
+    the batch query sums the same integers through DECIMAL(38,0), so the
+    two quotients agree to the last ulp of their (t/1e6)/(v/1e6) vs t/v
+    formulations — compared at 1e-9.
+    """
+    import glob
+    import os
+
+    from crypto_data_ingestion_module_spark.plans.queries import QUERY_SPECS
+    from crypto_data_ingestion_module_spark.streaming.rollup_stream import (
+        stream_rollup,
+    )
+
+    ev = load_table(spark, SF_SMALL, "events").select(
+        "event_id",
+        "ts",
+        "event_type",
+        "value",
+        F.get_json_object(F.col("props"), "$.k").cast("double").alias("qty"),
+    )
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    for n, i in enumerate([1, 2, 0]):  # shuffled arrival order
+        tmp = str(tmp_path / f"t{i}")
+        ev.filter(F.col("event_id") % 3 == i).coalesce(1).write.parquet(tmp)
+        os.rename(
+            glob.glob(tmp + "/*.parquet")[0],
+            os.path.join(in_dir, f"b{n}.parquet"),
+        )
+    src = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    lake = str(tmp_path / "vwap_lake")
+    q = stream_rollup(
+        src,
+        lake,
+        str(tmp_path / "ck"),
+        3_600_000,
+        volume_col="qty",
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.bucket_ts, r.event_type): (r.vwap, round(r.volume, 6))
+        for r in finalize(read_rollup(spark, lake), ["event_type"]).collect()
+    }
+    want = {
+        (r.bucket_start, r.event_type): (r.vwap, round(r.volume, 6))
+        for r in QUERY_SPECS["vwap_1h"].spark(spark, SF_SMALL).collect()
+    }
+    assert set(got) == set(want)
+    for key, (vw, vol) in want.items():
+        gvw, gvol = got[key]
+        assert gvol == vol, key
+        if vw is None:
+            assert gvw is None, key
+        else:
+            assert abs(gvw - vw) < 1e-9, (key, gvw, vw)
