@@ -258,12 +258,86 @@ def snapshot_files_in_range(
     return sorted(out)
 
 
+def _file_col_stats(
+    spark: SparkSession, root: str, files: list[str], cols: Sequence[str]
+) -> dict:
+    """Generic per-file [min, max] for ``cols`` (numeric axes), stored
+    under the ``cols`` key of each file's stats entry — the off-axis
+    data-skipping companion to the time stats.  One bounded aggregate
+    over exactly the given files."""
+    if not files or not cols:
+        return {}
+    from crypto_data_ingestion_module_spark.sinks.zorder import _axis
+
+    Path, fs = _fs(spark, root)
+    base_abs = fs.makeQualified(Path(root)).toUri().getPath()
+    df = _read_files(spark, root, files)
+    aggs = []
+    for c in cols:
+        a = _axis(df, c)
+        aggs += [F.min(a).alias(f"_lo_{c}"), F.max(a).alias(f"_hi_{c}")]
+    out = {}
+    rows = (
+        df.select(F.input_file_name().alias("_f"), *[F.col(c) for c in cols])
+        .groupBy("_f")
+        .agg(*aggs)
+        .collect()
+    )
+    for r in rows:
+        p = r["_f"]
+        if "://" in p:
+            p = p.split("://", 1)[1]
+            p = p[p.index("/"):] if not p.startswith("/") else p
+        rel = p[len(base_abs):].lstrip("/")
+        out[rel] = {
+            "cols": {c: [r[f"_lo_{c}"], r[f"_hi_{c}"]] for c in cols}
+        }
+    return out
+
+
+def snapshot_files_matching(
+    spark: SparkSession,
+    root: str,
+    predicates: dict,
+    version: int | None = None,
+) -> tuple[list[str], int]:
+    """Multi-column data skipping through the manifest's generic column
+    stats: keep files whose [min, max] box intersects the predicate box
+    on every predicated column (conservative when stats are absent).
+    Returns (kept files, total files)."""
+    v = current_version(spark, root) if version is None else version
+    if v is None:
+        raise FileNotFoundError(f"no snapshot versions under {root}")
+    man = read_manifest(spark, root, v)
+    stats = man.get("file_stats", {})
+    keep, total = [], 0
+    for fl in man["partitions"].values():
+        for f in fl:
+            total += 1
+            st = (stats.get(f) or {}).get("cols", {})
+            ok = True
+            for c, (lo, hi) in predicates.items():
+                b = st.get(c)
+                if b is None or b[0] is None or b[1] is None:
+                    continue
+                flo, fhi = float(b[0]), float(b[1])
+                if (hi is not None and flo > float(hi)) or (
+                    lo is not None and fhi < float(lo)
+                ):
+                    ok = False
+                    break
+            if ok:
+                keep.append(f)
+    return sorted(keep), total
+
+
 def read_snapshot(
     spark: SparkSession,
     root: str,
     version: int | None = None,
     time_range: tuple | None = None,
     ts_col: str = "timestamp",
+    predicates: dict | None = None,
 ) -> DataFrame:
     """Reader entry point: pointer → manifest → exact file set.
 
@@ -272,17 +346,39 @@ def read_snapshot(
     BEFORE any scan is planned — the Iceberg-style data-skipping path —
     then applies the exact predicate, so results equal a full read +
     filter while IO is bounded by the files that can match.
+
+    ``predicates={col: (lo, hi)}`` prunes through the GENERIC column
+    stats a z-order optimize records (``optimize_snapshot_zorder``) —
+    same contract, any stat-covered dimension; open bounds are None.
+    Values are on the raw column axis (epoch micros for temporals).
     """
-    if time_range is None:
+    if time_range is None and not predicates:
         return _read_files(spark, root, snapshot_files(spark, root, version))
-    files = snapshot_files_in_range(spark, root, time_range, version)
+    if time_range is not None:
+        files = set(snapshot_files_in_range(spark, root, time_range, version))
+    else:
+        files = set(snapshot_files(spark, root, version))
+    if predicates:
+        by_cols, _ = snapshot_files_matching(spark, root, predicates, version)
+        files &= set(by_cols)
     if not files:
         full = _read_files(spark, root, snapshot_files(spark, root, version))
         return full.filter(F.lit(False))
-    lo, hi = _to_micros(time_range[0]), _to_micros(time_range[1])
-    df = _read_files(spark, root, files)
-    us = F.unix_micros(F.col(ts_col))
-    return df.filter((us >= F.lit(lo)) & (us <= F.lit(hi)))
+    df = _read_files(spark, root, sorted(files))
+    if time_range is not None:
+        lo, hi = _to_micros(time_range[0]), _to_micros(time_range[1])
+        us = F.unix_micros(F.col(ts_col))
+        df = df.filter((us >= F.lit(lo)) & (us <= F.lit(hi)))
+    if predicates:
+        from crypto_data_ingestion_module_spark.sinks.zorder import _axis
+
+        for c, (lo, hi) in predicates.items():
+            a = _axis(df, c)
+            if lo is not None:
+                df = df.filter(a >= float(lo))
+            if hi is not None:
+                df = df.filter(a <= float(hi))
+    return df
 
 
 def init_snapshot_lake(
@@ -467,6 +563,68 @@ def compact_snapshot(
         if f in kept
     }
     stats.update(_file_time_stats(spark, root, new_files))
+    commit_version(
+        spark,
+        root,
+        {"version": v + 1, "partitions": parts, "file_stats": stats},
+        v + 1,
+    )
+    return v + 1
+
+
+def optimize_snapshot_zorder(
+    spark: SparkSession,
+    root: str,
+    zcols: Sequence[str],
+    files_per_partition: int = 4,
+    partition_cols: Sequence[str] = PARTITION_COLS,
+    ts_col: str = "timestamp",
+) -> int:
+    """OPTIMIZE ZORDER BY for the snapshot lake.
+
+    Rewrites every partition's content clustered on the z-curve of
+    ``zcols`` (bit-interleaved, ``sinks.zorder``) and commits a version
+    whose manifest carries generic per-file column stats for those
+    columns — after which ``read_snapshot(predicates=...)`` skips files
+    on ANY z-dimension, not just time.  Content is row-identical (only
+    layout changes); readers keep snapshot isolation throughout and old
+    versions keep time-traveling.
+
+    Layout: one range shuffle on (partition_cols, z) so each task holds
+    a contiguous z-slab of one hive partition — within a partition,
+    files cover disjoint z-ranges, which is what makes the stat boxes
+    tight.  ``files_per_partition`` scales the task count.
+    """
+    from crypto_data_ingestion_module_spark.sinks.zorder import (
+        column_bounds,
+        zorder_key,
+    )
+
+    v = current_version(spark, root)
+    if v is None:
+        raise FileNotFoundError(f"no snapshot versions under {root}")
+    manifest = read_manifest(spark, root, v)
+    n_parts = max(1, len(manifest["partitions"]))
+    df = _read_files(spark, root, snapshot_files(spark, root, v))
+    bounds = column_bounds(df, zcols)
+    z = zorder_key(df, zcols, bounds=bounds)
+    clustered = (
+        df.withColumn("_z", z)
+        .repartitionByRange(
+            n_parts * files_per_partition,
+            *[F.col(c) for c in partition_cols],
+            F.col("_z"),
+        )
+        .sortWithinPartitions(*partition_cols, "_z")
+        .drop("_z")
+    )
+    new_files = _write_data_files(spark, clustered, root, partition_cols)
+    parts: dict[str, list[str]] = {}
+    for f in new_files:
+        parts.setdefault(_partition_of(f, partition_cols), []).append(f)
+    stats = _file_time_stats(spark, root, new_files, ts_col=ts_col)
+    for f, cst in _file_col_stats(spark, root, new_files, zcols).items():
+        stats.setdefault(f, {}).update(cst)
     commit_version(
         spark,
         root,

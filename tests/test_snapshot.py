@@ -340,3 +340,62 @@ def test_time_range_read_prunes_files_via_manifest_stats(spark, tmp_path):
     )
     assert empty.count() == 0
     assert set(empty.columns) == set(read_snapshot(spark, root).columns)
+
+
+def test_optimize_zorder_prunes_off_axis(spark, tmp_path):
+    """OPTIMIZE ZORDER: row-identical content, a new stat-covered
+    version, and file skipping on a non-time dimension (close price) —
+    the off-axis pruning the time-only stats cannot give."""
+    from crypto_data_ingestion_module_spark.sinks.snapshot import (
+        optimize_snapshot_zorder,
+        snapshot_files_matching,
+    )
+
+    rows = []
+    for sym in ("BTC-USDT", "ETH-USDT"):
+        for i in range(400):
+            # price decorrelated from time: a time-sorted layout leaves
+            # every file spanning nearly the full price range
+            price = float((i * 7919) % 1000)
+            ts = T0 + dt.timedelta(minutes=3 * i)
+            rows.append((price, 1.0, ts, sym, "coinbase", "15m"))
+    df = _candles(spark, rows)
+    root = str(tmp_path / "snap")
+    v1 = snapshot_upsert(spark, df, root)
+    before = _state(read_snapshot(spark, root))
+
+    v2 = optimize_snapshot_zorder(
+        spark, root, zcols=["timestamp", "close"], files_per_partition=8
+    )
+    assert v2 == v1 + 1
+
+    # layout-only change: content identical, old version still readable
+    assert _state(read_snapshot(spark, root)) == before
+    assert _state(read_snapshot(spark, root, version=v1)) == before
+
+    # off-axis skipping: close in [100.5, 200.5] (close = open + 0.5)
+    kept, total = snapshot_files_matching(
+        spark, root, {"close": (100.5, 200.5)}
+    )
+    assert total > 8
+    assert len(kept) < total, (len(kept), total)
+
+    got = read_snapshot(spark, root, predicates={"close": (100.5, 200.5)})
+    want = read_snapshot(spark, root).filter(
+        F.col("close").between(100.5, 200.5)
+    )
+    assert _state(got) == _state(want)
+    assert got.count() > 0
+
+    # combined time + column pruning stays exact
+    got2 = read_snapshot(
+        spark,
+        root,
+        time_range=(T0, T0 + dt.timedelta(hours=6)),
+        predicates={"close": (100.5, 200.5)},
+    )
+    want2 = want.filter(
+        (F.col("timestamp") >= T0)
+        & (F.col("timestamp") <= T0 + dt.timedelta(hours=6))
+    )
+    assert _state(got2) == _state(want2)
