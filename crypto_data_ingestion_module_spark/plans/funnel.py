@@ -1,0 +1,223 @@
+"""Behavioral analytics: sequential funnels and retention cohorts.
+
+Two query shapes the engine did not own yet:
+
+- **Funnel** — ordered-stage matching (view -> click -> purchase, each
+  stage strictly after the previous) decorrelated into a chain of
+  per-user conditional MIN aggregates and equi-joins on user_id.  Each
+  stage is one hash aggregate + one join on the SAME key, so Catalyst
+  reuses the user_id exchange across the whole chain — at 100 TB the
+  funnel costs one shuffle of the filtered events, not one per stage.
+- **Retention cohorts** — users bucketed by first-seen day, activity
+  counted per (cohort, day-offset) cell: two hash aggregates and one
+  equi-join, the standard cohort-matrix plan.
+
+Determinism: stage timestamps are MINs (exact), counts are integers,
+and the only derived value (mean hours to convert) goes through the
+micro-unit fixed-point sum — nothing here can drift between engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from crypto_data_ingestion_module_spark.plans.queries import (
+    QuerySpec,
+    _register,
+    _t,
+    dsum,
+    osum,
+)
+
+
+# --------------------------------------------------------------------------
+# Funnel: view -> click -> purchase, strictly ordered per user
+# --------------------------------------------------------------------------
+
+def _funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    t1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    t2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(t1, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"), F.first("t_view").alias("t_view"))
+    )
+    t3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(t2, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    hours = dsum(
+        (F.unix_micros(F.col("t_click")) - F.unix_micros(F.col("t_view")))
+        / F.lit(3_600_000_000.0)
+    )
+    return (
+        t1.agg(F.count(F.lit(1)).alias("n_viewed"))
+        .crossJoin(
+            t2.agg(
+                F.count(F.lit(1)).alias("n_clicked"),
+                hours.alias("sum_hours_view_to_click"),
+            )
+        )
+        .crossJoin(t3.agg(F.count(F.lit(1)).alias("n_purchased")))
+        .select(
+            "n_viewed",
+            "n_clicked",
+            "n_purchased",
+            (F.col("n_clicked") / F.col("n_viewed")).alias("click_rate"),
+            (F.col("n_purchased") / F.col("n_clicked")).alias(
+                "purchase_rate"
+            ),
+            (
+                F.col("sum_hours_view_to_click") / F.col("n_clicked")
+            ).alias("mean_hours_view_to_click"),
+        )
+    )
+
+
+_register(
+    QuerySpec(
+        name="funnel_conversions",
+        survey_ids=("A2", "D5"),
+        description="ordered-stage funnel (view -> click -> purchase, "
+        "each strictly later): per-user conditional-MIN chain reusing "
+        "one user_id exchange; stage counts, rates, mean hours",
+        spark=_funnel,
+        oracle=f"""
+WITH t1 AS (
+  SELECT user_id, min(ts) AS t_view FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), t2 AS (
+  SELECT e.user_id, min(e.ts) AS t_click, min(t1.t_view) AS t_view
+  FROM events e JOIN t1 ON e.user_id = t1.user_id
+  WHERE e.event_type = 'click' AND e.ts > t1.t_view
+  GROUP BY e.user_id
+), t3 AS (
+  SELECT e.user_id, min(e.ts) AS t_purchase
+  FROM events e JOIN t2 ON e.user_id = t2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > t2.t_click
+  GROUP BY e.user_id
+)
+SELECT (SELECT count(*) FROM t1) AS n_viewed,
+       (SELECT count(*) FROM t2) AS n_clicked,
+       (SELECT count(*) FROM t3) AS n_purchased,
+       (SELECT count(*) FROM t2) / CAST((SELECT count(*) FROM t1) AS DOUBLE)
+         AS click_rate,
+       (SELECT count(*) FROM t3) / CAST((SELECT count(*) FROM t2) AS DOUBLE)
+         AS purchase_rate,
+       (SELECT {osum('(epoch_us(t_click) - epoch_us(t_view)) / 3600000000.0')}
+        FROM t2)
+         / CAST((SELECT count(*) FROM t2) AS DOUBLE)
+         AS mean_hours_view_to_click
+""",
+    )
+)
+
+
+# --------------------------------------------------------------------------
+# Retention cohorts: first-seen day x activity-day offset
+# --------------------------------------------------------------------------
+
+def _retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    first_seen = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        ev.join(first_seen, "user_id")
+        .groupBy(
+            # string key: DATE values round-trip differently through the
+            # two engines' result surfaces; the formatted day does not
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+            F.datediff(F.col("day"), F.col("cohort_day")).alias("day_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_active"))
+    )
+
+
+_register(
+    QuerySpec(
+        name="retention_cohorts",
+        survey_ids=("A2", "A3"),
+        description="retention matrix: users cohorted by first-seen day, "
+        "distinct actives per (cohort, day-offset) cell",
+        spark=_retention,
+        oracle="""
+WITH d AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+f AS (SELECT user_id, min(day) AS cohort_day FROM d GROUP BY user_id)
+SELECT strftime(f.cohort_day, '%Y-%m-%d') AS cohort_day,
+       CAST(d.day - f.cohort_day AS INT) AS day_offset,
+       count(DISTINCT d.user_id) AS n_active
+FROM d JOIN f ON d.user_id = f.user_id
+GROUP BY f.cohort_day, day_offset
+""",
+    )
+)
+
+
+# --------------------------------------------------------------------------
+# Gaps-and-islands: longest consecutive-day activity streak per user,
+# reported as a histogram (streak length -> users).  The island key is
+# day - dense_rank (constant within a run of consecutive days) — the
+# classic decomposition, all integer arithmetic.
+# --------------------------------------------------------------------------
+
+def _streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    days = (
+        _t(spark, sf_dir, "events")
+        .select("user_id", F.to_date("ts").alias("day"))
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    islands = days.withColumn(
+        "island",
+        F.datediff(F.col("day"), F.lit("1970-01-01").cast("date"))
+        - F.row_number().over(w),
+    )
+    streaks = islands.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).alias("len")
+    )
+    longest = streaks.groupBy("user_id").agg(F.max("len").alias("best"))
+    return (
+        longest.groupBy(F.col("best").alias("streak_days"))
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+_register(
+    QuerySpec(
+        name="activity_streaks",
+        survey_ids=("A2", "D1"),
+        description="gaps-and-islands: longest consecutive-day streak "
+        "per user (day minus row_number island key), histogrammed",
+        spark=_streaks,
+        oracle="""
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+), islands AS (
+  SELECT user_id,
+         (day - DATE '1970-01-01')
+           - row_number() OVER (PARTITION BY user_id ORDER BY day) AS island
+  FROM days
+), streaks AS (
+  SELECT user_id, island, count(*) AS len
+  FROM islands GROUP BY user_id, island
+), longest AS (
+  SELECT user_id, max(len) AS best FROM streaks GROUP BY user_id
+)
+SELECT best AS streak_days, count(*) AS n_users
+FROM longest GROUP BY best
+""",
+    )
+)

@@ -863,6 +863,10 @@ from crypto_data_ingestion_module_spark.plans import relational as _relational  
 # Bollinger, RSI, drawdown, cross-stream spread)
 from crypto_data_ingestion_module_spark.plans import indicators as _indicators  # noqa: E402,F401
 
+# registration side effect: behavioral analytics (ordered-stage funnel,
+# retention cohorts)
+from crypto_data_ingestion_module_spark.plans import funnel as _funnel  # noqa: E402,F401
+
 # registration side effect: round-3 curation queries (decontamination,
 # mixture composition) — pytest-checked, outside the frozen 50-window
 from crypto_data_ingestion_module_spark.plans import curation as _curation  # noqa: E402,F401
