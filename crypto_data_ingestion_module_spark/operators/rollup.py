@@ -125,6 +125,35 @@ def finalize(partials: DataFrame, keys: Sequence[str]) -> DataFrame:
     )
 
 
+def cascade_partials(
+    partials: DataFrame,
+    finer_ms: int,
+    coarser_ms: int,
+    keys: Sequence[str] = ("event_type",),
+) -> DataFrame:
+    """Derive COARSER candle partials from finer ones — the materialized-
+    view hierarchy (1m lake feeds 1h feeds 1d) without touching raw ticks.
+
+    Exact by construction: open_s/close_s carry the full (ts, tiebreak,
+    price) order key, so min/max at the coarser bucket still pick the
+    true first/last tick; volume/turnover/n_rows are associative integer
+    sums.  The coarser grid MUST be a multiple of the finer one — a fine
+    bucket straddling two coarse buckets would be silently floored whole
+    into the earlier one — so divisibility is a hard precondition, not a
+    convention.
+    """
+    if coarser_ms % finer_ms != 0:
+        raise ValueError(
+            f"coarser interval {coarser_ms} is not a multiple of the "
+            f"stored interval {finer_ms}: fine buckets would straddle "
+            "coarse boundaries"
+        )
+    rebucketed = partials.withColumn(
+        "bucket_ts", bucket_start(F.col("bucket_ts"), coarser_ms)
+    )
+    return merge_partials(rebucketed, keys)
+
+
 def read_rollup(spark: SparkSession, lake_root: str) -> DataFrame:
     return spark.read.parquet(os.path.join(lake_root, "partials"))
 

@@ -1,6 +1,7 @@
 """Incremental candle rollup: batch-split independence, bit-exact volume,
 partition-pruned maintenance, replay idempotence."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from crypto_data_ingestion_module_spark.operators.resample import resample_ohlcv
@@ -215,3 +216,32 @@ def test_stream_vwap_matches_batch_query(spark, tmp_path):
             assert gvw is None, key
         else:
             assert abs(gvw - vw) < 1e-9, (key, gvw, vw)
+
+
+def test_cascade_partials_equals_direct(spark):
+    """Coarser candles derived from finer PARTIALS == candles built
+    directly from the ticks at the coarser grid (the materialized-view
+    hierarchy is lossless), including VWAP."""
+    from crypto_data_ingestion_module_spark.operators.rollup import (
+        cascade_partials,
+        candle_partials,
+        merge_partials,
+    )
+
+    ev = load_table(spark, SF_SMALL, "events")
+    fine = candle_partials(ev, 900_000)  # 15m
+    via_cascade = finalize(
+        cascade_partials(fine, 900_000, 3_600_000), ["event_type"]
+    )
+    direct = finalize(
+        merge_partials(candle_partials(ev, 3_600_000), ["event_type"]),
+        ["event_type"],
+    )
+
+    def _all(df):
+        return sorted(map(tuple, df.collect()))
+
+    assert _all(via_cascade) == _all(direct)
+
+    with pytest.raises(ValueError, match="not a multiple"):
+        cascade_partials(fine, 900_000, 1_000_000)
