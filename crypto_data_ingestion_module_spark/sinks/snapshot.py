@@ -214,7 +214,10 @@ def _read_files(spark: SparkSession, root: str, files: list[str]) -> DataFrame:
     invisible), no partition inference (see ``_PCOPY``) — the partition
     values come back from inside the files with their written types."""
     paths = [f"{root.rstrip('/')}/{f}" for f in files]
-    df = spark.read.parquet(*paths)
+    # mergeSchema: after additive schema evolution a snapshot legitimately
+    # mixes old and new file schemas; default inference reads ONE footer
+    # and could silently drop the evolved columns from every row.
+    df = spark.read.option("mergeSchema", "true").parquet(*paths)
     for c in list(df.columns):
         if c.startswith(_PCOPY):
             df = df.withColumnRenamed(c, c[len(_PCOPY):])
@@ -486,10 +489,26 @@ def _snapshot_upsert_once(
             clause = clause & (F.col(c) == F.lit(v_))
         pred = pred | clause
 
+    # Schema evolution, additive-only: a batch carrying NEW columns
+    # widens the table (pre-existing rows read NULL there) instead of
+    # silently dropping the data; a batch MISSING known columns writes
+    # NULL for them.  Dropping or retyping a column is refused — that is
+    # a migration, not an upsert.
+    for c, dt_ in incoming.dtypes:
+        if c in current.columns:
+            cur_dt = dict(current.dtypes)[c]
+            if cur_dt != dt_:
+                raise TypeError(
+                    f"column {c!r} arrives as {dt_} but the lake stores "
+                    f"{cur_dt}: type changes need an explicit migration"
+                )
+    evolved_cols = list(current.columns) + [
+        c for c in incoming.columns if c not in current.columns
+    ]
     merged = dedup_keep_last(
-        current.filter(pred).unionByName(
-            incoming.select(*current.columns)
-        ),
+        current.unionByName(incoming, allowMissingColumns=True)
+        .filter(pred)
+        .select(*evolved_cols),
         keys=list(key_cols),
         order_col=INGEST_SEQ,
     )

@@ -399,3 +399,52 @@ def test_optimize_zorder_prunes_off_axis(spark, tmp_path):
         & (F.col("timestamp") <= T0 + dt.timedelta(hours=6))
     )
     assert _state(got2) == _state(want2)
+
+
+def test_schema_evolution_additive(spark, tmp_path):
+    """A batch carrying a new column widens the lake: old rows read NULL,
+    new data is kept (the old code silently DROPPED unknown columns),
+    old versions time-travel with the old schema, and type changes are
+    refused."""
+    root = str(tmp_path / "snap")
+    snapshot_upsert(
+        spark,
+        _candles(spark, [(100.0, 1.0, T0, "BTC-USDT", "coinbase", "15m")]),
+        root,
+    )
+    evolved = _candles(
+        spark, [(110.0, 1.5, T1, "BTC-USDT", "coinbase", "15m")]
+    ).withColumn("trade_count", F.lit(42).cast("long"))
+    v2 = snapshot_upsert(spark, evolved, root)
+
+    cur = read_snapshot(spark, root)
+    assert "trade_count" in cur.columns
+    got = {
+        r.timestamp: r.trade_count
+        for r in cur.select("timestamp", "trade_count").collect()
+    }
+    assert got[T1] == 42
+    assert got[T0] is None
+
+    # merge semantics survive evolution: correcting the old row keeps the
+    # widened schema and the correction wins
+    snapshot_upsert(
+        spark,
+        _candles(spark, [(999.0, 9.0, T0, "BTC-USDT", "coinbase", "15m")]),
+        root,
+    )
+    cur = read_snapshot(spark, root)
+    row = {r.timestamp: (r.open, r.trade_count) for r in cur.collect()}
+    assert row[T0] == (999.0, None)
+    assert row[T1] == (110.0, 42)
+
+    # time travel: the pre-evolution version has the old schema
+    old = read_snapshot(spark, root, version=v2 - 1)
+    assert "trade_count" not in old.columns
+
+    # retyping is refused
+    bad = _candles(
+        spark, [(1.0, 1.0, T2, "BTC-USDT", "coinbase", "15m")]
+    ).withColumn("trade_count", F.lit("oops"))
+    with pytest.raises(TypeError, match="type changes"):
+        snapshot_upsert(spark, bad, root)
