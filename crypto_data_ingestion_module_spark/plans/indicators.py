@@ -483,3 +483,221 @@ FROM a JOIN b ON a.bucket_start = b.bucket_start
 """,
     )
 )
+
+
+# --------------------------------------------------------------------------
+# TWAP: time-weighted average price per (type, 1h bucket).  Each tick is
+# weighted by its holding time — the seconds until the next tick in the
+# SAME bucket (the final holding period of a bucket ends at the bucket
+# edge, so buckets partition time exactly).
+# --------------------------------------------------------------------------
+
+def _twap_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _series(spark, sf_dir).withColumn(
+        "bucket_start", F.window(F.col("ts"), "1 hour")["start"]
+    )
+    nxt = F.lead(F.unix_micros(F.col("ts"))).over(
+        Window.partitionBy("event_type", "bucket_start").orderBy(*_ORD)
+    )
+    bucket_end = F.unix_micros(F.col("bucket_start")) + F.lit(
+        3_600_000_000
+    ).cast("long")
+    hold_us = F.coalesce(nxt, bucket_end) - F.unix_micros(F.col("ts"))
+    df = df.withColumn("hold_us", hold_us)
+    return (
+        df.groupBy("bucket_start", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_ticks"),
+            F.sum("hold_us").alias("covered_us"),
+            # price x micros: price has >= centi precision, hold_us is an
+            # exact long — product below 2^53 needs care, so go decimal.
+            F.sum(
+                (F.round(F.col("value") * 100.0) * F.col("hold_us")).cast(
+                    "decimal(38,0)"
+                )
+            ).alias("pt_c_us"),
+        )
+        .select(
+            "bucket_start",
+            "event_type",
+            "n_ticks",
+            (
+                F.col("pt_c_us").cast("double")
+                / F.col("covered_us").cast("double")
+                / 100.0
+            ).alias("twap"),
+        )
+    )
+
+
+_register(
+    QuerySpec(
+        name="twap_1h",
+        survey_ids=("A1", "A2"),
+        description="time-weighted average price per 1h bucket: each tick "
+        "weighted by its exact holding micros (lead within bucket, last "
+        "tick holds to the bucket edge)",
+        spark=_twap_1h,
+        oracle=f"""
+WITH b AS (
+  SELECT event_id, event_type, ts, value,
+         {obucket('ts', 3_600_000)} AS bucket_start
+  FROM events
+), h AS (
+  SELECT event_type, bucket_start, value,
+         coalesce(
+           lead(epoch_us(ts)) OVER (PARTITION BY event_type, bucket_start
+                                    {_O_ORD}),
+           epoch_us(bucket_start) + 3600000000
+         ) - epoch_us(ts) AS hold_us
+  FROM b
+)
+SELECT bucket_start, event_type, count(*) AS n_ticks,
+       CAST(SUM(CAST(round(value * 100.0) * hold_us AS DECIMAL(38,0)))
+            AS DOUBLE)
+         / CAST(SUM(hold_us) AS DOUBLE) / 100.0 AS twap
+FROM h
+GROUP BY bucket_start, event_type
+""",
+    )
+)
+
+
+# --------------------------------------------------------------------------
+# Tick-rule order flow: classify each tick buy/sell by the sign of the
+# price change (carrying the last nonzero sign through flats via a
+# last_value window), net signed flow per (type, 1h bucket).
+# --------------------------------------------------------------------------
+
+def _order_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wl = Window.partitionBy("event_type").orderBy(*_ORD)
+    df = _series(spark, sf_dir).withColumn(
+        "diff_c",
+        F.round(F.col("value") * 100.0)
+        - F.round(F.lag("value").over(wl) * 100.0),
+    )
+    sign = F.when(F.col("diff_c") > 0, 1).when(F.col("diff_c") < 0, -1)
+    df = df.withColumn("sgn_raw", sign)
+    # carry the last nonzero sign through zero-change ticks (the tick
+    # rule); ignoreNulls last_value is order-exact over the row frame
+    carried = F.last("sgn_raw", ignorenulls=True).over(
+        wl.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    df = df.withColumn("sgn", F.coalesce(carried, F.lit(0)))
+    return (
+        df.withColumn(
+            "bucket_start", F.window(F.col("ts"), "1 hour")["start"]
+        )
+        .groupBy("bucket_start", "event_type")
+        .agg(
+            F.sum("sgn").alias("net_flow"),
+            F.sum(F.when(F.col("sgn") > 0, 1).otherwise(0)).alias("n_buys"),
+            F.sum(F.when(F.col("sgn") < 0, 1).otherwise(0)).alias("n_sells"),
+        )
+    )
+
+
+_register(
+    QuerySpec(
+        name="order_flow_1h",
+        survey_ids=("A1", "D1"),
+        description="tick-rule order flow: buy/sell classification by "
+        "carried price-change sign, net signed flow per 1h bucket",
+        spark=_order_flow,
+        oracle=f"""
+WITH d AS (
+  SELECT event_id, event_type, ts, value,
+         round(value * 100.0)
+           - round(lag(value) OVER (PARTITION BY event_type {_O_ORD}) * 100.0)
+           AS diff_c
+  FROM events
+), s AS (
+  SELECT event_id, event_type, ts,
+         CASE WHEN diff_c > 0 THEN 1 WHEN diff_c < 0 THEN -1 END AS sgn_raw
+  FROM d
+), c AS (
+  SELECT event_type, ts, event_id,
+         coalesce(last_value(sgn_raw IGNORE NULLS) OVER (
+           PARTITION BY event_type {_O_ORD}
+           ROWS UNBOUNDED PRECEDING), 0) AS sgn
+  FROM s
+)
+SELECT {obucket('ts', 3_600_000)} AS bucket_start, event_type,
+       sum(sgn) AS net_flow,
+       sum(CASE WHEN sgn > 0 THEN 1 ELSE 0 END) AS n_buys,
+       sum(CASE WHEN sgn < 0 THEN 1 ELSE 0 END) AS n_sells
+FROM c
+GROUP BY bucket_start, event_type
+""",
+    )
+)
+
+
+# --------------------------------------------------------------------------
+# Amihud illiquidity: per (type, day) mean of |return| / dollar volume —
+# the classic price-impact proxy, entirely fixed-point.
+# --------------------------------------------------------------------------
+
+def _amihud(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "ts",
+        "event_type",
+        "value",
+        F.get_json_object(F.col("props"), "$.k").cast("double").alias("qty"),
+    )
+    df = ev.withColumn("ret_m", _ret_milli()).withColumn(
+        "dollar_u",
+        F.round(F.col("value") * F.col("qty") * 100.0),  # centi-units
+    )
+    per_tick = F.when(
+        F.col("dollar_u") > 0,
+        F.abs(F.col("ret_m")) / F.col("dollar_u"),
+    )
+    return (
+        df.withColumn("impact", per_tick)
+        .groupBy(
+            F.date_format("ts", "yyyy-MM-dd").alias("day"), "event_type"
+        )
+        .agg(
+            F.count("impact").alias("n_ticks"),
+            (dsum(F.col("impact")) / F.count("impact")).alias(
+                "amihud_illiq"
+            ),
+        )
+    )
+
+
+_register(
+    QuerySpec(
+        name="amihud_illiquidity",
+        survey_ids=("A2", "A3"),
+        description="Amihud price-impact proxy: daily mean |return| per "
+        "dollar volume (milli-unit returns over centi-unit turnover)",
+        spark=_amihud,
+        oracle=f"""
+WITH r AS (
+  SELECT event_id, event_type, ts, value,
+         CAST(json_extract_string(props, '$.k') AS DOUBLE) AS qty,
+         round(CASE WHEN lag(value) OVER
+                 (PARTITION BY event_type {_O_ORD}) > 0
+               THEN greatest(least(
+                 (value - lag(value) OVER (PARTITION BY event_type {_O_ORD}))
+                    / lag(value) OVER (PARTITION BY event_type {_O_ORD}),
+                 100.0), -100.0)
+               END * 1000.0) AS ret_m
+  FROM events
+), i AS (
+  SELECT event_type, ts,
+         CASE WHEN round(value * qty * 100.0) > 0
+              THEN abs(ret_m) / round(value * qty * 100.0) END AS impact
+  FROM r
+)
+SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+       count(impact) AS n_ticks,
+       {osum('impact')} / count(impact) AS amihud_illiq
+FROM i
+GROUP BY day, event_type
+""",
+    )
+)
