@@ -598,8 +598,11 @@ def optimize_snapshot_zorder(
     files_per_partition: int = 4,
     partition_cols: Sequence[str] = PARTITION_COLS,
     ts_col: str = "timestamp",
+    retries: int = 2,
 ) -> int:
-    """OPTIMIZE ZORDER BY for the snapshot lake.
+    """OPTIMIZE ZORDER BY for the snapshot lake (optimistic retry: losing
+    a version race to a concurrent upsert recomputes the layout against
+    the new snapshot, same as ``snapshot_upsert``).
 
     Rewrites every partition's content clustered on the z-curve of
     ``zcols`` (bit-interleaved, ``sinks.zorder``) and commits a version
@@ -614,6 +617,27 @@ def optimize_snapshot_zorder(
     files cover disjoint z-ranges, which is what makes the stat boxes
     tight.  ``files_per_partition`` scales the task count.
     """
+    last: RuntimeError | None = None
+    for _ in range(retries + 1):
+        try:
+            return _optimize_zorder_once(
+                spark, root, zcols, files_per_partition, partition_cols, ts_col
+            )
+        except RuntimeError as e:
+            if "already committed" not in str(e):
+                raise
+            last = e
+    raise last
+
+
+def _optimize_zorder_once(
+    spark: SparkSession,
+    root: str,
+    zcols: Sequence[str],
+    files_per_partition: int,
+    partition_cols: Sequence[str],
+    ts_col: str,
+) -> int:
     from crypto_data_ingestion_module_spark.sinks.zorder import (
         column_bounds,
         zorder_key,

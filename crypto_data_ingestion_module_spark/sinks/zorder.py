@@ -237,6 +237,23 @@ def read_pruned(
     whose stat boxes can match.  Predicate values are on the raw column
     axis (epoch micros for temporals, matching the sidecar).
     """
+    # A missing sidecar (pre-zorder layout, or stats written by an older
+    # job) degrades to a full scan with the exact filters — pruning is an
+    # optimization and must never decide correctness.  Any OTHER failure
+    # (corrupt JSON, FS error) propagates.
+    jvm = spark._jvm
+    Path = jvm.org.apache.hadoop.fs.Path
+    fs = Path(path).getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(Path(f"{path.rstrip('/')}/{_STATS_NAME}")):
+        df = spark.read.parquet(path)
+        n = df.select(F.input_file_name()).distinct().count()
+        for c, (lo, hi) in predicates.items():
+            a = _axis(df, c)
+            if lo is not None:
+                df = df.filter(a >= float(lo))
+            if hi is not None:
+                df = df.filter(a <= float(hi))
+        return df, n, n
     side = read_sidecar(spark, path)
     stats = side["files"]
     keep = files_matching(stats, predicates)

@@ -448,3 +448,41 @@ def test_schema_evolution_additive(spark, tmp_path):
     ).withColumn("trade_count", F.lit("oops"))
     with pytest.raises(TypeError, match="type changes"):
         snapshot_upsert(spark, bad, root)
+
+
+def test_optimize_zorder_retries_lost_race(spark, tmp_path, monkeypatch):
+    """An optimize losing the version race to a concurrent upsert retries
+    against the new snapshot instead of failing (and the final layout
+    contains the racer's rows)."""
+    import crypto_data_ingestion_module_spark.sinks.snapshot as S
+
+    root = str(tmp_path / "snap")
+    snapshot_upsert(
+        spark,
+        _candles(spark, [(100.0, 1.0, T0, "BTC-USDT", "coinbase", "15m")]),
+        root,
+    )
+
+    real_commit = S.commit_version
+    fired = {"done": False}
+
+    def racing_commit(spark_, root_, manifest, version):
+        if not fired["done"]:
+            fired["done"] = True
+            # a concurrent upsert wins version 2 first
+            snapshot_upsert(
+                spark,
+                _candles(
+                    spark, [(555.0, 5.0, T1, "BTC-USDT", "coinbase", "15m")]
+                ),
+                root,
+            )
+        return real_commit(spark_, root_, manifest, version)
+
+    monkeypatch.setattr(S, "commit_version", racing_commit)
+    v = S.optimize_snapshot_zorder(
+        spark, root, zcols=["timestamp", "close"], files_per_partition=2
+    )
+    assert v == 3  # upsert took 2, the optimize retried into 3
+    got = _state(read_snapshot(spark, root))
+    assert any(ts == T1 and o == 555.0 for (_, _, ts, o, _) in got)

@@ -141,3 +141,15 @@ def test_timestamp_axis(spark, tmp_path):
     )
     assert _rows(out) == _rows(expected)
     assert kept < total
+
+
+def test_read_pruned_without_sidecar_falls_back(spark, grid, tmp_path):
+    """Pruning is an optimization: a layout with no stats sidecar reads
+    fully (kept == total) with the exact predicate still applied."""
+    path = str(tmp_path / "plain")
+    grid.write.mode("overwrite").parquet(path)
+    pred = {"x": (10_000.0, 20_000.0)}
+    df, kept, total = read_pruned(spark, path, pred)
+    assert kept == total
+    expected = grid.filter(F.col("x").between(10_000.0, 20_000.0))
+    assert _rows(df) == _rows(expected)
