@@ -221,3 +221,99 @@ FROM longest GROUP BY best
 """,
     )
 )
+
+
+# --------------------------------------------------------------------------
+# Point-in-interval attribution: each purchase attributed to the 30-min
+# session that CONTAINS it.  The naive plan is a non-equi theta join
+# (BroadcastNestedLoop at scale); the scale-correct shape used here
+# buckets both sides by hour — sessions explode into the hour grid they
+# span (bounded by session length), purchases join their own hour — so
+# the containment check runs inside a plain equi-join on (user, hour).
+# --------------------------------------------------------------------------
+
+def _session_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    sessions = (
+        ev.groupBy(
+            F.session_window(F.col("ts"), "30 minutes").alias("w"),
+            F.col("user_id"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("s_start"),
+            F.col("w.end").alias("s_end"),
+            "n_events",
+        )
+    )
+    hour_us = 3_600_000_000
+    spans = sessions.select(
+        "user_id",
+        "s_start",
+        "s_end",
+        "n_events",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_micros("s_start") / hour_us).cast("long"),
+                F.floor(F.unix_micros("s_end") / hour_us).cast("long"),
+            )
+        ).alias("hour_id"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        F.col("value").alias("p_value"),
+        F.floor(F.unix_micros("ts") / hour_us).cast("long").alias("hour_id"),
+    )
+    attributed = purchases.join(spans, ["user_id", "hour_id"]).filter(
+        (F.col("p_ts") >= F.col("s_start")) & (F.col("p_ts") < F.col("s_end"))
+    )
+    return (
+        attributed.groupBy("user_id", "s_start", "n_events")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            dsum(F.col("p_value")).alias("purchase_value"),
+        )
+    )
+
+
+_register(
+    QuerySpec(
+        name="session_purchase_attribution",
+        survey_ids=("A1", "A2"),
+        description="point-in-interval join: purchases attributed to "
+        "their containing 30-min session via hour-grid bucketing (equi-"
+        "join carries the containment check; no nested-loop theta join)",
+        spark=_session_attribution,
+        oracle=f"""
+WITH marked AS (
+  SELECT user_id, ts, event_id, event_type, value,
+    CASE WHEN lag(ts) OVER w IS NULL
+          OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) >= 1800000
+         THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, ts, event_type, value,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+),
+bounds AS (
+  SELECT user_id, sid, min(ts) AS raw_start,
+         max(ts) + INTERVAL 30 MINUTE AS s_end,
+         count(*) AS n_events
+  FROM sess GROUP BY user_id, sid
+)
+SELECT b.user_id, b.raw_start AS s_start, b.n_events,
+       count(*) AS n_purchases,
+       {osum('s.value')} AS purchase_value
+FROM sess s
+JOIN bounds b ON s.user_id = b.user_id AND s.sid = b.sid
+WHERE s.event_type = 'purchase'
+GROUP BY b.user_id, b.raw_start, b.n_events
+""",
+    )
+)

@@ -701,3 +701,47 @@ GROUP BY day, event_type
 """,
     )
 )
+
+
+# --------------------------------------------------------------------------
+# Mergeable value histogram: per (type, 1h bucket), fixed 50-wide bins.
+# Integer bin counts are the associative partial form of any quantile /
+# distribution question — the histogram lake is cascade-able exactly like
+# the candle partials.
+# --------------------------------------------------------------------------
+
+_BIN_W = 50.0
+_N_BINS = 12
+
+
+def _value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _series(spark, sf_dir)
+    bin_id = F.least(
+        F.floor(F.col("value") / _BIN_W), F.lit(_N_BINS - 1)
+    ).cast("int")
+    return (
+        df.withColumn(
+            "bucket_start", F.window(F.col("ts"), "1 hour")["start"]
+        )
+        .groupBy("bucket_start", "event_type", bin_id.alias("bin_id"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+_register(
+    QuerySpec(
+        name="value_histogram_1h",
+        survey_ids=("A1", "A3"),
+        description="mergeable per-bucket value histogram (12 fixed "
+        "50-wide bins, top bin open): the associative partial form of "
+        "distribution queries",
+        spark=_value_histogram,
+        oracle=f"""
+SELECT {obucket('ts', 3_600_000)} AS bucket_start, event_type,
+       CAST(least(floor(value / {_BIN_W}), {_N_BINS - 1}) AS INT) AS bin_id,
+       count(*) AS n
+FROM events
+GROUP BY bucket_start, event_type, bin_id
+""",
+    )
+)
