@@ -107,3 +107,36 @@ def test_kmeans_checkpoint_parity(spark):
     a = kmeans_lloyd(emb, k=4, iters=2, checkpoint=False)
     b = kmeans_lloyd(emb, k=4, iters=2, checkpoint=True)
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def _n_exchanges(plan: str) -> int:
+    import re
+
+    # formatted plans print each node twice (tree line + detail header);
+    # count only the "(n) Exchange" detail headers
+    return len(re.findall(r"\n\(\d+\) Exchange", plan))
+
+
+def test_indicator_plans_single_exchange(spark):
+    """The scale claim of the indicator family: one shuffle on
+    event_type shared by the lag and trailing windows — no second
+    Exchange sneaks in — and the events scan is column-pruned."""
+    from crypto_data_ingestion_module_spark.sinks.bucketed import (
+        physical_plan,
+    )
+
+    for name in ("rolling_volatility_24", "bollinger_breakouts_20", "rsi_14"):
+        plan = physical_plan(QUERY_SPECS[name].spark(spark, SF_SMALL))
+        assert _n_exchanges(plan) == 1, (name, plan)
+        assert "props" not in plan.split("ReadSchema")[-1], name
+
+
+def test_vwap_plan_is_partial_final_agg(spark):
+    """VWAP is one hash aggregate: exactly one Exchange (partial agg
+    runs map-side before it)."""
+    from crypto_data_ingestion_module_spark.sinks.bucketed import (
+        physical_plan,
+    )
+
+    plan = physical_plan(QUERY_SPECS["vwap_1h"].spark(spark, SF_SMALL))
+    assert _n_exchanges(plan) == 1, plan
