@@ -66,6 +66,7 @@ def kmeans_lloyd(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     checkpoint: bool = False,
+    vectorized: bool = True,
 ) -> DataFrame:
     """Run ``iters`` Lloyd rounds from the md5-seeded init; return the
     final assignment ``(vec_id, cluster, dist2)`` for every corpus row.
@@ -73,6 +74,17 @@ def kmeans_lloyd(
     ``dist2`` is the exact squared distance to the winning centroid in
     raw units (micro^2 / 1e12 — deterministic division of identical
     integer-valued doubles).
+
+    ``vectorized=True`` (default) runs each assignment pass as a
+    closure-matrix Arrow kernel: the round's k x dim centroid matrix
+    (bounded by contract, like the IVF trainer) rides in the closure and
+    each corpus batch computes ``|x|^2 - 2xC^T + |c|^2`` as one integer
+    matmul — every term is an exact float64 integer below 2^53, so the
+    minima and argminima are BIT-IDENTICAL to the relational
+    decimal-fold twin (``vectorized=False``, the form the SQL oracle
+    mirrors; equality pinned in tests).  The kernel path also keeps the
+    plan size constant across iterations (centroids leave the lineage),
+    where the relational plan doubles per round.
     """
     pts = corpus.select(
         F.col(id_col).alias("nid"), _micro(F.col(vec_col)).alias("xu")
@@ -92,17 +104,57 @@ def kmeans_lloyd(
         F.col("xu").alias("cu"),
     )
 
+    assign = _assign_vectorized if vectorized else _assign
     for _ in range(iters):
-        assigned = _assign(pts, cent)
+        assigned = assign(pts, cent)
         cent = _update(assigned)
-        if checkpoint:
+        if checkpoint and not vectorized:
             cent = cent.localCheckpoint(eager=True)
 
-    final = _assign(pts, cent)
+    final = assign(pts, cent)
     return final.select(
         F.col("nid").alias("vec_id"),
         "cluster",
         (F.col("d2") / F.lit(1e12)).alias("dist2"),
+    )
+
+
+def _assign_vectorized(pts: DataFrame, cent: DataFrame) -> DataFrame:
+    """Closure-matrix assignment: one Arrow pass over the corpus, the
+    (bounded) centroid matrix in the kernel closure.  ``np.argmin``
+    takes the first minimum, which is exactly the (d2 asc, cluster asc)
+    tie-break of the relational twin (centroid rows sorted by cluster).
+    """
+    import numpy as np
+    import pandas as pd
+
+    rows = cent.orderBy("cluster").collect()  # k x dim, bounded
+    clusters = np.array([r["cluster"] for r in rows], dtype=np.int32)
+    C = np.vstack([np.asarray(r["cu"], dtype=np.float64) for r in rows])
+    c2 = (C * C).sum(axis=1)
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.vstack(pdf["xu"].to_numpy()).astype(np.float64)
+            d2 = (
+                (X * X).sum(axis=1)[:, None]
+                - 2.0 * (X @ C.T)
+                + c2[None, :]
+            )
+            j = d2.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    "nid": pdf["nid"].to_numpy(),
+                    "cluster": clusters[j],
+                    "d2": d2[np.arange(len(j)), j],
+                    "xu": pdf["xu"],
+                }
+            )
+
+    return pts.mapInPandas(
+        kernel, "nid long, cluster int, d2 double, xu array<double>"
     )
 
 

@@ -140,3 +140,14 @@ def test_vwap_plan_is_partial_final_agg(spark):
 
     plan = physical_plan(QUERY_SPECS["vwap_1h"].spark(spark, SF_SMALL))
     assert _n_exchanges(plan) == 1, plan
+
+
+def test_kmeans_vectorized_bit_parity(spark):
+    """The closure-matrix assignment kernel is bit-identical to the
+    relational decimal-fold twin (exact integer matmul argument)."""
+    from crypto_data_ingestion_module_spark.session import load_table
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    a = kmeans_lloyd(emb, k=8, iters=2, vectorized=True)
+    b = kmeans_lloyd(emb, k=8, iters=2, vectorized=False)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
