@@ -114,3 +114,45 @@ def read_shard(spark: SparkSession, path: str, shard: int) -> DataFrame:
         spark.read.option("basePath", path)
         .parquet(os.path.join(path, f"{SHARD_COL}={shard}"))
     )
+
+
+def write_training_shards_jsonl(
+    df: DataFrame,
+    path: str,
+    num_shards: int,
+    id_col: str,
+    seed: int = 42,
+    compress: bool = True,
+) -> DataFrame:
+    """JSONL(.gz) twin of :func:`write_training_shards` — the interchange
+    format training loaders actually consume.
+
+    Identical sharding, ordering, and manifest discipline (same seed →
+    the parquet and JSONL exports carry the SAME rows in the SAME order
+    per shard, pinned by test); only the encoding differs.  One gzipped
+    JSON-lines file per shard at ``{path}/shard={i}/part-*.json.gz``.
+    """
+    shard = F.pmod(_shard_key(id_col, seed), F.lit(num_shards)).cast("int")
+    sharded = (
+        df.withColumn(SHARD_COL, shard)
+        .repartition(num_shards, F.col(SHARD_COL))
+        .sortWithinPartitions(
+            F.col(SHARD_COL), _order_key(id_col, seed), F.col(id_col)
+        )
+    )
+    writer = sharded.write.mode("overwrite").partitionBy(SHARD_COL)
+    if compress:
+        writer = writer.option("compression", "gzip")
+    writer.json(path)
+    spark = df.sparkSession
+    written = spark.read.schema(sharded.schema).json(path)
+    manifest = written.groupBy(SHARD_COL).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.xxhash64(F.col(id_col)).cast("decimal(38,0)"))
+        .cast("string")
+        .alias("fingerprint"),
+    )
+    manifest.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(path, "_manifest")
+    )
+    return manifest

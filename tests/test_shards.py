@@ -74,3 +74,39 @@ def test_within_shard_order_is_seeded_hash(spark, tmp_path):
     assert got == want
     # the baked order is a shuffle, not the natural id order
     assert got != sorted(got)
+
+
+def test_jsonl_export_matches_parquet_shards(spark, tmp_path):
+    """The JSONL export is the parquet layout in another encoding: same
+    shard membership, same within-shard order, same manifest
+    fingerprints."""
+    import glob
+    import gzip
+    import json
+
+    from crypto_data_ingestion_module_spark.session import load_table
+    from crypto_data_ingestion_module_spark.sinks.shards import (
+        write_training_shards,
+        write_training_shards_jsonl,
+    )
+
+    docs = load_table(spark, SF_SMALL, "documents").select("doc_id", "text")
+    pq_path = str(tmp_path / "pq")
+    js_path = str(tmp_path / "js")
+    m1 = write_training_shards(docs, pq_path, 4, "doc_id", seed=7)
+    m2 = write_training_shards_jsonl(docs, js_path, 4, "doc_id", seed=7)
+    a = {(r.shard, r.n_rows, r.fingerprint) for r in m1.collect()}
+    b = {(r.shard, r.n_rows, r.fingerprint) for r in m2.collect()}
+    assert a == b and len(a) == 4
+
+    # per-shard row ORDER identical across encodings
+    for shard in range(4):
+        pq_rows = [
+            r.doc_id
+            for r in spark.read.parquet(f"{pq_path}/shard={shard}").collect()
+        ]
+        (jf,) = glob.glob(f"{js_path}/shard={shard}/*.json.gz")
+        with gzip.open(jf, "rt") as fh:
+            js_rows = [json.loads(line)["doc_id"] for line in fh]
+        assert js_rows == pq_rows, shard
+        assert len(js_rows) > 0
