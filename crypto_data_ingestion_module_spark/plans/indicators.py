@@ -745,3 +745,205 @@ GROUP BY bucket_start, event_type, bin_id
 """,
     )
 )
+
+
+# --------------------------------------------------------------------------
+# Gap-filled close series: generate the full 15m grid per type between its
+# first and last bucket, left-join real closes, carry the last close
+# forward.  The dense-grid output downstream models expect (candle_gaps
+# only DETECTS holes; this repairs them).
+# --------------------------------------------------------------------------
+
+def _gap_filled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ivl = "15 minutes"
+    closes = (
+        _series(spark, sf_dir)
+        .groupBy(
+            F.window("ts", ivl)["start"].alias("bucket_ts"), "event_type"
+        )
+        .agg(
+            F.max(
+                F.struct(F.col("ts"), F.col("event_id"), F.col("value"))
+            )["value"].alias("close")
+        )
+    )
+    grid = (
+        closes.groupBy("event_type")
+        .agg(F.min("bucket_ts").alias("mn"), F.max("bucket_ts").alias("mx"))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("mn", "mx", F.expr(f"INTERVAL {ivl}"))
+            ).alias("bucket_ts"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket_ts")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        grid.join(closes, ["event_type", "bucket_ts"], "left")
+        .withColumn("is_gap", F.col("close").isNull())
+        .withColumn("close_filled", F.last("close", ignorenulls=True).over(w))
+        .select("event_type", "bucket_ts", "close_filled", "is_gap")
+    )
+
+
+_register(
+    QuerySpec(
+        name="candles_gap_filled",
+        survey_ids=("A1", "D1"),
+        description="dense 15m close series: full per-type grid between "
+        "first and last bucket, holes forward-filled from the last close",
+        spark=_gap_filled,
+        oracle=f"""
+WITH c AS (
+  SELECT {obucket('ts', 900_000)} AS bucket_ts, event_type, value,
+         row_number() OVER (PARTITION BY {obucket('ts', 900_000)}, event_type
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+), closes AS (
+  SELECT bucket_ts, event_type, value AS close FROM c WHERE rn = 1
+), grid AS (
+  SELECT event_type,
+         unnest(generate_series(min(bucket_ts), max(bucket_ts),
+                                INTERVAL 15 MINUTE)) AS bucket_ts
+  FROM closes GROUP BY event_type
+)
+SELECT g.event_type, g.bucket_ts,
+       last_value(cl.close IGNORE NULLS) OVER (
+         PARTITION BY g.event_type ORDER BY g.bucket_ts
+         ROWS UNBOUNDED PRECEDING) AS close_filled,
+       cl.close IS NULL AS is_gap
+FROM grid g
+LEFT JOIN closes cl
+  ON cl.event_type = g.event_type AND cl.bucket_ts = g.bucket_ts
+""",
+    )
+)
+
+
+# --------------------------------------------------------------------------
+# Cross-stream Pearson correlation over hourly micro-unit totals (the
+# BTC-vs-ETH correlation matrix shape).  The five accumulators are exact:
+# totals are integer-valued doubles, their pairwise products go through
+# DECIMAL, and the final corr combines identical bits identically.
+# --------------------------------------------------------------------------
+
+def _pair_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hourly = (
+        _series(spark, sf_dir)
+        .groupBy(
+            F.window("ts", "1 hour")["start"].alias("bucket_ts"),
+            "event_type",
+        )
+        .agg(
+            F.sum(F.round(F.col("value") * 1_000_000.0)).alias("s_u")
+        )
+    )
+    a = hourly.select(
+        F.col("bucket_ts").alias("b"),
+        F.col("event_type").alias("type_a"),
+        F.col("s_u").alias("x"),
+    )
+    bb = hourly.select(
+        F.col("bucket_ts").alias("b"),
+        F.col("event_type").alias("type_b"),
+        F.col("s_u").alias("y"),
+    )
+    dec = lambda c: c.cast("decimal(18,0)")  # noqa: E731
+    j = a.join(bb, "b").filter(F.col("type_a") < F.col("type_b"))
+    agg = j.groupBy("type_a", "type_b").agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(dec(F.col("x")) * dec(F.col("y"))).alias("sxy"),
+        F.sum(dec(F.col("x")) * dec(F.col("x"))).alias("sx2"),
+        F.sum(dec(F.col("y")) * dec(F.col("y"))).alias("sy2"),
+    )
+    # combine the moments ENTIRELY in decimal (exact integers), convert
+    # each final term to double exactly once: a mixed double chain left
+    # a 1-ulp cross-engine drift at sf0.01
+    nd = F.col("n_buckets").cast("decimal(12,0)")
+    sxd = F.col("sx").cast("decimal(18,0)")
+    syd = F.col("sy").cast("decimal(18,0)")
+    num = (nd * F.col("sxy") - sxd * syd).cast("double")
+    varx = (nd * F.col("sx2") - sxd * sxd).cast("double")
+    vary = (nd * F.col("sy2") - syd * syd).cast("double")
+    den = F.sqrt(varx) * F.sqrt(vary)
+    return agg.select(
+        "type_a",
+        "type_b",
+        "n_buckets",
+        F.when(den > 0, num / den).alias("pearson_r"),
+    )
+
+
+_register(
+    QuerySpec(
+        name="stream_pair_correlation",
+        survey_ids=("A2", "D5"),
+        description="pairwise Pearson correlation of hourly micro-unit "
+        "totals across all stream pairs (decimal-exact accumulators, "
+        "identical-bits combine)",
+        spark=_pair_correlation,
+        oracle=f"""
+WITH h AS (
+  SELECT {obucket('ts', 3_600_000)} AS b, event_type,
+         SUM(round(value * 1000000.0)) AS s_u
+  FROM events GROUP BY b, event_type
+), p AS (
+  SELECT a.b, a.event_type AS type_a, bb.event_type AS type_b,
+         CAST(a.s_u AS HUGEINT) AS x, CAST(bb.s_u AS HUGEINT) AS y
+  FROM h a JOIN h bb ON a.b = bb.b AND a.event_type < bb.event_type
+), agg AS (
+  SELECT type_a, type_b, count(*) AS n_buckets,
+         SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * y) AS sxy, SUM(x * x) AS sx2, SUM(y * y) AS sy2
+  FROM p GROUP BY type_a, type_b
+)
+SELECT type_a, type_b, n_buckets,
+       CASE WHEN sqrt(CAST(n_buckets * sx2 - sx * sx AS DOUBLE))
+                 * sqrt(CAST(n_buckets * sy2 - sy * sy AS DOUBLE)) > 0
+            THEN CAST(n_buckets * sxy - sx * sy AS DOUBLE)
+                 / (sqrt(CAST(n_buckets * sx2 - sx * sx AS DOUBLE))
+                    * sqrt(CAST(n_buckets * sy2 - sy * sy AS DOUBLE)))
+       END AS pearson_r
+FROM agg
+""",
+    )
+)
+
+
+# --------------------------------------------------------------------------
+# Hour-of-day seasonality profile: the intraday activity/price shape.
+# --------------------------------------------------------------------------
+
+def _seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _series(spark, sf_dir)
+        .groupBy(F.hour("ts").alias("hour_of_day"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (dsum(F.col("value")) / F.count(F.lit(1))).alias("mean_value"),
+        )
+    )
+
+
+_register(
+    QuerySpec(
+        name="hourly_seasonality",
+        survey_ids=("A2", "A3"),
+        description="intraday seasonality: event count and fixed-point "
+        "mean value per (hour-of-day, type)",
+        spark=_seasonality,
+        oracle=f"""
+SELECT hour(ts) AS hour_of_day, event_type,
+       count(*) AS n_events,
+       {osum('value')} / count(*) AS mean_value
+FROM events
+GROUP BY hour_of_day, event_type
+""",
+    )
+)
