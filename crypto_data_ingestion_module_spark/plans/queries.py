@@ -1461,11 +1461,23 @@ _register(
 #                              pack_sequences for token transforms)
 #   bollinger_breakouts_20, rsi_14, cross_stream_spread_1h,
 #   product_profit_by_nation_year, disjunctive_revenue, important_parts,
-#   excess_share_suppliers
+#   excess_share_suppliers, twap_1h, order_flow_1h, amihud_illiquidity,
+#   embedding_kmeans, funnel_conversions, retention_cohorts,
+#   activity_streaks, value_histogram_1h, hourly_seasonality
 #                            — round-4 additions whose families are
 #                              in-window via rolling_volatility_24 /
 #                              vwap_1h / max_drawdown / market_share /
 #                              min_acctbal_supplier / order_priority_exists
+#                              / stream_pair_correlation /
+#                              session_purchase_attribution
+#   candle_returns_ma, lang_id, dup_ngram_stats
+#                            — rotated out late round 4 for
+#                              candles_gap_filled (richer A1-dependent
+#                              shape), stream_pair_correlation, and
+#                              session_purchase_attribution; returns/MA
+#                              stay evidenced by the indicator windows,
+#                              lang-ID by text_quality+doc_keywords,
+#                              span dedup by simhash_hamming_pairs
 #   open_order_customers_by_nation, rich_idle_customers,
 #   small_qty_part_revenue, customer_order_counts_dist,
 #   supplier_part_breadth, top_supplier_revenue
@@ -1494,7 +1506,7 @@ CHECKED_QUERIES: tuple[str, ...] = (
     "backfill_chunk_manifest",
     "datasource_candles",
     # candle analytics on the 15m resample (A1 dependents)
-    "candle_returns_ma",
+    "candles_gap_filled",
     # joins / windows / grouping (§2.5 capability extensions)
     "pricing_summary",
     "revenue_by_nation",
@@ -1510,11 +1522,11 @@ CHECKED_QUERIES: tuple[str, ...] = (
     "vwap_1h",
     "rolling_volatility_24",
     "max_drawdown",
+    "stream_pair_correlation",
+    "session_purchase_attribution",
     # LLM-data-pipeline operators (X1–X5)
     "dedup_exact_documents",
     "text_quality",
-    "lang_id",
-    "dup_ngram_stats",
     "simhash_hamming_pairs",
     "semantic_near_dup_pairs",
     "dedup_clusters",
