@@ -64,15 +64,25 @@ def main() -> None:
         ).save()
         return round(time.perf_counter() - t0, 4)
 
+    def settle() -> None:
+        # Collect the warm-up pass's garbage (hundreds of plans,
+        # broadcasts, codegen classes) BEFORE measuring: without this a
+        # major GC lands on one arbitrary mid-sweep query and inflates
+        # it 3-10x non-reproducibly.
+        spark._jvm.System.gc()
+        time.sleep(1.0)
+
     # Warm-up pass: JVM, Python workers, parquet footers, codegen caches.
     # Measured numbers are steady-state, as on a long-lived cluster.
     for name in names:
         run(name)
+    settle()
 
     timings = {name: run(name) for name in names}
 
     # Headline re-measure: by now every query has executed twice, so the
     # JVM is as settled as it gets — these are the attributable numbers.
+    settle()
     headline = {n: run(n) for n in HEADLINE if n in QUERY_SPECS}
 
     total = round(sum(timings.values()), 4)
