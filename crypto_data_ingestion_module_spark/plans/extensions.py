@@ -1736,3 +1736,81 @@ _register(
         oracle=_kmeans_oracle(8, 2),
     )
 )
+
+
+# --------------------------------------------------------------------------
+# X2: fuzzy key matching via deletion neighborhoods — edit-distance <= 1
+# pairs without an all-pairs comparison.  Every key emits its identity and
+# all single-deletion variants (k+1 rows); any two keys within one edit
+# SHARE a variant (substitution: delete the differing slot from both;
+# indel: the shorter IS a deletion of the longer), so a variant equi-join
+# finds every true pair (recall 1) and an exact levenshtein filter removes
+# the few collision false-positives.  The oracle brute-forces the same
+# predicate — candidate generation itself is what scales.
+# --------------------------------------------------------------------------
+
+def _fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select(
+            "doc_id", F.substring("text", 1, 16).alias("key")
+        )
+        .filter(F.length("key") > 0)
+    )
+    variants = docs.select(
+        "doc_id",
+        "key",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.length("key")),
+                lambda i: F.concat(
+                    F.substring(F.col("key"), 1, i),
+                    F.col("key").substr(i + 2, F.length("key")),
+                ),
+            )
+        ).alias("variant"),
+    ).distinct()
+    a = variants.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("key").alias("key_a"),
+        "variant",
+    )
+    b = variants.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("key").alias("key_b"),
+        "variant",
+    )
+    return (
+        a.join(b, "variant")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "key_a", "key_b")
+        .distinct()
+        .withColumn("lev", F.levenshtein("key_a", "key_b"))
+        .filter(F.col("lev") <= 1)
+    )
+
+
+_register(
+    QuerySpec(
+        name="fuzzy_key_pairs",
+        survey_ids=("X2",),
+        description="edit-distance <= 1 key pairs via deletion-"
+        "neighborhood banding (variant equi-join, recall 1 by "
+        "construction, exact levenshtein verify)",
+        spark=_fuzzy_pairs,
+        oracle="""
+WITH k AS (
+  SELECT doc_id, substr(text, 1, 16) AS key
+  FROM documents WHERE text IS NOT NULL AND length(text) > 0
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       a.key AS key_a, b.key AS key_b,
+       levenshtein(a.key, b.key) AS lev
+FROM k a JOIN k b
+  ON a.doc_id < b.doc_id
+ AND abs(length(a.key) - length(b.key)) <= 1
+ AND levenshtein(a.key, b.key) <= 1
+""",
+    )
+)

@@ -317,3 +317,124 @@ GROUP BY b.user_id, b.raw_start, b.n_events
 """,
     )
 )
+
+
+# --------------------------------------------------------------------------
+# SCD2 history: purchase "state" intervals per user (valid_from/valid_to
+# via lead, open-ended current row) — the slowly-changing-dimension
+# construction every warehouse needs.
+# --------------------------------------------------------------------------
+
+def _scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    p = _t(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    return p.select(
+        "user_id",
+        F.col("value").alias("state_value"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+        F.lead("ts").over(w).isNull().alias("is_current"),
+    )
+
+
+_register(
+    QuerySpec(
+        name="user_state_scd2",
+        survey_ids=("D1", "A2"),
+        description="SCD2 interval construction: per-user purchase state "
+        "with lead-derived valid_from/valid_to and an open current row",
+        spark=_scd2,
+        oracle="""
+SELECT user_id, value AS state_value, ts AS valid_from,
+       lead(ts) OVER w AS valid_to,
+       lead(ts) OVER w IS NULL AS is_current
+FROM events
+WHERE event_type = 'purchase'
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""",
+    )
+)
+
+
+# --------------------------------------------------------------------------
+# Pivot: daily event counts widened to one column per type (fixed value
+# list, so Catalyst compiles it to conditional aggregates — the same plan
+# the oracle states explicitly).
+# --------------------------------------------------------------------------
+
+_TYPES = ("view", "click", "purchase", "signup", "error")
+
+
+def _daily_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .pivot("event_type", list(_TYPES))
+        .count()
+    )
+    return df.select(
+        "day",
+        *[
+            F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}")
+            for t in _TYPES
+        ],
+    )
+
+
+_register(
+    QuerySpec(
+        name="daily_type_pivot",
+        survey_ids=("A3", "D5"),
+        description="pivot: daily counts widened to one column per event "
+        "type (fixed value list -> conditional-aggregate plan)",
+        spark=_daily_pivot,
+        oracle="""
+SELECT strftime(ts, '%Y-%m-%d') AS day,
+       {cols}
+FROM events GROUP BY day
+""".format(
+            cols=",\n       ".join(
+                f"SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END)"
+                f" AS n_{t}"
+                for t in _TYPES
+            )
+        ),
+    )
+)
+
+
+# --------------------------------------------------------------------------
+# Sliding distinct count: unique users per 1h window advancing every 15m.
+# Spark explodes each event into its 4 windows before the distinct agg;
+# the oracle states the same expansion as an offset cross join.
+# --------------------------------------------------------------------------
+
+def _sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(F.count_distinct("user_id").alias("n_users"))
+        .select(F.col("w.start").alias("window_start"), "n_users")
+    )
+
+
+_register(
+    QuerySpec(
+        name="sliding_distinct_users",
+        survey_ids=("A1", "A3"),
+        description="distinct users per sliding window (1h every 15m): "
+        "window expansion + distinct aggregation",
+        spark=_sliding_distinct,
+        oracle="""
+SELECT make_timestamp(((epoch_ms(ts) // 900000) * 900000 - o.k * 900000)
+         * 1000) AS window_start,
+       count(DISTINCT user_id) AS n_users
+FROM events CROSS JOIN (SELECT unnest(range(4)) AS k) o
+GROUP BY window_start
+""",
+    )
+)
