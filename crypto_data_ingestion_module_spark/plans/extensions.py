@@ -1814,3 +1814,88 @@ FROM k a JOIN k b
 """,
     )
 )
+
+
+# --------------------------------------------------------------------------
+# X3: product-quantization ADC top-k — the 32x-compressed ANN tier
+# (operators/pq.py).  Seeded codebooks make encode + LUT + ADC fully
+# relational, so the oracle hash-checks the whole index, byte codes
+# included (the IVF/LSH pattern applied to PQ).
+# --------------------------------------------------------------------------
+
+def _pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crypto_data_ingestion_module_spark.operators.pq import pq_adc_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    return pq_adc_topk(emb, queries, m=8, k_codes=16, topk=10)
+
+
+def _pq_oracle(m: int, k: int, sub: int, topk: int) -> str:
+    zd2 = (
+        "list_sum(list_transform(list_zip(sv, cv),"
+        " p -> (p[1] - p[2]) * (p[1] - p[2])))"
+    )
+    return f"""
+WITH pts AS (
+  SELECT vec_id AS nid,
+         list_transform(embedding,
+                        x -> round(CAST(x AS DOUBLE) * 1000000.0)) AS xu
+  FROM embeddings
+),
+js AS (SELECT unnest(range({m})) AS j),
+seeds AS (
+  SELECT row_number() OVER (ORDER BY md5(CAST(nid AS VARCHAR)), nid) - 1
+           AS code, xu
+  FROM pts ORDER BY md5(CAST(nid AS VARCHAR)), nid LIMIT {k}
+),
+cb AS (
+  SELECT code, j, xu[j * {sub} + 1 : j * {sub} + {sub}] AS cv
+  FROM seeds CROSS JOIN js
+),
+sv AS (
+  SELECT nid, j, xu[j * {sub} + 1 : j * {sub} + {sub}] AS sv
+  FROM pts CROSS JOIN js
+),
+codes AS (
+  SELECT nid, j, code FROM (
+    SELECT s.nid, s.j, cb.code,
+           row_number() OVER (PARTITION BY s.nid, s.j
+                              ORDER BY {zd2}, cb.code) AS rn
+    FROM sv s JOIN cb ON s.j = cb.j
+  ) WHERE rn = 1
+),
+qsv AS (
+  SELECT nid AS qid, j, xu[j * {sub} + 1 : j * {sub} + {sub}] AS sv
+  FROM pts CROSS JOIN js WHERE nid % 100 = 0
+),
+lut AS (
+  SELECT q.qid, q.j, cb.code, {zd2} AS d2q
+  FROM qsv q JOIN cb ON q.j = cb.j
+),
+adc AS (
+  SELECT l.qid, c.nid, SUM(l.d2q) AS adc
+  FROM codes c JOIN lut l ON c.j = l.j AND c.code = l.code
+  WHERE l.qid <> c.nid
+  GROUP BY l.qid, c.nid
+  HAVING count(*) = {m}
+)
+SELECT qid, nid, CAST(rank AS INT) AS rank, adc / 1e12 AS adc_d2 FROM (
+  SELECT qid, nid, adc,
+         row_number() OVER (PARTITION BY qid ORDER BY adc, nid) AS rank
+  FROM adc
+) WHERE rank <= {topk}
+"""
+
+
+_register(
+    QuerySpec(
+        name="pq_adc_topk",
+        survey_ids=("X3",),
+        description="product-quantization ADC top-10 (m=8 subspaces, 16 "
+        "seeded codewords each): encode, query LUT, and table-lookup "
+        "distances all hash-checked; exact integer distances throughout",
+        spark=_pq_adc,
+        oracle=_pq_oracle(8, 16, 8, 10),
+    )
+)

@@ -151,3 +151,68 @@ def test_kmeans_vectorized_bit_parity(spark):
     a = kmeans_lloyd(emb, k=8, iters=2, vectorized=True)
     b = kmeans_lloyd(emb, k=8, iters=2, vectorized=False)
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_pq_codes_and_recall(spark):
+    """PQ mechanics: every (doc, subspace) gets exactly one code in
+    [0, k); ADC top-10 recalls a usable fraction of the exact euclidean
+    top-10 (measured floor pinned — sampled 16-codeword books on random
+    data are a coarse quantizer, not a rank oracle)."""
+    from crypto_data_ingestion_module_spark.operators.pq import (
+        pq_adc_topk,
+        pq_encode,
+        seeded_codebook,
+    )
+    from crypto_data_ingestion_module_spark.session import load_table
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    m, k = 8, 16
+    cb = seeded_codebook(emb, m, k)
+    assert cb.count() == m * k
+    codes = pq_encode(emb, cb, m)
+    n = emb.count()
+    assert codes.count() == n * m
+    bad = codes.filter((F.col("code") < 0) | (F.col("code") >= k)).count()
+    assert bad == 0
+
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    approx = pq_adc_topk(emb, queries, m=m, k_codes=k, topk=10)
+
+    # exact euclidean top-10 on the same micro-unit vectors
+    from crypto_data_ingestion_module_spark.operators.clustering import (
+        _micro,
+    )
+    from pyspark.sql import Window
+
+    pts = emb.select(F.col("vec_id").alias("nid"), _micro("embedding").alias("xu"))
+    qs = pts.filter(F.col("nid") % 100 == 0).select(
+        F.col("nid").alias("qid"), F.col("xu").alias("qu")
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("xu"), F.col("qu"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+    w = Window.partitionBy("qid").orderBy(F.asc("d2"), F.asc("nid"))
+    exact = (
+        pts.crossJoin(qs)
+        .filter(F.col("nid") != F.col("qid"))
+        .withColumn("d2", d2)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+    )
+    want = {(r.qid, r.nid) for r in exact.collect()}
+
+    def recall(df):
+        got = {(r.qid, r.nid) for r in df.collect()}
+        return len(got & want) / len(want)
+
+    # uniform random embeddings are PQ's adversarial case (no cluster
+    # structure for codewords to exploit) — measured floors, not hopes:
+    # m=8,k=16 -> 0.16; m=8,k=64 -> 0.28; m=16,k=64 -> 0.46
+    r_coarse = recall(approx)
+    assert r_coarse >= 0.10, r_coarse
+    # the property that matters: recall RISES with codebook capacity
+    r_rich = recall(pq_adc_topk(emb, queries, m=16, k_codes=64, topk=10))
+    assert r_rich > r_coarse, (r_coarse, r_rich)
+    assert r_rich >= 0.35, r_rich
