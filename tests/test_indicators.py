@@ -216,3 +216,47 @@ def test_pq_codes_and_recall(spark):
     r_rich = recall(pq_adc_topk(emb, queries, m=16, k_codes=64, topk=10))
     assert r_rich > r_coarse, (r_coarse, r_rich)
     assert r_rich >= 0.35, r_rich
+
+
+def test_pq_exactness_limit(spark):
+    """Degenerate-limit pin: with one codeword per corpus vector and one
+    subspace, every vector quantizes to itself, so ADC distances ARE the
+    exact squared distances and the top-10 matches brute force
+    bit-for-bit (the PQ analogue of the IVF nprobe=n_lists test)."""
+    from pyspark.sql import Window
+
+    from crypto_data_ingestion_module_spark.operators.clustering import (
+        _micro,
+    )
+    from crypto_data_ingestion_module_spark.operators.pq import pq_adc_topk
+    from crypto_data_ingestion_module_spark.session import load_table
+
+    emb = load_table(spark, SF_SMALL, "embeddings").limit(120)
+    # force distinct keys: limit() picks arbitrary rows, so re-read ids
+    n = emb.count()
+    queries = emb.filter(F.col("vec_id") % 40 == 0)
+    approx = pq_adc_topk(emb, queries, m=1, k_codes=n, topk=5, dim=64)
+
+    pts = emb.select(
+        F.col("vec_id").alias("nid"), _micro("embedding").alias("xu")
+    )
+    qs = pts.filter(F.col("nid") % 40 == 0).select(
+        F.col("nid").alias("qid"), F.col("xu").alias("qu")
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("xu"), F.col("qu"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    ) / F.lit(1e12)
+    w = Window.partitionBy("qid").orderBy(F.asc("adc_d2"), F.asc("nid"))
+    exact = (
+        pts.crossJoin(qs)
+        .filter(F.col("nid") != F.col("qid"))
+        .withColumn("adc_d2", d2)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("qid", "nid", "rank", "adc_d2")
+    )
+    a = sorted(map(tuple, approx.collect()))
+    b = sorted(map(tuple, exact.collect()))
+    assert a == b
