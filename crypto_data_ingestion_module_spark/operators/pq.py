@@ -181,3 +181,91 @@ def pq_adc_topk(
             (F.col("adc") / F.lit(1e12)).alias("adc_d2"),
         )
     )
+
+
+def ann_ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    n_lists: int = 16,
+    nprobe: int = 4,
+    m: int = 8,
+    k_codes: int = 16,
+    topk: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+) -> DataFrame:
+    """IVF-PQ: seeded coarse quantizer prunes to ``nprobe`` lists, PQ
+    codes serve the distances — the canonical billion-scale index shape
+    (FAISS IVFPQ, non-residual variant), composed from the engine's
+    existing seeded-IVF and PQ stages so the whole index stays
+    oracle-checkable.
+
+    At rest the corpus would carry (list_id, m byte codes) per vector —
+    the ~32x-compressed form — bucketed by list_id
+    (``sinks.ann_lake``); at query time only probed lists' codes are
+    joined and no corpus vector is ever touched.
+    """
+    from crypto_data_ingestion_module_spark.operators.similarity import (
+        _ivf_probe_lists,
+        _ivf_seed_assign_normed,
+        _seed_centroids,
+        with_norm,
+    )
+
+    sub_dim = dim // m
+    c = with_norm(
+        corpus.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nv")),
+        "nv",
+        exact=True,
+        long_safe=True,
+    ).withColumnRenamed("_norm", "nnorm")
+    cent = _seed_centroids(c, n_lists)
+    assigned = _ivf_seed_assign_normed(c, cent, True).select("nid", "list_id")
+
+    q = with_norm(
+        queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")),
+        "qv",
+        exact=True,
+        long_safe=True,
+    ).withColumnRenamed("_norm", "qnorm")
+    probes = _ivf_probe_lists(q, cent, nprobe, True).select("qid", "list_id")
+
+    cb = seeded_codebook(corpus, m, k_codes, vec_col, id_col)
+    codes = pq_encode(corpus, cb, m, vec_col, id_col, dim)
+
+    qpts = queries.select(
+        F.col(id_col).alias("nid"), _micro(F.col(vec_col)).alias("xu")
+    )
+    lut = (
+        _subspaces(qpts, "qid", m, sub_dim)
+        .join(F.broadcast(cb), "j")
+        .select(
+            "qid", "j", "code", _d2(F.col("sv"), F.col("cv")).alias("d2q")
+        )
+    )
+
+    cand = (
+        F.broadcast(probes)
+        .join(assigned, "list_id")
+        .filter(F.col("qid") != F.col("nid"))
+        .select("qid", "nid")
+    )
+    adc = (
+        cand.join(codes, "nid")
+        .join(lut, ["qid", "j", "code"])
+        .groupBy("qid", "nid")
+        .agg(F.sum("d2q").alias("adc"), F.count(F.lit(1)).alias("_nj"))
+        .filter(F.col("_nj") == m)
+    )
+    w = Window.partitionBy("qid").orderBy(F.asc("adc"), F.asc("nid"))
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .select(
+            "qid",
+            "nid",
+            "rank",
+            (F.col("adc") / F.lit(1e12)).alias("adc_d2"),
+        )
+    )

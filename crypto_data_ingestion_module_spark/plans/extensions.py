@@ -1899,3 +1899,143 @@ _register(
         oracle=_pq_oracle(8, 16, 8, 10),
     )
 )
+
+
+# --------------------------------------------------------------------------
+# X3: IVF-PQ — the billion-scale composition: seeded coarse quantizer
+# prunes to nprobe lists, PQ byte codes serve the distances.  Assignment,
+# probing, codebooks, encoding, LUT, and ADC all hash-checked in one
+# oracle.
+# --------------------------------------------------------------------------
+
+def _ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crypto_data_ingestion_module_spark.operators.pq import ann_ivfpq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    return ann_ivfpq_topk(
+        emb, queries, n_lists=16, nprobe=4, m=8, k_codes=16, topk=10
+    )
+
+
+def _ivfpq_oracle(n_lists: int, nprobe: int, m: int, k: int, sub: int,
+                  topk: int) -> str:
+    zd2 = (
+        "list_sum(list_transform(list_zip(sv, cv),"
+        " p -> (p[1] - p[2]) * (p[1] - p[2])))"
+    )
+    return f"""
+WITH c AS (SELECT vec_id AS nid, embedding AS nv FROM embeddings),
+q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+      WHERE vec_id % 100 = 0),
+cn AS (
+  SELECT nid, sqrt({_COS_DOT.format(a='x', b='x')}) AS nnorm
+  FROM (SELECT nid, unnest(nv) AS x FROM c) GROUP BY nid
+),
+cent AS (
+  SELECT row_number() OVER (ORDER BY md5(CAST(nid AS VARCHAR)), nid) - 1
+           AS list_id,
+         nid AS cid, nv AS cv2
+  FROM c ORDER BY md5(CAST(nid AS VARCHAR)), nid LIMIT {n_lists}
+),
+centn AS (SELECT cent.list_id, cn.nnorm AS cnorm
+          FROM cent JOIN cn ON cn.nid = cent.cid),
+adots AS (
+  SELECT nid, list_id, {_COS_DOT.format(a='xn', b='xc')} AS dot
+  FROM (SELECT c.nid, cent.list_id, unnest(c.nv) AS xn,
+               unnest(cent.cv2) AS xc
+        FROM c CROSS JOIN cent)
+  GROUP BY nid, list_id
+),
+assigned AS (
+  SELECT nid, list_id FROM (
+    SELECT a.nid, a.list_id,
+           row_number() OVER (PARTITION BY a.nid
+                              ORDER BY a.dot / n.cnorm DESC, a.list_id) AS rn
+    FROM adots a JOIN centn n USING (list_id)
+  ) WHERE rn = 1
+),
+qdots AS (
+  SELECT qid, list_id, {_COS_DOT.format(a='xq', b='xc')} AS dot
+  FROM (SELECT q.qid, cent.list_id, unnest(q.qv) AS xq,
+               unnest(cent.cv2) AS xc
+        FROM q CROSS JOIN cent)
+  GROUP BY qid, list_id
+),
+probes AS (
+  SELECT qid, list_id FROM (
+    SELECT d.qid, d.list_id,
+           row_number() OVER (PARTITION BY d.qid
+                              ORDER BY d.dot / n.cnorm DESC, d.list_id) AS rn
+    FROM qdots d JOIN centn n USING (list_id)
+  ) WHERE rn <= {nprobe}
+),
+pts AS (
+  SELECT vec_id AS nid,
+         list_transform(embedding,
+                        x -> round(CAST(x AS DOUBLE) * 1000000.0)) AS xu
+  FROM embeddings
+),
+js AS (SELECT unnest(range({m})) AS j),
+seeds AS (
+  SELECT row_number() OVER (ORDER BY md5(CAST(nid AS VARCHAR)), nid) - 1
+           AS code, xu
+  FROM pts ORDER BY md5(CAST(nid AS VARCHAR)), nid LIMIT {k}
+),
+cb AS (
+  SELECT code, j, xu[j * {sub} + 1 : j * {sub} + {sub}] AS cv
+  FROM seeds CROSS JOIN js
+),
+sv AS (
+  SELECT nid, j, xu[j * {sub} + 1 : j * {sub} + {sub}] AS sv
+  FROM pts CROSS JOIN js
+),
+codes AS (
+  SELECT nid, j, code FROM (
+    SELECT s.nid, s.j, cb.code,
+           row_number() OVER (PARTITION BY s.nid, s.j
+                              ORDER BY {zd2}, cb.code) AS rn
+    FROM sv s JOIN cb ON s.j = cb.j
+  ) WHERE rn = 1
+),
+qsv AS (
+  SELECT nid AS qid, j, xu[j * {sub} + 1 : j * {sub} + {sub}] AS sv
+  FROM pts CROSS JOIN js WHERE nid % 100 = 0
+),
+lut AS (
+  SELECT qq.qid, qq.j, cb.code, {zd2} AS d2q
+  FROM qsv qq JOIN cb ON qq.j = cb.j
+),
+cand AS (
+  SELECT p.qid, a.nid
+  FROM probes p JOIN assigned a USING (list_id)
+  WHERE p.qid <> a.nid
+),
+adc AS (
+  SELECT ca.qid, ca.nid, SUM(l.d2q) AS adc
+  FROM cand ca
+  JOIN codes co ON co.nid = ca.nid
+  JOIN lut l ON l.qid = ca.qid AND l.j = co.j AND l.code = co.code
+  GROUP BY ca.qid, ca.nid
+  HAVING count(*) = {m}
+)
+SELECT qid, nid, CAST(rank AS INT) AS rank, adc / 1e12 AS adc_d2 FROM (
+  SELECT qid, nid, adc,
+         row_number() OVER (PARTITION BY qid ORDER BY adc, nid) AS rank
+  FROM adc
+) WHERE rank <= {topk}
+"""
+
+
+_register(
+    QuerySpec(
+        name="ann_ivfpq_topk",
+        survey_ids=("X3",),
+        description="IVF-PQ top-10: seeded coarse quantizer prunes to 4 "
+        "of 16 lists, PQ byte codes (m=8, 16 codewords) serve the "
+        "distances — assignment, probing, encoding, and ADC all in one "
+        "hash-checked oracle",
+        spark=_ivfpq,
+        oracle=_ivfpq_oracle(16, 4, 8, 16, 8, 10),
+    )
+)
