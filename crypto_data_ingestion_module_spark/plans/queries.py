@@ -1470,6 +1470,9 @@ _register(
 #                              min_acctbal_supplier / order_priority_exists
 #                              / stream_pair_correlation /
 #                              session_purchase_attribution
+#   cosine_topk_quantized    — displaced by ann_ivfpq_topk (PQ byte codes
+#                              are the stronger quantization evidence;
+#                              int8 path stays pytest-green)
 #   candle_returns_ma, lang_id, dup_ngram_stats
 #                            — rotated out late round 4 for
 #                              candles_gap_filled (richer A1-dependent
@@ -1534,7 +1537,7 @@ CHECKED_QUERIES: tuple[str, ...] = (
     "cosine_topk",
     "ann_ivf_topk",
     "ann_lsh_seed_topk",
-    "cosine_topk_quantized",
+    "ann_ivfpq_topk",
     "hybrid_search_rerank",
     "stratified_sample_events",
     "pack_sequences",
