@@ -111,13 +111,23 @@ def pq_encode(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     dim: int = 64,
+    vectorized: bool = True,
 ) -> DataFrame:
     """Corpus -> (nid, j, code): nearest codeword per subspace (argmin
-    collapsed map-side, ties to the smaller code)."""
+    ties to the smaller code).
+
+    ``vectorized=True`` (default): the bounded codebook rides in an
+    Arrow-kernel closure and each batch encodes with one integer matmul
+    per subspace — bit-identical to the relational broadcast-argmin twin
+    (exact float64 integers under 2^53; ``np.argmin`` first-minimum is
+    the (d2 asc, code asc) tie-break; parity pinned in tests).
+    """
     sub_dim = dim // m
     pts = corpus.select(
         F.col(id_col).alias("nid"), _micro(F.col(vec_col)).alias("xu")
     )
+    if vectorized:
+        return _pq_encode_kernel(pts, codebook, m, sub_dim)
     sv = _subspaces(pts, "nid", m, sub_dim)
     return (
         sv.join(F.broadcast(codebook), "j")
@@ -130,6 +140,44 @@ def pq_encode(
         )
         .select("nid", "j", F.col("_a.c").alias("code"))
     )
+
+
+def _pq_encode_kernel(
+    pts: DataFrame, codebook: DataFrame, m: int, sub_dim: int
+) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    rows = codebook.orderBy("j", "code").collect()  # m*k*sub_dim, bounded
+    k = max(r["code"] for r in rows) + 1
+    C = np.zeros((m, k, sub_dim), dtype=np.float64)
+    for r in rows:
+        C[r["j"], r["code"], :] = np.asarray(r["cv"], dtype=np.float64)
+    c2 = (C * C).sum(axis=2)  # (m, k)
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.vstack(pdf["xu"].to_numpy()).astype(np.float64)
+            n = len(X)
+            ids = pdf["nid"].to_numpy()
+            out_id = np.repeat(ids, m)
+            out_j = np.tile(np.arange(m, dtype=np.int32), n)
+            out_code = np.empty(n * m, dtype=np.int32)
+            for j in range(m):
+                S = X[:, j * sub_dim : (j + 1) * sub_dim]
+                d2 = (
+                    (S * S).sum(axis=1)[:, None]
+                    - 2.0 * (S @ C[j].T)
+                    + c2[j][None, :]
+                )
+                out_code[j::m] = d2.argmin(axis=1)
+            yield pd.DataFrame(
+                {"nid": out_id, "j": out_j, "code": out_code}
+            )
+
+    return pts.mapInPandas(kernel, "nid long, j int, code int")
 
 
 def pq_adc_topk(
@@ -208,8 +256,8 @@ def ann_ivfpq_topk(
     """
     from crypto_data_ingestion_module_spark.operators.similarity import (
         _ivf_probe_lists,
-        _ivf_seed_assign_normed,
         _seed_centroids,
+        ivf_seed_assign,
         with_norm,
     )
 
@@ -221,7 +269,11 @@ def ann_ivfpq_topk(
         long_safe=True,
     ).withColumnRenamed("_norm", "nnorm")
     cent = _seed_centroids(c, n_lists)
-    assigned = _ivf_seed_assign_normed(c, cent, True).select("nid", "list_id")
+    # corpus assignment through the Arrow argmax kernel (bit-identical to
+    # the relational broadcast-argmax — pinned in the similarity tests)
+    assigned = ivf_seed_assign(
+        corpus, n_lists, vec_col, id_col, True, vectorized=True
+    ).select("nid", "list_id")
 
     q = with_norm(
         queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")),

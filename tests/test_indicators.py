@@ -260,3 +260,19 @@ def test_pq_exactness_limit(spark):
     a = sorted(map(tuple, approx.collect()))
     b = sorted(map(tuple, exact.collect()))
     assert a == b
+
+
+def test_pq_encode_kernel_parity(spark):
+    """The Arrow encode kernel is bit-identical to the relational
+    broadcast-argmin twin."""
+    from crypto_data_ingestion_module_spark.operators.pq import (
+        pq_encode,
+        seeded_codebook,
+    )
+    from crypto_data_ingestion_module_spark.session import load_table
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    cb = seeded_codebook(emb, 8, 16)
+    a = pq_encode(emb, cb, 8, vectorized=True)
+    b = pq_encode(emb, cb, 8, vectorized=False)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
