@@ -1,0 +1,114 @@
+"""BPE merge training as a DataFrame program — oracle-checkable.
+
+The curation stack tokenizes with a fixed regex (functions/text); real
+pipelines TRAIN their tokenizer on the corpus.  This module owns that
+training loop (Sennrich et al., "Neural Machine Translation of Rare
+Words with Subword Units", ACL 2016): count adjacent symbol pairs
+weighted by word frequency, merge the most frequent pair everywhere,
+repeat.
+
+Representation: each distinct word is a space-separated symbol string
+with sentinel spaces (`` h e l l o ``), so "merge pair (a,b)" is exactly
+``replace(w, ' a b ', ' ab ')`` — whole-symbol aligned by the padding.
+Both Spark and DuckDB implement ``replace`` as left-to-right,
+non-rescanning, all-occurrences substitution (verified on the
+overlapping ``' a a a a '`` case: both yield ``' aa a a '``), so the
+merge step is bit-identical cross-engine.  NOTE the non-rescanning
+detail: a run of 2k repeated symbols merges k times per ROUND, not
+greedily within the round — a defined, engine-agreed variant of
+greedy-left BPE.
+
+Determinism: pair counts are integer sums; the winning pair breaks ties
+by (count desc, lhs asc, rhs asc); symbol strings are ASCII ([a-z]+
+words only), so string comparison is binary-identical in both engines.
+
+Scale shape: the state is the DISTINCT-WORD table (vocabulary-sized,
+not corpus-sized — the standard BPE trainer optimization); each round
+is one explode + hash-agg + global top-1 (TakeOrdered) + a broadcast
+1-row join.  The plan doubles per round (each round's words embed the
+previous argmax lineage); ``checkpoint=True`` truncates per round for
+deep merge tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _pairs(s: Column) -> Column:
+    """Adjacent symbol pairs of a symbol list (empty when < 2 symbols)."""
+    idx = F.sequence(F.lit(1), F.size(s) - 1)
+    return F.when(
+        F.size(s) >= 2,
+        F.transform(
+            idx,
+            lambda i: F.struct(
+                F.element_at(s, i).alias("lhs"),
+                F.element_at(s, i + 1).alias("rhs"),
+            ),
+        ),
+    )
+
+
+def bpe_merges(
+    docs: DataFrame,
+    n_merges: int = 5,
+    text_col: str = "text",
+    checkpoint: bool = False,
+) -> DataFrame:
+    """Train ``n_merges`` BPE merges; return the ordered merge table
+    (rank, lhs, rhs, pair_count)."""
+    words = (
+        docs.select(
+            F.explode(F.split(F.col(text_col), " ")).alias("word")
+        )
+        .filter(F.col("word").rlike("^[a-z]+$"))
+        .groupBy(
+            F.concat(
+                F.lit(" "), F.regexp_replace("word", "(.)", "$1 ")
+            ).alias("w")
+        )
+        .agg(F.count(F.lit(1)).alias("wc"))
+    )
+    merges = []
+    for i in range(n_merges):
+        s = F.split(F.trim(F.col("w")), " ")
+        best = (
+            words.select("wc", F.explode(_pairs(s)).alias("p"))
+            .groupBy(F.col("p.lhs").alias("lhs"), F.col("p.rhs").alias("rhs"))
+            .agg(F.sum("wc").alias("pair_count"))
+            .orderBy(F.desc("pair_count"), F.asc("lhs"), F.asc("rhs"))
+            .limit(1)
+        )
+        merges.append(
+            best.select(
+                F.lit(i + 1).alias("rank"), "lhs", "rhs", "pair_count"
+            )
+        )
+        words = (
+            words.crossJoin(F.broadcast(best))
+            .select(
+                F.replace(
+                    F.col("w"),
+                    F.concat(
+                        F.lit(" "),
+                        F.col("lhs"),
+                        F.lit(" "),
+                        F.col("rhs"),
+                        F.lit(" "),
+                    ),
+                    F.concat(
+                        F.lit(" "), F.col("lhs"), F.col("rhs"), F.lit(" ")
+                    ),
+                ).alias("w"),
+                "wc",
+            )
+        )
+        if checkpoint:
+            words = words.localCheckpoint(eager=True)
+
+    out = merges[0]
+    for mdf in merges[1:]:
+        out = out.unionByName(mdf)
+    return out

@@ -2039,3 +2039,65 @@ _register(
         oracle=_ivfpq_oracle(16, 4, 8, 16, 8, 10),
     )
 )
+
+
+# --------------------------------------------------------------------------
+# X4: BPE merge training — the tokenizer trainer itself as a
+# hash-checked DataFrame loop (operators/bpe.py).  5 rounds over the
+# distinct-word table; each round's winning pair and its count are the
+# output, so the oracle verifies the entire training trajectory.
+# --------------------------------------------------------------------------
+
+def _bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crypto_data_ingestion_module_spark.operators.bpe import bpe_merges
+
+    return bpe_merges(_t(spark, sf_dir, "documents"), n_merges=5)
+
+
+def _bpe_oracle(n: int) -> str:
+    parts = [
+        """WITH words0 AS (
+  SELECT ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS w,
+         count(*) AS wc
+  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+  WHERE regexp_matches(word, '^[a-z]+$')
+  GROUP BY w
+)"""
+    ]
+    final = []
+    for i in range(n):
+        parts.append(
+            """p{i} AS (
+  SELECT pr[1] AS lhs, pr[2] AS rhs, SUM(wc) AS pair_count FROM (
+    SELECT wc, unnest(list_zip(s[1:len(s)-1], s[2:len(s)])) AS pr
+    FROM (SELECT wc, string_split(trim(w), ' ') AS s FROM words{i})
+    WHERE len(s) >= 2
+  ) GROUP BY lhs, rhs
+),
+best{i} AS (
+  SELECT lhs, rhs, pair_count FROM p{i}
+  ORDER BY pair_count DESC, lhs, rhs LIMIT 1
+),
+words{j} AS (
+  SELECT replace(w, ' ' || lhs || ' ' || rhs || ' ',
+                 ' ' || lhs || rhs || ' ') AS w, wc
+  FROM words{i}, best{i}
+)""".format(i=i, j=i + 1)
+        )
+        final.append(
+            f"SELECT {i + 1} AS rank, lhs, rhs, pair_count FROM best{i}"
+        )
+    return ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(final)
+
+
+_register(
+    QuerySpec(
+        name="bpe_merge_table",
+        survey_ids=("X4",),
+        description="BPE tokenizer training (5 merges over the distinct-"
+        "word table): every round's winning pair and count hash-checked "
+        "— the whole training trajectory, not just the result",
+        spark=_bpe_train,
+        oracle=_bpe_oracle(5),
+    )
+)

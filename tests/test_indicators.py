@@ -340,3 +340,22 @@ def test_ann_tier_recall_accounting(spark):
         )
     )
     assert abs(r_full - r_pq) < 1e-9, (r_full, r_pq)
+
+
+def test_bpe_training_trajectory(spark):
+    """BPE invariants: the winning pair count never increases across
+    rounds (a merge-created pair is bounded by the merged pair's count),
+    symbols are nonempty, and checkpointing doesn't change the table."""
+    from crypto_data_ingestion_module_spark.operators.bpe import bpe_merges
+    from crypto_data_ingestion_module_spark.session import load_table
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    t = bpe_merges(docs, n_merges=4)
+    rows = sorted(map(tuple, t.collect()))
+    assert len(rows) == 4
+    counts = [r[3] for r in rows]  # sorted by rank
+    assert all(c1 >= c2 for c1, c2 in zip(counts, counts[1:])), counts
+    assert all(r[1] and r[2] for r in rows)
+
+    t2 = bpe_merges(docs, n_merges=4, checkpoint=True)
+    assert sorted(map(tuple, t2.collect())) == rows
