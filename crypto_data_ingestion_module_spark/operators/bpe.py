@@ -112,3 +112,62 @@ def bpe_merges(
     for mdf in merges[1:]:
         out = out.unionByName(mdf)
     return out
+
+
+def bpe_vocab(
+    docs: DataFrame,
+    n_merges: int = 5,
+    text_col: str = "text",
+    checkpoint: bool = False,
+) -> DataFrame:
+    """The subword vocabulary AFTER ``n_merges`` rounds: each surviving
+    symbol with its corpus token count — the encode-side complement of
+    :func:`bpe_merges` (the segmented word table is the tokenizer)."""
+    words = (
+        docs.select(
+            F.explode(F.split(F.col(text_col), " ")).alias("word")
+        )
+        .filter(F.col("word").rlike("^[a-z]+$"))
+        .groupBy(
+            F.concat(
+                F.lit(" "), F.regexp_replace("word", "(.)", "$1 ")
+            ).alias("w")
+        )
+        .agg(F.count(F.lit(1)).alias("wc"))
+    )
+    for _ in range(n_merges):
+        s = F.split(F.trim(F.col("w")), " ")
+        best = (
+            words.select("wc", F.explode(_pairs(s)).alias("p"))
+            .groupBy(F.col("p.lhs").alias("lhs"), F.col("p.rhs").alias("rhs"))
+            .agg(F.sum("wc").alias("pair_count"))
+            .orderBy(F.desc("pair_count"), F.asc("lhs"), F.asc("rhs"))
+            .limit(1)
+        )
+        words = (
+            words.crossJoin(F.broadcast(best))
+            .select(
+                F.replace(
+                    F.col("w"),
+                    F.concat(
+                        F.lit(" "),
+                        F.col("lhs"),
+                        F.lit(" "),
+                        F.col("rhs"),
+                        F.lit(" "),
+                    ),
+                    F.concat(
+                        F.lit(" "), F.col("lhs"), F.col("rhs"), F.lit(" ")
+                    ),
+                ).alias("w"),
+                "wc",
+            )
+        )
+        if checkpoint:
+            words = words.localCheckpoint(eager=True)
+    s = F.split(F.trim(F.col("w")), " ")
+    return (
+        words.select("wc", F.explode(s).alias("symbol"))
+        .groupBy("symbol")
+        .agg(F.sum("wc").alias("n_tokens"))
+    )

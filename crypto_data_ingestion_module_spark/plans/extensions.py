@@ -2101,3 +2101,37 @@ _register(
         oracle=_bpe_oracle(5),
     )
 )
+
+
+def _bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crypto_data_ingestion_module_spark.operators.bpe import bpe_vocab
+
+    return bpe_vocab(_t(spark, sf_dir, "documents"), n_merges=5)
+
+
+def _bpe_vocab_oracle(n: int) -> str:
+    # reuse the training CTE chain; the vocabulary is the symbol table of
+    # the final words relation
+    chain = _bpe_oracle(n)
+    chain = chain[: chain.index("\nSELECT 1 AS rank")]
+    return (
+        chain
+        + f"""
+SELECT symbol, SUM(wc) AS n_tokens FROM (
+  SELECT wc, unnest(string_split(trim(w), ' ')) AS symbol FROM words{n}
+) GROUP BY symbol
+"""
+    )
+
+
+_register(
+    QuerySpec(
+        name="bpe_vocab",
+        survey_ids=("X4",),
+        description="subword vocabulary after 5 BPE merges: surviving "
+        "symbols with corpus token counts (the tokenizer's encode-side "
+        "state, hash-checked)",
+        spark=_bpe_vocab,
+        oracle=_bpe_vocab_oracle(5),
+    )
+)

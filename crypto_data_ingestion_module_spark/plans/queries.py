@@ -1470,6 +1470,9 @@ _register(
 #                              min_acctbal_supplier / order_priority_exists
 #                              / stream_pair_correlation /
 #                              session_purchase_attribution
+#   doc_keywords             — displaced by bpe_merge_table (the trained
+#                              tokenizer trajectory is the stronger X4
+#                              evidence; keywords stay pytest-green)
 #   cosine_topk_quantized    — displaced by ann_ivfpq_topk (PQ byte codes
 #                              are the stronger quantization evidence;
 #                              int8 path stays pytest-green)
@@ -1545,7 +1548,7 @@ CHECKED_QUERIES: tuple[str, ...] = (
     "curated_corpus",
     "label_centroids",
     "decontaminate_docs",
-    "doc_keywords",
+    "bpe_merge_table",
 )
 
 assert len(CHECKED_QUERIES) <= 50, len(CHECKED_QUERIES)
