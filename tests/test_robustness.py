@@ -144,3 +144,61 @@ def test_curation_ops_total_on_adversarial_strings(spark):
     for pairs in (minhash_lsh_pairs(df), simhash_hamming_pairs(df)):
         for r in pairs.collect():
             assert r.id_a in ids and r.id_b in ids and r.id_a < r.id_b
+
+
+def test_session_attribution_hot_user_skew(spark):
+    """A single user owning a large, week-long session (the hot-key case
+    for the hour-grid interval join) must neither misattribute nor blow
+    up the explode: span rows are bounded by hours spanned, and every
+    purchase lands in exactly one session."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from crypto_data_ingestion_module_spark.plans.queries import QUERY_SPECS
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    # hot user 1: 2000 events 5 minutes apart (one ~7-day session)
+    for i in range(2000):
+        rows.append(
+            (
+                i,
+                t0 + dt.timedelta(minutes=5 * i),
+                1,
+                "purchase" if i % 10 == 0 else "view",
+                1.0,
+                "{}",
+            )
+        )
+    # cold user 2: two separated sessions with one purchase each
+    for n, off in enumerate((0, 600)):
+        rows.append(
+            (10_000 + n, t0 + dt.timedelta(minutes=off), 2, "purchase", 2.0, "{}")
+        )
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    table = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("ns")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows]),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array([r[5] for r in rows]),
+        }
+    )
+    with tempfile.TemporaryDirectory() as d:
+        # the testdata layout: one parquet FILE with TIMESTAMP(NANOS)
+        pq.write_table(table, f"{d}/events.parquet")
+        out = QUERY_SPECS["session_purchase_attribution"].spark(spark, d)
+        got = {(r.user_id, r.s_start): r.n_purchases for r in out.collect()}
+    # user 1: ONE session holding all 200 purchases
+    u1 = {k: v for k, v in got.items() if k[0] == 1}
+    assert len(u1) == 1 and list(u1.values()) == [200], u1
+    # user 2: two sessions, one purchase each
+    u2 = {k: v for k, v in got.items() if k[0] == 2}
+    assert len(u2) == 2 and set(u2.values()) == {1}, u2
