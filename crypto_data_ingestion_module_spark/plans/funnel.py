@@ -438,3 +438,167 @@ GROUP BY window_start
 """,
     )
 )
+
+
+# --------------------------------------------------------------------------
+# Decile profile: ntile(10) over values per type, with each decile's
+# bounds and fixed-point mean — the distribution-profile shape analysts
+# reach for before histograms.
+# --------------------------------------------------------------------------
+
+def _value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return (
+        _t(spark, sf_dir, "events")
+        .withColumn("decile", F.ntile(10).over(w))
+        .groupBy("event_type", "decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+            (dsum(F.col("value")) / F.count(F.lit(1))).alias("mean_value"),
+        )
+    )
+
+
+_register(
+    QuerySpec(
+        name="value_deciles",
+        survey_ids=("A2", "D1"),
+        description="ntile(10) decile profile per type: bucket counts, "
+        "bounds, fixed-point means (unique total order so both engines "
+        "cut identical deciles)",
+        spark=_value_deciles,
+        oracle=f"""
+WITH d AS (
+  SELECT event_type, value,
+         ntile(10) OVER (PARTITION BY event_type
+                         ORDER BY value, event_id) AS decile
+  FROM events
+)
+SELECT event_type, decile, count(*) AS n,
+       min(value) AS lo, max(value) AS hi,
+       {osum('value')} / count(*) AS mean_value
+FROM d GROUP BY event_type, decile
+""",
+    )
+)
+
+
+# --------------------------------------------------------------------------
+# Declarative data-quality audit: the dbt-test shape — a battery of
+# constraint checks (not-null, domain, range, uniqueness, referential
+# integrity) evaluated as conditional aggregates, one violation-count row
+# per rule.  Each fact table is scanned once; the FK checks are anti-join
+# counts against broadcastable key sets.
+# --------------------------------------------------------------------------
+
+def _dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    ev = _t(spark, sf_dir, "events")
+
+    def rule(name: str, df: DataFrame) -> DataFrame:
+        return df.select(
+            F.lit(name).alias("rule"), F.col("n").cast("long").alias("violations")
+        )
+
+    li_scalar = li.agg(
+        F.sum(F.when(F.col("l_quantity") <= 0, 1).otherwise(0)).alias("q"),
+        F.sum(F.when(F.col("l_extendedprice") < 0, 1).otherwise(0)).alias("p"),
+        F.sum(
+            F.when(~F.col("l_discount").between(0.0, 1.0), 1).otherwise(0)
+        ).alias("d"),
+        F.sum(
+            F.when(~F.col("l_returnflag").isin("A", "N", "R"), 1).otherwise(0)
+        ).alias("rf"),
+    )
+    orphan = li.join(
+        orders.select("o_orderkey"),
+        li["l_orderkey"] == F.col("o_orderkey"),
+        "left_anti",
+    ).agg(F.count(F.lit(1)).alias("n"))
+    dup_line = (
+        li.groupBy("l_orderkey", "l_linenumber")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+        .agg(F.coalesce(F.sum(F.col("c") - 1), F.lit(0)).alias("n"))
+    )
+    ev_null = ev.agg(
+        F.sum(
+            F.when(
+                F.col("ts").isNull() | F.col("event_type").isNull(), 1
+            ).otherwise(0)
+        ).alias("n")
+    )
+    out = rule("lineitem_orphan_orderkey", orphan)
+    out = out.unionByName(rule("lineitem_duplicate_linenumber", dup_line))
+    out = out.unionByName(
+        rule(
+            "lineitem_nonpositive_quantity",
+            li_scalar.select(F.col("q").alias("n")),
+        )
+    )
+    out = out.unionByName(
+        rule(
+            "lineitem_negative_price",
+            li_scalar.select(F.col("p").alias("n")),
+        )
+    )
+    out = out.unionByName(
+        rule(
+            "lineitem_discount_out_of_range",
+            li_scalar.select(F.col("d").alias("n")),
+        )
+    )
+    out = out.unionByName(
+        rule(
+            "lineitem_bad_returnflag",
+            li_scalar.select(F.col("rf").alias("n")),
+        )
+    )
+    out = out.unionByName(rule("events_null_key_fields", ev_null))
+    return out
+
+
+_register(
+    QuerySpec(
+        name="dq_audit",
+        survey_ids=("F4", "F5", "T7"),
+        description="declarative data-quality audit: not-null, domain, "
+        "range, uniqueness, and referential checks as one row of "
+        "violation counts per rule (single scan per fact; anti-join FKs)",
+        spark=_dq_audit,
+        oracle="""
+SELECT 'lineitem_orphan_orderkey' AS rule,
+       (SELECT count(*) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_orderkey = l.l_orderkey)) AS violations
+UNION ALL
+SELECT 'lineitem_duplicate_linenumber',
+       (SELECT coalesce(SUM(c - 1), 0) FROM (
+          SELECT count(*) AS c FROM lineitem
+          GROUP BY l_orderkey, l_linenumber HAVING count(*) > 1))
+UNION ALL
+SELECT 'lineitem_nonpositive_quantity',
+       (SELECT count(*) FROM lineitem WHERE l_quantity <= 0)
+UNION ALL
+SELECT 'lineitem_negative_price',
+       (SELECT count(*) FROM lineitem WHERE l_extendedprice < 0)
+UNION ALL
+SELECT 'lineitem_discount_out_of_range',
+       (SELECT count(*) FROM lineitem
+        WHERE l_discount NOT BETWEEN 0.0 AND 1.0)
+UNION ALL
+SELECT 'lineitem_bad_returnflag',
+       (SELECT count(*) FROM lineitem
+        WHERE l_returnflag NOT IN ('A', 'N', 'R'))
+UNION ALL
+SELECT 'events_null_key_fields',
+       (SELECT count(*) FROM events
+        WHERE ts IS NULL OR event_type IS NULL)
+""",
+    )
+)
