@@ -2135,3 +2135,106 @@ _register(
         oracle=_bpe_vocab_oracle(5),
     )
 )
+
+
+# --------------------------------------------------------------------------
+# X2/X3: model-free document similarity via the hashing trick — 64-dim
+# signed term-frequency vectors (feature hashing, Weinberger et al. 2009)
+# computed from md5 so both engines build the identical vector, then
+# sparse cosine via an inverted-index equi-join on the feature bucket
+# (the 100 TB sparse-dot shape: shuffle carries (bucket, weight) pairs,
+# never dense vectors).
+# --------------------------------------------------------------------------
+
+def _hashed_doc_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).filter(F.col("tok").rlike("^[a-z]+$"))
+    th = F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long")
+    weights = (
+        toks.select(
+            "doc_id",
+            F.pmod(th, F.lit(64)).cast("int").alias("bucket"),
+            F.when(
+                F.shiftright(th, 6).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+            )
+            .otherwise(F.lit(-1))
+            .alias("s"),
+        )
+        .groupBy("doc_id", "bucket")
+        .agg(F.sum("s").alias("w"))
+        .filter(F.col("w") != 0)
+    )
+    norms = weights.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w")).cast("double")).alias("norm")
+    )
+    a = weights.select(
+        F.col("doc_id").alias("doc_a"), "bucket", F.col("w").alias("wa")
+    )
+    b = weights.select(
+        F.col("doc_id").alias("doc_b"), "bucket", F.col("w").alias("wb")
+    )
+    dots = (
+        a.join(b, "bucket")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).cast("double").alias("dot"))
+    )
+    na = norms.select(F.col("doc_id").alias("doc_a"), F.col("norm").alias("na"))
+    nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("norm").alias("nb"))
+    return (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("dot") / (F.col("na") * F.col("nb"))).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("doc_a"), F.asc("doc_b"))
+        .limit(20)
+    )
+
+
+_register(
+    QuerySpec(
+        name="hashed_doc_similarity",
+        survey_ids=("X2", "X3"),
+        description="model-free doc similarity: 64-dim signed feature-"
+        "hash vectors (md5, engine-identical) + sparse cosine via an "
+        "inverted-index bucket join; global top-20 pairs",
+        spark=_hashed_doc_similarity,
+        oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+  FROM documents WHERE text IS NOT NULL
+), ft AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS th
+  FROM toks WHERE regexp_matches(tok, '^[a-z]+$')
+), weights AS (
+  SELECT doc_id, CAST(th % 64 AS INT) AS bucket,
+         SUM(CASE WHEN (th >> 6) & 1 = 1 THEN 1 ELSE -1 END) AS w
+  FROM ft GROUP BY doc_id, bucket
+  HAVING SUM(CASE WHEN (th >> 6) & 1 = 1 THEN 1 ELSE -1 END) <> 0
+), norms AS (
+  SELECT doc_id, sqrt(CAST(SUM(w * w) AS DOUBLE)) AS norm
+  FROM weights GROUP BY doc_id
+), dots AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(SUM(a.w * b.w) AS DOUBLE) AS dot
+  FROM weights a JOIN weights b
+    ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+  GROUP BY doc_a, doc_b
+)
+SELECT doc_a, doc_b, dot / (na.norm * nb.norm) AS cosine
+FROM dots
+JOIN norms na ON na.doc_id = doc_a
+JOIN norms nb ON nb.doc_id = doc_b
+ORDER BY cosine DESC, doc_a, doc_b
+LIMIT 20
+""",
+    )
+)
