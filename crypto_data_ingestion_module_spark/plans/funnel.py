@@ -602,3 +602,133 @@ SELECT 'events_null_key_fields',
 """,
     )
 )
+
+
+# --------------------------------------------------------------------------
+# First-order Markov transitions: per-user event-type bigrams with
+# transition probabilities — the behavioral "what happens next" matrix.
+# --------------------------------------------------------------------------
+
+def _transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    bi = ev.withColumn("next_type", F.lead("event_type").over(w)).filter(
+        F.col("next_type").isNotNull()
+    )
+    counts = bi.groupBy(
+        F.col("event_type").alias("from_type"),
+        F.col("next_type").alias("to_type"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    totals = counts.groupBy(F.col("from_type").alias("_f")).agg(
+        F.sum("n").alias("row_total")
+    )
+    return (
+        counts.join(totals, counts["from_type"] == F.col("_f"))
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            (F.col("n").cast("double") / F.col("row_total").cast("double"))
+            .alias("p"),
+        )
+    )
+
+
+_register(
+    QuerySpec(
+        name="event_transitions",
+        survey_ids=("A2", "D1"),
+        description="first-order Markov matrix: per-user event-type "
+        "bigram counts and transition probabilities",
+        spark=_transitions,
+        oracle="""
+WITH bi AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS to_type
+  FROM events
+), counts AS (
+  SELECT from_type, to_type, count(*) AS n
+  FROM bi WHERE to_type IS NOT NULL
+  GROUP BY from_type, to_type
+)
+SELECT from_type, to_type, n,
+       CAST(n AS DOUBLE)
+         / CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE) AS p
+FROM counts
+""",
+    )
+)
+
+
+# --------------------------------------------------------------------------
+# Change-point candidates by window contrast: trailing-24 vs leading-24
+# fixed-point means; flag ticks where the level shift exceeds a
+# threshold.  The non-recursive (hence SQL-expressible, hence
+# oracle-checkable) cousin of CUSUM.
+# --------------------------------------------------------------------------
+
+def _mean_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    n = 24
+    base = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+    )
+    wt = base.rowsBetween(-n, -1)
+    wl = base.rowsBetween(1, n)
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type",
+        F.round(F.col("value") * 100.0).alias("v_c"),
+    )
+    df = (
+        ev.withColumn("nt", F.count("v_c").over(wt))
+        .withColumn("nl", F.count("v_c").over(wl))
+        .withColumn("st", F.sum("v_c").over(wt))
+        .withColumn("sl", F.sum("v_c").over(wl))
+        .filter((F.col("nt") == n) & (F.col("nl") == n))
+    )
+    shift = (F.col("sl") / F.col("nl") - F.col("st") / F.col("nt")) / 100.0
+    return df.select(
+        "event_type",
+        "ts",
+        "event_id",
+        shift.alias("level_shift"),
+    ).filter(F.abs(F.col("level_shift")) > 25.0)
+
+
+_register(
+    QuerySpec(
+        name="mean_shift_points",
+        survey_ids=("A1", "D1"),
+        description="change-point candidates: trailing-24 vs leading-24 "
+        "exact centi-unit means, flagged where the level shift exceeds "
+        "25 (the non-recursive, oracle-checkable CUSUM cousin)",
+        spark=_mean_shift,
+        oracle="""
+WITH c AS (
+  SELECT event_id, ts, event_type, round(value * 100.0) AS v_c
+  FROM events
+), s AS (
+  SELECT event_type, ts, event_id,
+         count(v_c) OVER wt AS nt, count(v_c) OVER wl AS nl,
+         SUM(v_c) OVER wt AS st, SUM(v_c) OVER wl AS sl
+  FROM c
+  WINDOW wt AS (PARTITION BY event_type ORDER BY ts, event_id
+                ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING),
+         wl AS (PARTITION BY event_type ORDER BY ts, event_id
+                ROWS BETWEEN 1 FOLLOWING AND 24 FOLLOWING)
+)
+SELECT event_type, ts, event_id,
+       (sl / nl - st / nt) / 100.0 AS level_shift
+FROM s
+WHERE nt = 24 AND nl = 24
+  AND abs((sl / nl - st / nt) / 100.0) > 25.0
+""",
+    )
+)
