@@ -947,3 +947,94 @@ GROUP BY hour_of_day, event_type
 """,
     )
 )
+
+
+# --------------------------------------------------------------------------
+# Candlestick patterns over the 1h resample: doji, bullish/bearish
+# engulfing (needs the lagged candle), hammer — counted per type.  Pure
+# comparisons on exact OHLC values (2-decimal doubles, differences and
+# small multiples exact), so detection is engine-deterministic.
+# --------------------------------------------------------------------------
+
+def _candle_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crypto_data_ingestion_module_spark.plans.queries import _flagship
+
+    candles = _flagship(spark, sf_dir, 3_600_000)
+    wl = Window.partitionBy("event_type").orderBy("bucket_ts")
+    df = (
+        candles.withColumn("p_open", F.lag("open").over(wl))
+        .withColumn("p_close", F.lag("close").over(wl))
+    )
+    body = F.abs(F.col("close") - F.col("open"))
+    doji = body * 10.0 <= (F.col("high") - F.col("low"))
+    bull_engulf = (
+        F.col("p_close").isNotNull()
+        & (F.col("p_close") < F.col("p_open"))
+        & (F.col("close") > F.col("open"))
+        & (F.col("open") <= F.col("p_close"))
+        & (F.col("close") >= F.col("p_open"))
+    )
+    bear_engulf = (
+        F.col("p_close").isNotNull()
+        & (F.col("p_close") > F.col("p_open"))
+        & (F.col("close") < F.col("open"))
+        & (F.col("open") >= F.col("p_close"))
+        & (F.col("close") <= F.col("p_open"))
+    )
+    hammer = (
+        (F.least("open", "close") - F.col("low") >= 2.0 * body)
+        & (F.col("high") - F.greatest("open", "close") <= body)
+    )
+    return df.groupBy("event_type").agg(
+        F.sum(F.when(doji, 1).otherwise(0)).alias("n_doji"),
+        F.sum(F.when(bull_engulf, 1).otherwise(0)).alias("n_bull_engulf"),
+        F.sum(F.when(bear_engulf, 1).otherwise(0)).alias("n_bear_engulf"),
+        F.sum(F.when(hammer, 1).otherwise(0)).alias("n_hammer"),
+        F.count(F.lit(1)).alias("n_candles"),
+    )
+
+
+_register(
+    QuerySpec(
+        name="candlestick_patterns",
+        survey_ids=("A1", "D1"),
+        description="candlestick pattern counts per type over the 1h "
+        "resample: doji, bullish/bearish engulfing (lagged candle), "
+        "hammer — exact-value comparisons only",
+        spark=_candle_patterns,
+        oracle="""
+WITH dedup AS (
+  SELECT * EXCLUDE (rn) FROM (
+    SELECT *, row_number() OVER (PARTITION BY event_type, ts
+                                 ORDER BY event_id DESC) AS rn
+    FROM events
+  ) WHERE rn = 1
+), candles AS (
+  SELECT make_timestamp(((epoch_ms(ts) // 3600000) * 3600000) * 1000)
+           AS bucket_ts,
+         event_type,
+         arg_min(value, ts) AS open, max(value) AS high,
+         min(value) AS low, arg_max(value, ts) AS close
+  FROM dedup GROUP BY bucket_ts, event_type
+), lagged AS (
+  SELECT *, lag(open) OVER w AS p_open, lag(close) OVER w AS p_close
+  FROM candles
+  WINDOW w AS (PARTITION BY event_type ORDER BY bucket_ts)
+)
+SELECT event_type,
+  SUM(CASE WHEN abs(close - open) * 10.0 <= high - low
+           THEN 1 ELSE 0 END) AS n_doji,
+  SUM(CASE WHEN p_close IS NOT NULL AND p_close < p_open
+            AND close > open AND open <= p_close AND close >= p_open
+           THEN 1 ELSE 0 END) AS n_bull_engulf,
+  SUM(CASE WHEN p_close IS NOT NULL AND p_close > p_open
+            AND close < open AND open >= p_close AND close <= p_open
+           THEN 1 ELSE 0 END) AS n_bear_engulf,
+  SUM(CASE WHEN least(open, close) - low >= 2.0 * abs(close - open)
+            AND high - greatest(open, close) <= abs(close - open)
+           THEN 1 ELSE 0 END) AS n_hammer,
+  count(*) AS n_candles
+FROM lagged GROUP BY event_type
+""",
+    )
+)
