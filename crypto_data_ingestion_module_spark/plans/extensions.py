@@ -2138,12 +2138,13 @@ _register(
 
 
 # --------------------------------------------------------------------------
-# X2/X3: model-free document similarity via the hashing trick — 64-dim
+# X2/X3: model-free document retrieval via the hashing trick — 64-dim
 # signed term-frequency vectors (feature hashing, Weinberger et al. 2009)
-# computed from md5 so both engines build the identical vector, then
-# sparse cosine via an inverted-index equi-join on the feature bucket
-# (the 100 TB sparse-dot shape: shuffle carries (bucket, weight) pairs,
-# never dense vectors).
+# computed from md5 so both engines build identical vectors, then cosine
+# top-5 for a bounded query set via the feature-bucket equi-join (query
+# postings are broadcast-sized; the corpus is scanned once and never
+# self-joined — an ALL-pairs variant over dense 64-dim vectors would be
+# O(n^2) and is exactly what the MinHash/SimHash stack exists for).
 # --------------------------------------------------------------------------
 
 def _hashed_doc_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2171,30 +2172,31 @@ def _hashed_doc_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     norms = weights.groupBy("doc_id").agg(
         F.sqrt(F.sum(F.col("w") * F.col("w")).cast("double")).alias("norm")
     )
-    a = weights.select(
-        F.col("doc_id").alias("doc_a"), "bucket", F.col("w").alias("wa")
-    )
-    b = weights.select(
-        F.col("doc_id").alias("doc_b"), "bucket", F.col("w").alias("wb")
+    qw = weights.filter(F.col("doc_id") % 100 == 0).select(
+        F.col("doc_id").alias("qid"), "bucket", F.col("w").alias("wq")
     )
     dots = (
-        a.join(b, "bucket")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.sum(F.col("wa") * F.col("wb")).cast("double").alias("dot"))
-    )
-    na = norms.select(F.col("doc_id").alias("doc_a"), F.col("norm").alias("na"))
-    nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("norm").alias("nb"))
-    return (
-        dots.join(na, "doc_a")
-        .join(nb, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            (F.col("dot") / (F.col("na") * F.col("nb"))).alias("cosine"),
+        F.broadcast(qw)
+        .join(
+            weights.select(
+                F.col("doc_id").alias("nid"), "bucket", F.col("w").alias("wn")
+            ),
+            "bucket",
         )
-        .orderBy(F.desc("cosine"), F.asc("doc_a"), F.asc("doc_b"))
-        .limit(20)
+        .filter(F.col("qid") != F.col("nid"))
+        .groupBy("qid", "nid")
+        .agg(F.sum(F.col("wq") * F.col("wn")).cast("double").alias("dot"))
+    )
+    nq = norms.select(F.col("doc_id").alias("qid"), F.col("norm").alias("qn"))
+    nn = norms.select(F.col("doc_id").alias("nid"), F.col("norm").alias("nn"))
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nid"))
+    return (
+        dots.join(F.broadcast(nq), "qid")
+        .join(nn, "nid")
+        .withColumn("cosine", F.col("dot") / (F.col("qn") * F.col("nn")))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("qid", "nid", F.col("rank").cast("int").alias("rank"), "cosine")
     )
 
 
@@ -2202,9 +2204,10 @@ _register(
     QuerySpec(
         name="hashed_doc_similarity",
         survey_ids=("X2", "X3"),
-        description="model-free doc similarity: 64-dim signed feature-"
-        "hash vectors (md5, engine-identical) + sparse cosine via an "
-        "inverted-index bucket join; global top-20 pairs",
+        description="model-free doc retrieval: 64-dim signed feature-"
+        "hash vectors (md5, engine-identical) + cosine top-5 per query "
+        "doc via a broadcast feature-bucket join (corpus scanned once, "
+        "never self-joined)",
         spark=_hashed_doc_similarity,
         oracle="""
 WITH toks AS (
@@ -2223,18 +2226,23 @@ WITH toks AS (
   SELECT doc_id, sqrt(CAST(SUM(w * w) AS DOUBLE)) AS norm
   FROM weights GROUP BY doc_id
 ), dots AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         CAST(SUM(a.w * b.w) AS DOUBLE) AS dot
-  FROM weights a JOIN weights b
-    ON a.bucket = b.bucket AND a.doc_id < b.doc_id
-  GROUP BY doc_a, doc_b
+  SELECT q.doc_id AS qid, n.doc_id AS nid,
+         CAST(SUM(q.w * n.w) AS DOUBLE) AS dot
+  FROM weights q JOIN weights n
+    ON q.bucket = n.bucket AND q.doc_id <> n.doc_id
+  WHERE q.doc_id % 100 = 0
+  GROUP BY qid, nid
+), ranked AS (
+  SELECT d.qid, d.nid, d.dot / (nq.norm * nn.norm) AS cosine,
+         row_number() OVER (PARTITION BY d.qid
+                            ORDER BY d.dot / (nq.norm * nn.norm) DESC,
+                                     d.nid) AS rank
+  FROM dots d
+  JOIN norms nq ON nq.doc_id = d.qid
+  JOIN norms nn ON nn.doc_id = d.nid
 )
-SELECT doc_a, doc_b, dot / (na.norm * nb.norm) AS cosine
-FROM dots
-JOIN norms na ON na.doc_id = doc_a
-JOIN norms nb ON nb.doc_id = doc_b
-ORDER BY cosine DESC, doc_a, doc_b
-LIMIT 20
+SELECT qid, nid, CAST(rank AS INT) AS rank, cosine
+FROM ranked WHERE rank <= 5
 """,
     )
 )
