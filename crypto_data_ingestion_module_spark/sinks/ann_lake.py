@@ -163,3 +163,173 @@ def assert_pruned_no_shuffle_probe(cand: DataFrame, nprobe_lists: int) -> None:
             f"expected <= {nprobe_lists} probed buckets, plan says "
             f"{m.group(0) if m else 'nothing'}:\n{plan}"
         )
+
+
+# --------------------------------------------------------------------------
+# IVF-PQ at rest: the serving form of the compressed index — byte codes
+# bucketed by list, quantizers stored beside them, probes pruned to
+# literal bucket ids, and per-row ADC via a broadcast lookup table so the
+# candidate plan carries no aggregation and no corpus shuffle.
+# --------------------------------------------------------------------------
+
+def write_ivfpq_index(
+    corpus: DataFrame,
+    table: str,
+    n_lists: int = 16,
+    m: int = 8,
+    k_codes: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+    path: str | None = None,
+) -> None:
+    """Materialize (nid, list_id, codes) bucketed by ``list_id``, plus
+    the frozen quantizers as side tables ``{table}_cent`` (coarse
+    centroids with norms, for probing) and ``{table}_cb`` (PQ
+    codebooks, for query LUTs) — everything a prober needs without
+    touching a corpus vector again."""
+    from crypto_data_ingestion_module_spark.operators.pq import (
+        pq_encode,
+        seeded_codebook,
+    )
+
+    spark = corpus.sparkSession
+    assigned = ivf_seed_assign(
+        corpus, n_lists, vec_col, id_col, True, vectorized=True
+    )
+    cent = _seed_centroids(assigned.select("nid", "nv", "nnorm"), n_lists)
+    cb = seeded_codebook(corpus, m, k_codes, vec_col, id_col)
+    codes = (
+        pq_encode(corpus, cb, m, vec_col, id_col, dim)
+        .groupBy("nid")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("j"), F.col("code")))
+            ).alias("_c")
+        )
+        .select(
+            "nid", F.transform(F.col("_c"), lambda s: s["code"]).alias("codes")
+        )
+    )
+    index = assigned.select("nid", "list_id").join(codes, "nid")
+    write_bucketed(
+        index,
+        table,
+        bucket_cols=["list_id"],
+        num_buckets=n_lists,
+        sort_cols=["list_id", "nid"],
+        path=path,
+    )
+    cent.write.mode("overwrite").saveAsTable(f"{table}_cent")
+    cb.write.mode("overwrite").saveAsTable(f"{table}_cb")
+
+
+def ann_ivfpq_probe_bucketed(
+    spark: SparkSession,
+    table: str,
+    queries: DataFrame,
+    k: int = 10,
+    n_lists: int = 16,
+    nprobe: int = 4,
+    m: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> tuple[DataFrame, DataFrame]:
+    """Probe a stored IVF-PQ index.
+
+    Returns ``(topk, candidates)`` like :func:`ann_ivf_probe_bucketed`.
+    The per-query ADC lookup tables ride in a broadcast local relation
+    (queries x m x k doubles, bounded by the search contract), and each
+    candidate row's distance is one fold over its byte codes — a pure
+    per-row expression, so the candidate plan reads only the probed
+    buckets and contains NO aggregation and NO corpus shuffle.
+    """
+    from crypto_data_ingestion_module_spark.operators.pq import (
+        _d2,
+        _micro,
+        _subspaces,
+    )
+
+    spark.conf.set(
+        "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false"
+    )
+    inv = read_bucketed(spark, table)
+    cent = spark.table(f"{table}_cent")
+    cb = spark.table(f"{table}_cb")
+
+    q = with_norm(
+        queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")),
+        "qv",
+        exact=True,
+        long_safe=True,
+    ).withColumnRenamed("_norm", "qnorm")
+    probe_rows = _ivf_probe_lists(q, cent, nprobe, True).select(
+        "qid", "list_id"
+    ).collect()
+    if not probe_rows:
+        empty = spark.createDataFrame(
+            [], "qid long, nid long, rank int, adc_d2 double"
+        )
+        return empty, empty
+    probed_ids = sorted({r["list_id"] for r in probe_rows})
+
+    # per-query LUT as a nested array: lut[j+1][code+1] = exact subspace
+    # distance in micro^2 (bounded collect: queries x m x k doubles)
+    qpts = queries.select(
+        F.col(id_col).alias("nid"), _micro(F.col(vec_col)).alias("xu")
+    )
+    sub_dim_row = cb.select(F.size("cv").alias("sd")).first()
+    lut_rows = (
+        _subspaces(qpts, "qid", m, int(sub_dim_row["sd"]))
+        .join(F.broadcast(cb), "j")
+        .select(
+            "qid", "j", "code", _d2(F.col("sv"), F.col("cv")).alias("d2q")
+        )
+        .collect()
+    )
+    luts: dict = {}
+    for r in lut_rows:
+        luts.setdefault(r["qid"], {}).setdefault(r["j"], {})[r["code"]] = r[
+            "d2q"
+        ]
+    probe_local = [
+        (
+            r["qid"],
+            r["list_id"],
+            [
+                [
+                    luts[r["qid"]][j][c]
+                    for c in sorted(luts[r["qid"]][j])
+                ]
+                for j in sorted(luts[r["qid"]])
+            ],
+        )
+        for r in probe_rows
+    ]
+    probes = spark.createDataFrame(
+        probe_local, "qid long, list_id int, lut array<array<double>>"
+    )
+
+    pruned = inv.filter(F.col("list_id").isin(probed_ids))
+    adc = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, j: acc
+        + F.element_at(
+            F.element_at(F.col("lut"), j + 1),
+            F.element_at(F.col("codes"), j + 1) + 1,
+        ),
+    )
+    cand = (
+        F.broadcast(probes)
+        .join(pruned, "list_id")
+        .filter(F.col("qid") != F.col("nid"))
+        .select("qid", "nid", (adc / F.lit(1e12)).alias("adc_d2"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.asc("adc_d2"), F.asc("nid"))
+    topk = (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "nid", "rank", "adc_d2")
+    )
+    return topk, cand

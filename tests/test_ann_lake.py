@@ -74,3 +74,68 @@ def test_bucketed_ivf_probe_empty_queries(spark, tmp_path):
         assert topk.count() == 0
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_bucketed_ivfpq_probe_pruned_no_shuffle_and_exact(spark, tmp_path):
+    """IVF-PQ at rest: the stored-index probe must return exactly what
+    the inline ann_ivfpq_topk composition returns (bit-identical ADC),
+    with a candidate plan that reads only probed buckets, shuffles
+    nothing, and contains no aggregation — per-row LUT folds only."""
+    import uuid as _uuid
+
+    from crypto_data_ingestion_module_spark.operators.pq import (
+        ann_ivfpq_topk,
+    )
+    from crypto_data_ingestion_module_spark.sinks.ann_lake import (
+        ann_ivfpq_probe_bucketed,
+        write_ivfpq_index,
+    )
+    from crypto_data_ingestion_module_spark.sinks.bucketed import (
+        physical_plan,
+    )
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 200 == 0)
+    table = f"ivfpq_test_{_uuid.uuid4().hex[:8]}"
+    n_lists, nprobe, k, m, kc = 16, 4, 10, 8, 16
+
+    write_ivfpq_index(
+        emb,
+        table,
+        n_lists=n_lists,
+        m=m,
+        k_codes=kc,
+        path=str(tmp_path / "ivfpq"),
+    )
+    try:
+        topk, cand = ann_ivfpq_probe_bucketed(
+            spark, table, queries, k=k, n_lists=n_lists, nprobe=nprobe, m=m
+        )
+        # serving contract: bucket-pruned, no corpus shuffle (the one
+        # BroadcastExchange ships the tiny probe/LUT relation), and —
+        # unlike the cosine path — no aggregation at all: ADC is a
+        # per-row fold over the byte codes
+        assert_pruned_no_shuffle_probe(cand, nprobe * queries.count())
+        plan = physical_plan(cand)
+        assert "HashAggregate" not in plan, plan
+
+        want = ann_ivfpq_topk(
+            emb,
+            queries,
+            n_lists=n_lists,
+            nprobe=nprobe,
+            m=m,
+            k_codes=kc,
+            topk=k,
+        )
+        a = sorted(
+            (r.qid, r.nid, r.rank, _bits(r.adc_d2)) for r in topk.collect()
+        )
+        b = sorted(
+            (r.qid, r.nid, r.rank, _bits(r.adc_d2)) for r in want.collect()
+        )
+        assert a == b
+        assert len(a) > 0
+    finally:
+        for t in (table, f"{table}_cent", f"{table}_cb"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
