@@ -344,7 +344,7 @@ SELECT source,
        (CAST(SUM(CAST(round(({q}) * 1000000.0) AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0)
          / CAST(count(*) AS DOUBLE) AS mean_quality,
        count(CASE WHEN lang = 'en' THEN 1 END) AS n_en,
-       SUM(n_chars) AS total_chars
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
 FROM documents
 GROUP BY source
 """

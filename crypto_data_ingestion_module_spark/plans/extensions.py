@@ -2068,7 +2068,8 @@ def _bpe_oracle(n: int) -> str:
     for i in range(n):
         parts.append(
             """p{i} AS (
-  SELECT pr[1] AS lhs, pr[2] AS rhs, SUM(wc) AS pair_count FROM (
+  SELECT pr[1] AS lhs, pr[2] AS rhs,
+         CAST(SUM(wc) AS BIGINT) AS pair_count FROM (
     SELECT wc, unnest(list_zip(s[1:len(s)-1], s[2:len(s)])) AS pr
     FROM (SELECT wc, string_split(trim(w), ' ') AS s FROM words{i})
     WHERE len(s) >= 2
@@ -2117,7 +2118,7 @@ def _bpe_vocab_oracle(n: int) -> str:
     return (
         chain
         + f"""
-SELECT symbol, SUM(wc) AS n_tokens FROM (
+SELECT symbol, CAST(SUM(wc) AS BIGINT) AS n_tokens FROM (
   SELECT wc, unnest(string_split(trim(w), ' ')) AS symbol FROM words{n}
 ) GROUP BY symbol
 """

@@ -398,8 +398,8 @@ SELECT strftime(ts, '%Y-%m-%d') AS day,
 FROM events GROUP BY day
 """.format(
             cols=",\n       ".join(
-                f"SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END)"
-                f" AS n_{t}"
+                f"CAST(SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0"
+                f" END) AS BIGINT) AS n_{t}"
                 for t in _TYPES
             )
         ),
@@ -578,7 +578,7 @@ SELECT 'lineitem_orphan_orderkey' AS rule,
                           WHERE o.o_orderkey = l.l_orderkey)) AS violations
 UNION ALL
 SELECT 'lineitem_duplicate_linenumber',
-       (SELECT coalesce(SUM(c - 1), 0) FROM (
+       (SELECT CAST(coalesce(SUM(c - 1), 0) AS BIGINT) FROM (
           SELECT count(*) AS c FROM lineitem
           GROUP BY l_orderkey, l_linenumber HAVING count(*) > 1))
 UNION ALL

@@ -410,7 +410,8 @@ SELECT event_type,
        max(CASE WHEN peak > 0 THEN (peak - value) / peak ELSE 0.0 END)
          AS max_drawdown,
        max(peak) AS all_time_high,
-       sum(CASE WHEN value = peak THEN 1 ELSE 0 END) AS n_new_highs
+       CAST(sum(CASE WHEN value = peak THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_new_highs
 FROM p
 GROUP BY event_type
 """,
@@ -623,9 +624,9 @@ WITH d AS (
   FROM s
 )
 SELECT {obucket('ts', 3_600_000)} AS bucket_start, event_type,
-       sum(sgn) AS net_flow,
-       sum(CASE WHEN sgn > 0 THEN 1 ELSE 0 END) AS n_buys,
-       sum(CASE WHEN sgn < 0 THEN 1 ELSE 0 END) AS n_sells
+       CAST(sum(sgn) AS BIGINT) AS net_flow,
+       CAST(sum(CASE WHEN sgn > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_buys,
+       CAST(sum(CASE WHEN sgn < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_sells
 FROM c
 GROUP BY bucket_start, event_type
 """,
@@ -1022,17 +1023,17 @@ WITH dedup AS (
   WINDOW w AS (PARTITION BY event_type ORDER BY bucket_ts)
 )
 SELECT event_type,
-  SUM(CASE WHEN abs(close - open) * 10.0 <= high - low
-           THEN 1 ELSE 0 END) AS n_doji,
-  SUM(CASE WHEN p_close IS NOT NULL AND p_close < p_open
+  CAST(SUM(CASE WHEN abs(close - open) * 10.0 <= high - low
+           THEN 1 ELSE 0 END) AS BIGINT) AS n_doji,
+  CAST(SUM(CASE WHEN p_close IS NOT NULL AND p_close < p_open
             AND close > open AND open <= p_close AND close >= p_open
-           THEN 1 ELSE 0 END) AS n_bull_engulf,
-  SUM(CASE WHEN p_close IS NOT NULL AND p_close > p_open
+           THEN 1 ELSE 0 END) AS BIGINT) AS n_bull_engulf,
+  CAST(SUM(CASE WHEN p_close IS NOT NULL AND p_close > p_open
             AND close < open AND open >= p_close AND close <= p_open
-           THEN 1 ELSE 0 END) AS n_bear_engulf,
-  SUM(CASE WHEN least(open, close) - low >= 2.0 * abs(close - open)
+           THEN 1 ELSE 0 END) AS BIGINT) AS n_bear_engulf,
+  CAST(SUM(CASE WHEN least(open, close) - low >= 2.0 * abs(close - open)
             AND high - greatest(open, close) <= abs(close - open)
-           THEN 1 ELSE 0 END) AS n_hammer,
+           THEN 1 ELSE 0 END) AS BIGINT) AS n_hammer,
   count(*) AS n_candles
 FROM lagged GROUP BY event_type
 """,

@@ -55,6 +55,16 @@ def compare_frames(spark_df: pd.DataFrame, oracle_df: pd.DataFrame, name: str) -
     )
     a, b = _canon(spark_df), _canon(oracle_df)
     for c in a.columns:
+        # The driver hashes TYPED values: an int64 Spark column whose
+        # oracle twin arrives float64 (DuckDB HUGEINT -> pandas float)
+        # would compare 7 == 7.0 here yet hash-mismatch at the driver.
+        # Fail hard on any canonical dtype-family divergence.
+        assert a[c].dtype == b[c].dtype, (
+            f"{name}.{c}: canonical dtype mismatch spark={a[c].dtype} "
+            f"oracle={b[c].dtype} — likely a DuckDB HUGEINT/float leak; "
+            "CAST the oracle output (e.g. AS BIGINT) to match Spark"
+        )
+    for c in a.columns:
         if a[c].dtype == "float64":
             aa, bb = a[c].to_numpy(), b[c].to_numpy()
             both_nan = np.isnan(aa) & np.isnan(bb)
