@@ -27,8 +27,18 @@ def test_curated_from_lake_equals_inline(spark, tmp_path):
     from_lake = {
         tuple(r) for r in curated_corpus(docs, clusters).collect()
     }
+    # the registered query IS the lake path now; the inline CC twin is
+    # the independent recomputation both must equal
+    from crypto_data_ingestion_module_spark.plans.extensions import (
+        _curated_q_inline,
+    )
+
     inline = {
+        tuple(r) for r in _curated_q_inline(spark, SF_SMALL).collect()
+    }
+    registered = {
         tuple(r)
         for r in QUERY_SPECS["curated_corpus"].spark(spark, SF_SMALL).collect()
     }
     assert from_lake == inline
+    assert registered == inline
