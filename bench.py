@@ -86,6 +86,7 @@ def main() -> None:
     headline = {n: run(n) for n in HEADLINE if n in QUERY_SPECS}
 
     total = round(sum(timings.values()), 4)
+    # Full detail first (local profiling / PERF.md source material) …
     print(
         json.dumps(
             {
@@ -93,8 +94,24 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "headline": headline,
-                "headline_total": round(sum(headline.values()), 4),
+                "sf": _sf_from_dir(SF_DIR),
+            }
+        )
+    )
+    # … then the LAST line is compact enough (<2000 chars) to survive the
+    # round-driver's output-tail window and parse: the settled-JVM
+    # headline block is the one attributable cross-round signal (in-sweep
+    # per-query times can inflate 3-10x from GC/codegen interference and
+    # are recorded above, not here).
+    print(
+        json.dumps(
+            {
+                "metric": "headline_settled_wall_clock",
+                "value": round(sum(headline.values()), 4),
+                "unit": "sec",
+                "queries": headline,
+                "sweep_total_sec": total,
+                "sweep_n_queries": len(timings),
                 "sf": _sf_from_dir(SF_DIR),
             }
         )
