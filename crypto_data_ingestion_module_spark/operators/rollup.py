@@ -158,6 +158,75 @@ def read_rollup(spark: SparkSession, lake_root: str) -> DataFrame:
     return spark.read.parquet(os.path.join(lake_root, "partials"))
 
 
+def maintain_rollup_snapshot(
+    spark: SparkSession,
+    batch: DataFrame,
+    lake_root: str,
+    interval_ms: int,
+    batch_id: str | int,
+    keys: Sequence[str] = ("event_type",),
+    ts_col: str = "ts",
+    price_col: str = "value",
+    volume_col: str | None = None,
+    tiebreak_col: str = "event_id",
+) -> int:
+    """Rollup maintenance over the SNAPSHOT lake — the unified-lake twin
+    of :func:`maintain_rollup` (VERDICT r4 item 5).
+
+    Same algebra (partial-agg the batch, re-merge only the touched date
+    partitions), but durability and replay come from the snapshot
+    manifest instead of marker files + directory renames:
+
+    * the touched dates' stored partials are read through the manifest
+      (file-pruned, never a full-lake scan),
+    * the commit is ONE atomic manifest swap — there is no per-date
+      partial-application window at all (the marker design could apply
+      some dates and crash before others; here a crash before commit
+      applies nothing and replay redoes everything),
+    * replay idempotence is the manifest's ``applied_ids`` ledger: a
+      re-delivered ``batch_id`` is a no-op without reading any data,
+    * concurrent maintainers get optimistic retry + snapshot-isolated
+      readers for free.
+
+    Returns the committed snapshot version.
+    """
+    from crypto_data_ingestion_module_spark.sinks.snapshot import (
+        snapshot_merge_partitions,
+    )
+
+    new = candle_partials(
+        batch, interval_ms, keys, ts_col, price_col, volume_col, tiebreak_col
+    ).withColumn("date", F.date_format("bucket_ts", "yyyyMMdd"))
+
+    def _merge(current: DataFrame | None, incoming: DataFrame) -> DataFrame:
+        if current is None:
+            return incoming
+        return merge_partials(
+            current.drop("date").unionByName(incoming.drop("date")),
+            keys,
+        ).withColumn("date", F.date_format("bucket_ts", "yyyyMMdd"))
+
+    return snapshot_merge_partitions(
+        spark,
+        lake_root,
+        new,
+        _merge,
+        partition_cols=("date",),
+        applied_id=f"rollup-{batch_id}",
+        ts_col="bucket_ts",
+    )
+
+
+def read_rollup_snapshot(
+    spark: SparkSession, lake_root: str, version: int | None = None
+) -> DataFrame:
+    from crypto_data_ingestion_module_spark.sinks.snapshot import (
+        read_snapshot,
+    )
+
+    return read_snapshot(spark, lake_root, version, ts_col="bucket_ts")
+
+
 def _fs(spark: SparkSession, path_str: str):
     """(Path class, FileSystem) via the Hadoop FS API — the lake root may
     be any Hadoop-supported filesystem, not just local."""

@@ -101,6 +101,7 @@ def backfill(
     lake_root: str,
     pacing: dict[str, float] | None = None,
     normalizer=normalize_mock_pages,
+    backend: str = "snapshot",
 ) -> tuple[DataFrame, DataFrame]:
     """Historical backfill: manifest → distributed fetch → canonical
     candles → keep-last MERGE into the lake.
@@ -108,6 +109,11 @@ def backfill(
     Returns (progress, quarantine): the per-(symbol, interval, exchange)
     max collected timestamp (the reference's ``last_collected_ts`` state,
     500-512/652) and the failed-task side channel.
+
+    ``backend="snapshot"`` (default) lands the merge as one
+    snapshot-isolated commit (``sinks.snapshot``) — concurrent readers
+    never see a half-applied backfill; ``"swap"`` keeps the plain
+    directory layout for external parquet scanners.
 
     ``normalizer`` must match the adapter's page layout: the mock layout
     for :class:`MockExchangeAdapter`, ``normalize_real_pages`` for real
@@ -119,13 +125,25 @@ def backfill(
     # (max existing + 1) arrival order, so a re-fetch of the same range
     # strictly supersedes prior data and corrections always win
     candles = normalizer(raw).drop("_ingest_seq")
-    upsert_lake(spark, candles, lake_root)
+    if backend == "snapshot":
+        from crypto_data_ingestion_module_spark.sinks.snapshot import (
+            read_snapshot,
+            snapshot_upsert,
+        )
 
-    from crypto_data_ingestion_module_spark.sinks.parquet_lake import read_lake
+        snapshot_upsert(spark, candles, lake_root)
+        lake = read_snapshot(spark, lake_root)
+    else:
+        upsert_lake(spark, candles, lake_root)
+
+        from crypto_data_ingestion_module_spark.sinks.parquet_lake import (
+            read_lake,
+        )
+
+        lake = read_lake(spark, lake_root)
 
     progress = (
-        read_lake(spark, lake_root)
-        .groupBy("symbol", "interval", "exchange")
+        lake.groupBy("symbol", "interval", "exchange")
         .agg(
             F.max("timestamp").alias("last_collected_ts"),
             F.count(F.lit(1)).alias("n_candles"),

@@ -384,11 +384,72 @@ def read_snapshot(
     return df
 
 
+def _conform(df: DataFrame, schema) -> DataFrame:
+    """Project ``df`` onto ``schema`` (a StructType): present columns pass
+    through, absent ones read typed NULL — how an evolved lake serves old
+    files without rewriting them."""
+    cols = []
+    for f in schema.fields:
+        if f.name in df.columns:
+            cols.append(F.col(f.name))
+        else:
+            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+    return df.select(*cols)
+
+
+def _manifest_schema(spark: SparkSession, root: str, manifest: dict, version: int):
+    """The snapshot's table schema: manifest-stored (the Delta-style
+    answer — zero footer reads at any file count) with a legacy fallback
+    that derives it from the files once."""
+    from pyspark.sql import types as T
+
+    if manifest.get("schema"):
+        return T.StructType.fromJson(manifest["schema"])
+    return _read_files(
+        spark, root, snapshot_files(spark, root, version)
+    ).schema
+
+
+def _read_touched(
+    spark: SparkSession,
+    root: str,
+    manifest: dict,
+    touched_keys: set[str],
+    schema,
+) -> DataFrame:
+    """Manifest-pruned read: ONLY the files of the touched partitions —
+    the upsert's input never scales with snapshot size, only with the
+    partitions the batch lands in.  Conformed to the table schema so
+    pre-evolution files union cleanly."""
+    files = [
+        f
+        for part, fl in manifest["partitions"].items()
+        if part in touched_keys
+        for f in fl
+    ]
+    if not files:
+        return _conform(
+            spark.createDataFrame([], schema), schema
+        )
+    return _conform(_read_files(spark, root, sorted(files)), schema)
+
+
+def _stats_for(
+    spark: SparkSession, root: str, files: list[str], df: DataFrame, ts_col: str
+) -> dict:
+    return (
+        _file_time_stats(spark, root, files, ts_col=ts_col)
+        if ts_col in df.columns
+        else {}
+    )
+
+
 def init_snapshot_lake(
     spark: SparkSession,
     df: DataFrame,
     root: str,
     partition_cols: Sequence[str] = PARTITION_COLS,
+    applied_id: str | None = None,
 ) -> int:
     """Bootstrap version 1 from an initial batch."""
     df = _with_date(df)
@@ -398,6 +459,7 @@ def init_snapshot_lake(
     parts: dict[str, list[str]] = {}
     for f in files:
         parts.setdefault(_partition_of(f, partition_cols), []).append(f)
+    seq_max = df.agg(F.max(INGEST_SEQ).alias("m")).first()["m"]
     commit_version(
         spark,
         root,
@@ -405,10 +467,195 @@ def init_snapshot_lake(
             "version": 1,
             "partitions": parts,
             "file_stats": _file_time_stats(spark, root, files),
+            "schema": df.schema.jsonValue(),
+            "applied_ids": [applied_id] if applied_id else [],
+            "max_ingest_seq": int(seq_max or 0),
         },
         1,
     )
     return 1
+
+
+def snapshot_merge_partitions(
+    spark: SparkSession,
+    root: str,
+    incoming: DataFrame,
+    merge_fn,
+    partition_cols: Sequence[str],
+    applied_id: str | None = None,
+    ts_col: str = "timestamp",
+    retries: int = 2,
+) -> int:
+    """Generic partition-granular transaction: replace the partitions
+    ``incoming`` touches with ``merge_fn(current_touched, incoming)``.
+
+    The building block the keep-last upsert, the rollup's partial-candle
+    merge, and the streaming pair log all share:
+
+    * **Pruned input** — ``current_touched`` reads ONLY the touched
+      partitions' files, resolved through the manifest (no directory
+      listing, no full-snapshot scan).
+    * **Replay idempotence** — pass a stable ``applied_id`` per logical
+      batch; a manifest already listing it skips the whole transaction
+      (the Delta-txn pattern), so at-least-once delivery commits
+      exactly once.
+    * **Snapshot isolation + optimistic retry** — same commit protocol
+      as :func:`snapshot_upsert`; losing a version race recomputes
+      against the new snapshot.
+
+    ``merge_fn(current: DataFrame | None, incoming) -> DataFrame``
+    receives None when the lake doesn't exist yet (bootstrap).  Its
+    result must carry the partition columns.
+    """
+    last: RuntimeError | None = None
+    for _ in range(retries + 1):
+        try:
+            return _snapshot_merge_once(
+                spark, root, incoming, merge_fn, partition_cols,
+                applied_id, ts_col,
+            )
+        except RuntimeError as e:
+            if "already committed" not in str(e):
+                raise
+            last = e
+    raise last
+
+
+def _snapshot_merge_once(
+    spark: SparkSession,
+    root: str,
+    incoming: DataFrame,
+    merge_fn,
+    partition_cols: Sequence[str],
+    applied_id: str | None,
+    ts_col: str,
+) -> int:
+    v = current_version(spark, root)
+    if v is None:
+        merged = merge_fn(None, incoming)
+        files = _write_data_files(spark, merged, root, partition_cols)
+        parts: dict[str, list[str]] = {}
+        for f in files:
+            parts.setdefault(_partition_of(f, partition_cols), []).append(f)
+        commit_version(
+            spark,
+            root,
+            {
+                "version": 1,
+                "partitions": parts,
+                "file_stats": _stats_for(spark, root, files, merged, ts_col),
+                "schema": merged.schema.jsonValue(),
+                "applied_ids": [applied_id] if applied_id else [],
+            },
+            1,
+        )
+        return 1
+    manifest = read_manifest(spark, root, v)
+    if applied_id is not None and applied_id in manifest.get("applied_ids", []):
+        return v
+
+    touched_keys = {
+        "/".join(f"{c}={r[c]}" for c in partition_cols)
+        for r in incoming.select(*partition_cols).distinct().collect()
+    }
+    schema = _manifest_schema(spark, root, manifest, v)
+    current_touched = _read_touched(spark, root, manifest, touched_keys, schema)
+    merged = merge_fn(current_touched, incoming)
+    new_files = _write_data_files(spark, merged, root, partition_cols)
+
+    parts = {
+        k: fl
+        for k, fl in manifest["partitions"].items()
+        if k not in touched_keys
+    }
+    kept = {f for fl in parts.values() for f in fl}
+    for f in new_files:
+        parts.setdefault(_partition_of(f, partition_cols), []).append(f)
+    stats = {
+        f: st
+        for f, st in manifest.get("file_stats", {}).items()
+        if f in kept
+    }
+    stats.update(_stats_for(spark, root, new_files, merged, ts_col))
+    applied = set(manifest.get("applied_ids", []))
+    if applied_id is not None:
+        applied.add(applied_id)
+    new_manifest = {
+        "version": v + 1,
+        "partitions": parts,
+        "file_stats": stats,
+        "schema": merged.schema.jsonValue(),
+        "applied_ids": sorted(applied),
+    }
+    if manifest.get("max_ingest_seq") is not None:
+        new_manifest["max_ingest_seq"] = manifest["max_ingest_seq"]
+    commit_version(spark, root, new_manifest, v + 1)
+    return v + 1
+
+
+def snapshot_append(
+    spark: SparkSession,
+    root: str,
+    df: DataFrame,
+    partition_cols: Sequence[str],
+    applied_id: str | None = None,
+    ts_col: str = "timestamp",
+    retries: int = 2,
+) -> int:
+    """Append-only snapshot commit: add ``df``'s files to their
+    partitions without replacing anything — the discipline for immutable
+    facts (fingerprint band rows).  With ``applied_id``, a replayed
+    batch appends NOTHING instead of relying on downstream dedup."""
+    last: RuntimeError | None = None
+    for _ in range(retries + 1):
+        try:
+            return _snapshot_append_once(
+                spark, root, df, partition_cols, applied_id, ts_col
+            )
+        except RuntimeError as e:
+            if "already committed" not in str(e):
+                raise
+            last = e
+    raise last
+
+
+def _snapshot_append_once(
+    spark: SparkSession,
+    root: str,
+    df: DataFrame,
+    partition_cols: Sequence[str],
+    applied_id: str | None,
+    ts_col: str,
+) -> int:
+    v = current_version(spark, root)
+    if v is None:
+        return _snapshot_merge_once(
+            spark, root, df, lambda cur, inc: inc, partition_cols,
+            applied_id, ts_col,
+        )
+    manifest = read_manifest(spark, root, v)
+    if applied_id is not None and applied_id in manifest.get("applied_ids", []):
+        return v
+    new_files = _write_data_files(spark, df, root, partition_cols)
+    parts = {k: list(fl) for k, fl in manifest["partitions"].items()}
+    for f in new_files:
+        parts.setdefault(_partition_of(f, partition_cols), []).append(f)
+    stats = dict(manifest.get("file_stats", {}))
+    stats.update(_stats_for(spark, root, new_files, df, ts_col))
+    applied = set(manifest.get("applied_ids", []))
+    if applied_id is not None:
+        applied.add(applied_id)
+    new_manifest = {
+        "version": v + 1,
+        "partitions": parts,
+        "file_stats": stats,
+        "schema": manifest.get("schema") or df.schema.jsonValue(),
+        "applied_ids": sorted(applied),
+    }
+    if manifest.get("max_ingest_seq") is not None:
+        new_manifest["max_ingest_seq"] = manifest["max_ingest_seq"]
+    commit_version(spark, root, new_manifest, v + 1)
+    return v + 1
 
 
 def snapshot_upsert(
@@ -419,6 +666,7 @@ def snapshot_upsert(
     partition_cols: Sequence[str] = PARTITION_COLS,
     batch_seq: int | None = None,
     retries: int = 2,
+    applied_id: str | None = None,
 ) -> int:
     """Keep-last MERGE with snapshot isolation and optimistic retry.
 
@@ -427,12 +675,18 @@ def snapshot_upsert(
     recomputed against the NEW current snapshot (its orphaned data
     files become vacuum-able garbage, the live lake is untouched) —
     standard optimistic concurrency control, up to ``retries`` times.
+
+    ``applied_id``: a stable per-logical-batch id (streaming micro-batch
+    id, backfill run id).  A manifest already listing it makes the call
+    a no-op — exactly-once commits under at-least-once delivery, without
+    leaning on keep-last coincidence.
     """
     last: RuntimeError | None = None
     for _ in range(retries + 1):
         try:
             return _snapshot_upsert_once(
-                spark, incoming, root, key_cols, partition_cols, batch_seq
+                spark, incoming, root, key_cols, partition_cols, batch_seq,
+                applied_id,
             )
         except RuntimeError as e:
             if "already committed" not in str(e):
@@ -448,67 +702,78 @@ def _snapshot_upsert_once(
     key_cols: Sequence[str] = LOGICAL_KEY,
     partition_cols: Sequence[str] = PARTITION_COLS,
     batch_seq: int | None = None,
+    applied_id: str | None = None,
 ) -> int:
     """One optimistic attempt of the keep-last MERGE.
 
-    Reads the CURRENT snapshot's touched partitions (through the
-    manifest, so a concurrent writer can't skew the input), merges with
-    the batch, writes the result as new immutable files, and commits a
-    new manifest that swaps only the touched partitions' entries.  A
-    crash before ``commit_version`` leaves unreferenced data files
-    (garbage, collected by ``vacuum``) and an unchanged live snapshot.
-    Returns the committed version.
+    Reads ONLY the current snapshot's touched partitions — the file list
+    comes from the manifest (``_read_touched``), so the merge input is
+    bounded by the partitions the batch lands in, never snapshot size.
+    The table schema and the arrival-order high-water mark are manifest
+    fields too (``schema``, ``max_ingest_seq``) — no footer reads, no
+    full-lake aggregate on the hot path (legacy manifests without them
+    fall back to one full read).  A crash before ``commit_version``
+    leaves unreferenced data files (garbage, collected by ``vacuum``)
+    and an unchanged live snapshot.  Returns the committed version.
     """
+    from pyspark.sql import types as T
+
     v = current_version(spark, root)
     if v is None:
-        return init_snapshot_lake(spark, incoming, root, partition_cols)
+        return init_snapshot_lake(
+            spark, incoming, root, partition_cols, applied_id=applied_id
+        )
     manifest = read_manifest(spark, root, v)
+    if applied_id is not None and applied_id in manifest.get("applied_ids", []):
+        return v
 
     incoming = _with_date(incoming)
-    current = read_snapshot(spark, root, v)
+    cur_schema = _manifest_schema(spark, root, manifest, v)
     if batch_seq is None:
-        row = current.agg(F.max(INGEST_SEQ).alias("m")).first()
-        batch_seq = int(row["m"] or 0) + 1
-    if INGEST_SEQ not in incoming.columns:
+        if manifest.get("max_ingest_seq") is not None:
+            batch_seq = int(manifest["max_ingest_seq"]) + 1
+        else:
+            row = (
+                read_snapshot(spark, root, v)
+                .agg(F.max(INGEST_SEQ).alias("m"))
+                .first()
+            )
+            batch_seq = int(row["m"] or 0) + 1
+    incoming_had_seq = INGEST_SEQ in incoming.columns
+    if not incoming_had_seq:
         incoming = incoming.withColumn(
             INGEST_SEQ, F.lit(batch_seq).cast("long")
         )
-
-    touched = [
-        tuple(r)
-        for r in incoming.select(*partition_cols).distinct().collect()
-    ]
-    touched_keys = {
-        "/".join(f"{c}={v_}" for c, v_ in zip(partition_cols, t))
-        for t in touched
-    }
-    pred = F.lit(False)
-    for t in touched:
-        clause = F.lit(True)
-        for c, v_ in zip(partition_cols, t):
-            clause = clause & (F.col(c) == F.lit(v_))
-        pred = pred | clause
 
     # Schema evolution, additive-only: a batch carrying NEW columns
     # widens the table (pre-existing rows read NULL there) instead of
     # silently dropping the data; a batch MISSING known columns writes
     # NULL for them.  Dropping or retyping a column is refused — that is
     # a migration, not an upsert.
-    for c, dt_ in incoming.dtypes:
-        if c in current.columns:
-            cur_dt = dict(current.dtypes)[c]
-            if cur_dt != dt_:
-                raise TypeError(
-                    f"column {c!r} arrives as {dt_} but the lake stores "
-                    f"{cur_dt}: type changes need an explicit migration"
-                )
-    evolved_cols = list(current.columns) + [
-        c for c in incoming.columns if c not in current.columns
-    ]
+    cur_types = {f.name: f.dataType for f in cur_schema.fields}
+    for f in incoming.schema.fields:
+        if f.name in cur_types and cur_types[f.name] != f.dataType:
+            raise TypeError(
+                f"column {f.name!r} arrives as {f.dataType.simpleString()} "
+                f"but the lake stores {cur_types[f.name].simpleString()}: "
+                "type changes need an explicit migration"
+            )
+    evolved = T.StructType(
+        list(cur_schema.fields)
+        + [f for f in incoming.schema.fields if f.name not in cur_types]
+    )
+
+    touched_keys = {
+        "/".join(f"{c}={r[c]}" for c in partition_cols)
+        for r in incoming.select(*partition_cols).distinct().collect()
+    }
+    current_touched = _read_touched(
+        spark, root, manifest, touched_keys, cur_schema
+    )
     merged = dedup_keep_last(
-        current.unionByName(incoming, allowMissingColumns=True)
-        .filter(pred)
-        .select(*evolved_cols),
+        _conform(current_touched, evolved).unionByName(
+            _conform(incoming, evolved)
+        ),
         keys=list(key_cols),
         order_col=INGEST_SEQ,
     )
@@ -528,10 +793,27 @@ def _snapshot_upsert_once(
         if f in kept
     }
     stats.update(_file_time_stats(spark, root, new_files))
+    if incoming_had_seq:
+        row = incoming.agg(F.max(INGEST_SEQ).alias("m")).first()
+        seq_now = int(row["m"] or 0)
+    else:
+        seq_now = batch_seq
+    applied = set(manifest.get("applied_ids", []))
+    if applied_id is not None:
+        applied.add(applied_id)
     commit_version(
         spark,
         root,
-        {"version": v + 1, "partitions": parts, "file_stats": stats},
+        {
+            "version": v + 1,
+            "partitions": parts,
+            "file_stats": stats,
+            "schema": evolved.jsonValue(),
+            "applied_ids": sorted(applied),
+            "max_ingest_seq": max(
+                int(manifest.get("max_ingest_seq") or 0), seq_now
+            ),
+        },
         v + 1,
     )
     return v + 1
@@ -585,10 +867,22 @@ def compact_snapshot(
     commit_version(
         spark,
         root,
-        {"version": v + 1, "partitions": parts, "file_stats": stats},
+        _carry_extras(
+            manifest,
+            {"version": v + 1, "partitions": parts, "file_stats": stats},
+        ),
         v + 1,
     )
     return v + 1
+
+
+def _carry_extras(manifest: dict, new_manifest: dict) -> dict:
+    """Layout-only commits (compact, zorder) must not lose the logical
+    manifest state: table schema, replay ledger, arrival high-water."""
+    for k in ("schema", "applied_ids", "max_ingest_seq"):
+        if manifest.get(k) is not None:
+            new_manifest.setdefault(k, manifest[k])
+    return new_manifest
 
 
 def optimize_snapshot_zorder(
@@ -671,7 +965,10 @@ def _optimize_zorder_once(
     commit_version(
         spark,
         root,
-        {"version": v + 1, "partitions": parts, "file_stats": stats},
+        _carry_extras(
+            manifest,
+            {"version": v + 1, "partitions": parts, "file_stats": stats},
+        ),
         v + 1,
     )
     return v + 1

@@ -42,21 +42,34 @@ def stream_dedup_ingest(
     text_col: str = "text",
     id_col: str = "doc_id",
     available_now: bool = True,
+    backend: str = "snapshot",
 ) -> StreamingQuery:
     """Start the streaming dedup ingestion.
 
     ``lake_root`` gains two tables: ``fingerprints/`` (banded MinHash
-    index, append-only) and ``pairs/`` (near-dup pair log, partitioned
-    by micro-batch id so a replayed batch OVERWRITES its own partition
-    instead of duplicating pairs — dynamic partition overwrite is set
-    session-wide by ``session.configure``).
+    index, append-only, partitioned by band) and ``pairs/`` (near-dup
+    pair log, partitioned by micro-batch id so a replayed batch replaces
+    ONLY its own partition).
+
+    ``backend="snapshot"`` (default, VERDICT r4 item 5): both tables are
+    snapshot lakes.  The micro-batch id is the ``applied_id`` of both
+    commits, so a checkpoint replay appends NO duplicate band rows and
+    recommits NO pair partition — the candidate join no longer needs to
+    absorb replay garbage; readers get isolation.  Crash between the two
+    commits is safe: the pair recomputation against an index already
+    holding the batch's bands yields the identical pair set (banding is
+    order-independent; ``dropDuplicates`` collapses the double match).
+    ``backend="swap"`` keeps the plain append + dynamic-overwrite layout.
     """
+    import hashlib
+
     index_path = os.path.join(lake_root, INDEX_SUBDIR)
     pairs_path = os.path.join(lake_root, PAIRS_SUBDIR)
+    # stream-scoped ledger ids: a fresh checkpoint restarts batch ids at
+    # 0 with different data — the checkpoint identity must scope them
+    qid = hashlib.md5(checkpoint.encode()).hexdigest()[:12]
 
-    def _sink(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
+    def _sink_swap(batch_df: DataFrame, batch_id: int) -> None:
         pairs = ingest_batch(
             batch_df.sparkSession,
             index_path,
@@ -79,6 +92,57 @@ def stream_dedup_ingest(
             .parquet(pairs_path)
         )
 
+    def _sink_snapshot(batch_df: DataFrame, batch_id: int) -> None:
+        from crypto_data_ingestion_module_spark.operators.incremental import (
+            incremental_near_dup,
+        )
+        from crypto_data_ingestion_module_spark.sinks.snapshot import (
+            read_snapshot,
+            snapshot_append,
+            snapshot_merge_partitions,
+        )
+
+        sess = batch_df.sparkSession
+        try:
+            index = read_snapshot(sess, index_path)
+        except FileNotFoundError:
+            index = None
+        pairs, new_bands = incremental_near_dup(
+            batch_df, index, num_hashes, bands, shingle_n, text_col, id_col
+        )
+        # force the pair plan before the index gains the batch's bands —
+        # afterwards the lazy join would double-see them
+        pairs = pairs.localCheckpoint(eager=True)
+        snapshot_append(
+            sess,
+            index_path,
+            new_bands,
+            partition_cols=("band",),
+            applied_id=f"bands-{qid}-{batch_id}",
+            ts_col="_no_ts",
+        )
+        snapshot_merge_partitions(
+            sess,
+            pairs_path,
+            pairs.withColumn("stream_id", F.lit(qid)).withColumn(
+                "batch_id", F.lit(batch_id)
+            ),
+            lambda cur, inc: inc,  # replace: the batch OWNS its partition
+            # ownership key is (stream, batch): a different stream's
+            # batch 0 must never replace this stream's batch 0
+            partition_cols=("stream_id", "batch_id"),
+            applied_id=f"pairs-{qid}-{batch_id}",
+            ts_col="_no_ts",
+        )
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        if backend == "snapshot":
+            _sink_snapshot(batch_df, batch_id)
+        else:
+            _sink_swap(batch_df, batch_id)
+
     writer = source.writeStream.foreachBatch(_sink).option(
         "checkpointLocation", checkpoint
     )
@@ -87,9 +151,22 @@ def stream_dedup_ingest(
     return writer.start()
 
 
+def _read_table(spark: SparkSession, path: str) -> DataFrame:
+    """Snapshot-aware read: resolve through the version log when one
+    exists (the default backend), else plain directory scan (swap)."""
+    from crypto_data_ingestion_module_spark.sinks.snapshot import (
+        current_version,
+        read_snapshot,
+    )
+
+    if current_version(spark, path) is not None:
+        return read_snapshot(spark, path)
+    return spark.read.parquet(path)
+
+
 def read_pair_log(spark: SparkSession, lake_root: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(lake_root, PAIRS_SUBDIR))
+    return _read_table(spark, os.path.join(lake_root, PAIRS_SUBDIR))
 
 
 def read_fingerprint_index(spark: SparkSession, lake_root: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(lake_root, INDEX_SUBDIR))
+    return _read_table(spark, os.path.join(lake_root, INDEX_SUBDIR))

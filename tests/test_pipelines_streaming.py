@@ -11,7 +11,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from crypto_data_ingestion_module_spark.pipelines import backfill
-from crypto_data_ingestion_module_spark.sinks.parquet_lake import read_lake
+from crypto_data_ingestion_module_spark.sinks.snapshot import read_snapshot
 from crypto_data_ingestion_module_spark.sources.fetch import MockExchangeAdapter
 from crypto_data_ingestion_module_spark.streaming.live import (
     live_collection_stream,
@@ -115,7 +115,7 @@ def test_stream_upsert_idempotent_replay(spark, tmp_path):
     stream = spark.readStream.schema(_CANDLE_SCHEMA_DDL).parquet(src)
     q = stream_upsert_to_lake(spark, stream, lake, ckpt, available_now=True)
     q.awaitTermination(120)
-    assert read_lake(spark, lake).count() == 2
+    assert read_snapshot(spark, lake).count() == 2
 
     # second file: corrects t0, adds t2 — incremental batch via checkpoint
     t2 = dt.datetime(2024, 1, 1, 0, 30)
@@ -125,7 +125,7 @@ def test_stream_upsert_idempotent_replay(spark, tmp_path):
     q = stream_upsert_to_lake(spark, stream, lake, ckpt, available_now=True)
     q.awaitTermination(120)
 
-    got = {r.timestamp: r.open for r in read_lake(spark, lake).collect()}
+    got = {r.timestamp: r.open for r in read_snapshot(spark, lake).collect()}
     assert got == {t0: 500.0, t1: 100.0, t2: 500.0}
 
 
@@ -180,7 +180,7 @@ def test_live_collection_cycle(spark, tmp_path):
     q.awaitTermination(180)
     lakefiles = glob.glob(os.path.join(lake, "**", "*.parquet"), recursive=True)
     assert lakefiles, "live cycle wrote nothing"
-    got = read_lake(spark, lake)
+    got = read_snapshot(spark, lake)
     ivls = {r.interval for r in got.select("interval").distinct().collect()}
     assert ivls == {"15m", "1h"}  # 1d gated off away from midnight
     # each (interval, exchange): exactly the one cycle's candle(s)
@@ -503,7 +503,7 @@ def test_spread_stream_merges_to_lake(spark, tmp_path):
         )
         q.awaitTermination(120)
 
-    out = read_lake(spark, lake)
+    out = read_snapshot(spark, lake)
     got = {r.timestamp: (r.exchange, r.spread) for r in out.collect()}
     assert got == {
         t0: ("coinbase|kucoin", -50.0),

@@ -486,3 +486,129 @@ def test_optimize_zorder_retries_lost_race(spark, tmp_path, monkeypatch):
     assert v == 3  # upsert took 2, the optimize retried into 3
     got = _state(read_snapshot(spark, root))
     assert any(ts == T1 and o == 555.0 for (_, _, ts, o, _) in got)
+
+
+def test_applied_id_ledger_skips_replay(spark, tmp_path):
+    """Exactly-once from at-least-once: a re-delivered applied_id commits
+    nothing — no version bump, no data change — even when the payload
+    would otherwise supersede (higher batch_seq)."""
+    root = str(tmp_path / "snap")
+    snapshot_upsert(
+        spark,
+        _candles(spark, [(100.0, 1.0, T0, "BTC-USDT", "coinbase", "15m")]),
+        root,
+        applied_id="b0",
+    )
+    v = snapshot_upsert(
+        spark,
+        _candles(spark, [(200.0, 2.0, T0, "BTC-USDT", "coinbase", "15m")]),
+        root,
+        applied_id="b1",
+    )
+    before = _state(read_snapshot(spark, root))
+    # replay of b1 with DIFFERENT payload: ledger wins, nothing changes
+    out = snapshot_upsert(
+        spark,
+        _candles(spark, [(999.0, 9.0, T0, "BTC-USDT", "coinbase", "15m")]),
+        root,
+        applied_id="b1",
+    )
+    assert out == v
+    assert current_version(spark, root) == v
+    assert _state(read_snapshot(spark, root)) == before
+    man = read_manifest(spark, root, v)
+    assert sorted(man["applied_ids"]) == ["b0", "b1"]
+
+
+def test_upsert_merge_input_is_manifest_pruned(spark, tmp_path):
+    """The keep-last merge reads ONLY the touched partitions' files: pin
+    via _read_touched.inputFiles() ⊆ the touched partition's manifest
+    entry, and untouched partitions keep byte-identical manifest rows."""
+    from crypto_data_ingestion_module_spark.sinks.snapshot import (
+        _manifest_schema,
+        _read_touched,
+    )
+
+    root = str(tmp_path / "snap")
+    snapshot_upsert(
+        spark,
+        _candles(
+            spark,
+            [
+                (100.0, 1.0, T0, "BTC-USDT", "coinbase", "15m"),
+                (50.0, 1.0, T0, "ETH-USDT", "coinbase", "15m"),
+                (70.0, 1.0, T2, "BTC-USDT", "coinbase", "15m"),
+            ],
+        ),
+        root,
+    )
+    v1 = current_version(spark, root)
+    m1 = read_manifest(spark, root, v1)
+    assert len(m1["partitions"]) == 3
+
+    touched = {
+        p for p in m1["partitions"] if p.startswith("symbol=ETH-USDT")
+    }
+    schema = _manifest_schema(spark, root, m1, v1)
+    pruned = _read_touched(spark, root, m1, touched, schema)
+    got_files = {f.split(root, 1)[1].lstrip("/") for f in pruned.inputFiles()}
+    want_files = {f for p in touched for f in m1["partitions"][p]}
+    assert got_files == want_files  # nothing outside the touched partition
+
+    # and after an ETH-only upsert the other partitions' entries survive
+    snapshot_upsert(
+        spark,
+        _candles(spark, [(55.0, 2.0, T0, "ETH-USDT", "coinbase", "15m")]),
+        root,
+    )
+    m2 = read_manifest(spark, root, current_version(spark, root))
+    for p, files in m1["partitions"].items():
+        if p in touched:
+            assert m2["partitions"][p] != files
+        else:
+            assert m2["partitions"][p] == files
+
+
+def test_manifest_tracks_schema_and_seq_high_water(spark, tmp_path):
+    """The manifest carries the table schema and the arrival high-water
+    mark, so the hot upsert path needs no footer reads and no full-lake
+    max() scan; layout-only commits carry both forward."""
+    from crypto_data_ingestion_module_spark.sinks.snapshot import (
+        compact_snapshot,
+    )
+
+    root = str(tmp_path / "snap")
+    snapshot_upsert(
+        spark,
+        _candles(spark, [(100.0, 1.0, T0, "BTC-USDT", "coinbase", "15m")]),
+        root,
+        applied_id="a",
+    )
+    snapshot_upsert(
+        spark,
+        _candles(spark, [(101.0, 1.0, T1, "BTC-USDT", "coinbase", "15m")]),
+        root,
+        applied_id="b",
+    )
+    v = current_version(spark, root)
+    man = read_manifest(spark, root, v)
+    assert man["max_ingest_seq"] == 1  # bootstrap=0, second batch=1
+    names = {f["name"] for f in man["schema"]["fields"]}
+    assert {"symbol", "timestamp", "open", "_ingest_seq", "date"} <= names
+
+    # fragment the lake so compaction has something to do, then verify
+    # the layout-only commit preserved the logical manifest state
+    snapshot_upsert(
+        spark,
+        _candles(spark, [(102.0, 1.0, T2, "BTC-USDT", "coinbase", "15m")]),
+        root,
+        applied_id="c",
+    )
+    compacted = compact_snapshot(spark, root, max_files_per_partition=0)
+    if compacted is not None:
+        man2 = read_manifest(spark, root, compacted)
+        assert man2["applied_ids"] == ["a", "b", "c"]
+        assert man2["max_ingest_seq"] == man["max_ingest_seq"] + 1 or (
+            man2["max_ingest_seq"] >= man["max_ingest_seq"]
+        )
+        assert man2["schema"] is not None
