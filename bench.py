@@ -78,7 +78,16 @@ def main() -> None:
         run(name)
     settle()
 
-    timings = {name: run(name) for name in names}
+    # Periodic settle during the measured sweep: ~120 accumulated plans'
+    # garbage otherwise lands as one major GC on an arbitrary mid-sweep
+    # victim, inflating it 3-10x non-reproducibly (r4/r5 observation:
+    # 9 s in-sweep vs 1.4 s standalone-warm for the same query).  The
+    # pause sits BETWEEN queries, so no per-query timing absorbs it.
+    timings = {}
+    for i, name in enumerate(names):
+        if i and i % 25 == 0:
+            settle()
+        timings[name] = run(name)
 
     # Headline re-measure: by now every query has executed twice, so the
     # JVM is as settled as it gets — these are the attributable numbers.

@@ -1151,3 +1151,166 @@ WHERE s_suppkey IN (
 """,
     )
 )
+
+
+# --------------------------------------------------------------------------
+# Q5 shape: local-supplier volume — the six-table join where supplier and
+# customer must share a nation (the classic co-located-commerce query).
+# Both nation sides and region are broadcast; the fact chain
+# (customer⨝orders⨝lineitem⨝supplier) stays a shuffle join under AQE.
+# --------------------------------------------------------------------------
+
+def _local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation").join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= _TS("1996-01-01 00:00:00"))
+        & (F.col("o_orderdate") < _TS("1998-01-01 00:00:00"))
+    )
+    return (
+        _t(spark, sf_dir, "customer")
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(
+            _t(spark, sf_dir, "lineitem"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .join(
+            _t(spark, sf_dir, "supplier"),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            # the Q5 signature: the supplier must sit in the CUSTOMER's
+            # nation — an extra equi-condition, not a new join
+            & (F.col("s_nationkey") == F.col("c_nationkey")),
+        )
+        .join(
+            F.broadcast(nation),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+_register(
+    QuerySpec(
+        name="local_supplier_volume",
+        survey_ids=("A2",),
+        description="TPC-H Q5 shape: six-table join with the "
+        "supplier-in-customer-nation equi-condition, region/nation dims "
+        "broadcast, per-nation revenue",
+        spark=_local_supplier_volume,
+        oracle=f"""
+SELECT n_name AS nation,
+       {osum('l_extendedprice * (1 - l_discount)')} AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY n_name
+""",
+    )
+)
+
+
+# --------------------------------------------------------------------------
+# Q6 shape: the forecast-revenue-change scan — no join at all, one tight
+# multi-predicate filter and a scalar aggregate.  Its value as a plan
+# check: every predicate must reach the parquet scan (PushedFilters), and
+# the aggregate is a pure partial/final pair over the pruned scan.
+# --------------------------------------------------------------------------
+
+def _forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _TS("1996-01-01 00:00:00"))
+        & (F.col("l_shipdate") < _TS("1997-01-01 00:00:00"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24.0)
+    )
+    return li.agg(
+        dsum(F.col("l_extendedprice") * F.col("l_discount")).alias(
+            "potential_revenue"
+        ),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+_register(
+    QuerySpec(
+        name="forecast_revenue_change",
+        survey_ids=("A2", "F1"),
+        description="TPC-H Q6 shape: joinless multi-predicate scan "
+        "(date window, discount band, quantity cap) feeding one scalar "
+        "aggregate — the predicate-pushdown benchmark query",
+        spark=_forecast_revenue_change,
+        oracle=f"""
+SELECT {osum('l_extendedprice * l_discount')} AS potential_revenue,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24.0
+""",
+    )
+)
+
+
+# --------------------------------------------------------------------------
+# Q12 shape: priority split by line status — orders⨝lineitem with the
+# conditional two-way count (CASE inside SUM).  The testdata carries no
+# shipmode/commitdate columns, so the grouping axis is l_linestatus and
+# the lateness predicate is a shipdate year window; the PLAN shape (fact
+# join + conditional aggregate pivot) is exactly Q12's.
+# --------------------------------------------------------------------------
+
+def _priority_by_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _TS("1997-01-01 00:00:00"))
+        & (F.col("l_shipdate") < _TS("1998-01-01 00:00:00"))
+    )
+    return (
+        _t(spark, sf_dir, "orders")
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~hi, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+_register(
+    QuerySpec(
+        name="priority_by_linestatus",
+        survey_ids=("A2",),
+        description="TPC-H Q12 shape: orders⨝lineitem conditional "
+        "two-way priority count per line status over a shipdate-year "
+        "window (shipmode axis absent from the testdata; plan shape "
+        "identical)",
+        spark=_priority_by_linestatus,
+        oracle="""
+SELECT l_linestatus,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY l_linestatus
+""",
+    )
+)

@@ -244,3 +244,21 @@ def test_salted_agg_equals_plain(spark):
     for k in plain:
         assert plain[k][1] == salted[k][1]
         assert abs(plain[k][0] - salted[k][0]) < 1e-6
+
+
+def test_q6_predicates_reach_parquet_scan(spark):
+    """forecast_revenue_change is the pushdown benchmark: every scan
+    predicate (date window, discount band, quantity cap) must appear in
+    the parquet scan's PushedFilters, and only the needed columns in its
+    ReadSchema."""
+    from crypto_data_ingestion_module_spark.plans.queries import QUERY_SPECS
+    from tests.conftest import SF_SMALL
+
+    df = QUERY_SPECS["forecast_revenue_change"].spark(spark, SF_SMALL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert pushed, plan
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed[0], (col, pushed[0])
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read and "l_returnflag" not in read[0], read  # column pruning
