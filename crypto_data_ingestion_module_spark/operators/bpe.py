@@ -171,3 +171,68 @@ def bpe_vocab(
         .groupBy("symbol")
         .agg(F.sum("wc").alias("n_tokens"))
     )
+
+
+def bpe_encode_docs(
+    docs: DataFrame,
+    n_merges: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenize every document with the trained merge table — the encode
+    side of :func:`bpe_merges`.  Returns per-document
+    ``(id, n_words, n_tokens)``: its [a-z]+ word count and its BPE token
+    count after ``n_merges`` rounds (the real token budget a trained
+    tokenizer would charge, vs the whitespace proxy in functions/text).
+
+    Scale shape: encoding is WORD-level — the distinct-word table
+    (vocabulary-sized) is segmented once by replaying the merge rounds,
+    then documents join their words against that tiny table (broadcast
+    at any corpus size: the vocabulary does not grow with corpus bytes
+    the way documents do).  Per-document work never re-runs a merge.
+    """
+    words = (
+        docs.select(F.explode(F.split(F.col(text_col), " ")).alias("word"))
+        .filter(F.col("word").rlike("^[a-z]+$"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wc"))
+        .withColumn(
+            "w",
+            F.concat(F.lit(" "), F.regexp_replace("word", "(.)", "$1 ")),
+        )
+    )
+    for _ in range(n_merges):
+        s = F.split(F.trim(F.col("w")), " ")
+        best = (
+            words.select("wc", F.explode(_pairs(s)).alias("p"))
+            .groupBy(F.col("p.lhs").alias("lhs"), F.col("p.rhs").alias("rhs"))
+            .agg(F.sum("wc").alias("pair_count"))
+            .orderBy(F.desc("pair_count"), F.asc("lhs"), F.asc("rhs"))
+            .limit(1)
+        )
+        words = words.crossJoin(F.broadcast(best)).select(
+            "word",
+            "wc",
+            F.replace(
+                F.col("w"),
+                F.concat(
+                    F.lit(" "), F.col("lhs"), F.lit(" "), F.col("rhs"),
+                    F.lit(" "),
+                ),
+                F.concat(F.lit(" "), F.col("lhs"), F.col("rhs"), F.lit(" ")),
+            ).alias("w"),
+        )
+    enc = words.select(
+        "word", F.size(F.split(F.trim(F.col("w")), " ")).alias("n_sym")
+    )
+    return (
+        docs.select(
+            F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("word")
+        )
+        .join(F.broadcast(enc), "word")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_sym").cast("long").alias("n_tokens"),
+        )
+    )

@@ -2188,6 +2188,79 @@ _register(
 )
 
 
+def _bpe_encode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crypto_data_ingestion_module_spark.operators.bpe import (
+        bpe_encode_docs,
+    )
+
+    return bpe_encode_docs(_t(spark, sf_dir, "documents"), n_merges=5)
+
+
+def _bpe_encode_oracle(n: int) -> str:
+    # the encode chain carries the word alongside its evolving segment
+    # string (word <-> padded-w is bijective, so training on this keyed
+    # table finds the identical merge sequence as _bpe_oracle)
+    parts = [
+        """WITH words0 AS (
+  SELECT word, ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS w, wc
+  FROM (
+    SELECT word, count(*) AS wc
+    FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+    WHERE regexp_matches(word, '^[a-z]+$')
+    GROUP BY word
+  )
+)"""
+    ]
+    for i in range(n):
+        parts.append(
+            """p{i} AS (
+  SELECT pr[1] AS lhs, pr[2] AS rhs, SUM(wc) AS pair_count FROM (
+    SELECT wc, unnest(list_zip(s[1:len(s)-1], s[2:len(s)])) AS pr
+    FROM (SELECT wc, string_split(trim(w), ' ') AS s FROM words{i})
+    WHERE len(s) >= 2
+  ) GROUP BY lhs, rhs
+),
+best{i} AS (
+  SELECT lhs, rhs FROM p{i}
+  ORDER BY pair_count DESC, lhs, rhs LIMIT 1
+),
+words{j} AS (
+  SELECT word, replace(w, ' ' || lhs || ' ' || rhs || ' ',
+                 ' ' || lhs || rhs || ' ') AS w, wc
+  FROM words{i}, best{i}
+)""".format(i=i, j=i + 1)
+        )
+    return (
+        ",\n".join(parts)
+        + f""",
+enc AS (
+  SELECT word, CAST(len(string_split(trim(w), ' ')) AS BIGINT) AS n_sym
+  FROM words{n}
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(SUM(n_sym) AS BIGINT) AS n_tokens
+FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+JOIN enc USING (word)
+GROUP BY doc_id
+"""
+    )
+
+
+_register(
+    QuerySpec(
+        name="bpe_encode_docs",
+        survey_ids=("X4",),
+        description="apply the trained 5-merge BPE tokenizer to every "
+        "document: per-doc word count and true BPE token count — encode "
+        "is word-level (the vocabulary-sized segment table is built once "
+        "and broadcast; per-doc work never replays a merge)",
+        spark=_bpe_encode_q,
+        oracle=_bpe_encode_oracle(5),
+    )
+)
+
+
 # --------------------------------------------------------------------------
 # X2/X3: model-free document retrieval via the hashing trick — 64-dim
 # signed term-frequency vectors (feature hashing, Weinberger et al. 2009)

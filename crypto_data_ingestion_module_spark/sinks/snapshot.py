@@ -819,6 +819,112 @@ def _snapshot_upsert_once(
     return v + 1
 
 
+def snapshot_delete(
+    spark: SparkSession,
+    root: str,
+    predicate,
+    partition_cols: Sequence[str] = PARTITION_COLS,
+    applied_id: str | None = None,
+    retries: int = 2,
+) -> tuple[int, int]:
+    """DELETE FROM the snapshot lake: rewrite only the partitions holding
+    matching rows, drop the matches, commit one atomic manifest swap.
+    Returns ``(committed_version, n_deleted)``.
+
+    Semantics are SQL DELETE: a row goes iff ``predicate`` evaluates
+    TRUE — NULL keeps the row (the kept-side filter is
+    ``NOT coalesce(pred, FALSE)``, not ``NOT pred``, which would also
+    delete NULL evaluations).
+
+    Scale shape: one column-pruned discovery scan finds the touched
+    partitions (it reads only the predicate's columns plus the partition
+    columns); the rewrite then reads exactly those partitions' files via
+    the manifest.  Untouched partitions keep byte-identical manifest
+    entries; the pre-delete version stays time-travelable until
+    ``vacuum`` (which is also the GDPR clock: data is physically gone
+    only when no retained manifest references its files).
+    """
+    last: RuntimeError | None = None
+    for _ in range(retries + 1):
+        try:
+            return _snapshot_delete_once(
+                spark, root, predicate, partition_cols, applied_id
+            )
+        except RuntimeError as e:
+            if "already committed" not in str(e):
+                raise
+            last = e
+    raise last
+
+
+def _snapshot_delete_once(
+    spark: SparkSession,
+    root: str,
+    predicate,
+    partition_cols: Sequence[str],
+    applied_id: str | None,
+) -> tuple[int, int]:
+    v = current_version(spark, root)
+    if v is None:
+        raise FileNotFoundError(f"no snapshot versions under {root}")
+    manifest = read_manifest(spark, root, v)
+    if applied_id is not None and applied_id in manifest.get("applied_ids", []):
+        return v, 0
+
+    touched_keys = {
+        "/".join(f"{c}={r[c]}" for c in partition_cols)
+        for r in read_snapshot(spark, root, v)
+        .filter(predicate)
+        .select(*partition_cols)
+        .distinct()
+        .collect()
+    }
+    if not touched_keys:
+        return v, 0
+    schema = _manifest_schema(spark, root, manifest, v)
+    current_touched = _read_touched(
+        spark, root, manifest, touched_keys, schema
+    ).localCheckpoint(eager=True)
+    kept = current_touched.filter(
+        ~F.coalesce(predicate, F.lit(False))
+    )
+    n_deleted = current_touched.count() - kept.count()
+    new_files = _write_data_files(spark, kept, root, partition_cols)
+
+    parts = {
+        k: fl
+        for k, fl in manifest["partitions"].items()
+        if k not in touched_keys
+    }
+    kept_files = {f for fl in parts.values() for f in fl}
+    for f in new_files:
+        parts.setdefault(_partition_of(f, partition_cols), []).append(f)
+    stats = {
+        f: st
+        for f, st in manifest.get("file_stats", {}).items()
+        if f in kept_files
+    }
+    stats.update(_stats_for(spark, root, new_files, kept, "timestamp"))
+    applied = set(manifest.get("applied_ids", []))
+    if applied_id is not None:
+        applied.add(applied_id)
+    commit_version(
+        spark,
+        root,
+        _carry_extras(
+            manifest,
+            {
+                "version": v + 1,
+                "partitions": parts,
+                "file_stats": stats,
+                "applied_ids": sorted(applied),
+            },
+        ),
+        v + 1,
+    )
+    return v + 1, int(n_deleted)
+
+
 def compact_snapshot(
     spark: SparkSession,
     root: str,

@@ -612,3 +612,80 @@ def test_manifest_tracks_schema_and_seq_high_water(spark, tmp_path):
             man2["max_ingest_seq"] >= man["max_ingest_seq"]
         )
         assert man2["schema"] is not None
+
+
+def test_snapshot_delete_rewrites_only_matching_partitions(spark, tmp_path):
+    from crypto_data_ingestion_module_spark.sinks.snapshot import (
+        snapshot_delete,
+    )
+
+    root = str(tmp_path / "snap")
+    snapshot_upsert(
+        spark,
+        _candles(
+            spark,
+            [
+                (100.0, 1.0, T0, "BTC-USDT", "coinbase", "15m"),
+                (110.0, 1.5, T1, "BTC-USDT", "coinbase", "15m"),
+                (50.0, 2.0, T0, "ETH-USDT", "coinbase", "15m"),
+                (70.0, 1.0, T2, "BTC-USDT", "coinbase", "15m"),
+            ],
+        ),
+        root,
+    )
+    v1 = current_version(spark, root)
+    m1 = read_manifest(spark, root, v1)
+    before = _state(read_snapshot(spark, root))
+
+    v2, n = snapshot_delete(
+        spark, root, F.col("open") >= 100.0, applied_id="gdpr-1"
+    )
+    assert (v2, n) == (v1 + 1, 2)
+    after = _state(read_snapshot(spark, root))
+    assert [r[3] for r in after] == [70.0, 50.0]  # sorted by symbol, date
+
+    # untouched partitions (ETH day-1, BTC day-2) keep identical entries
+    m2 = read_manifest(spark, root, v2)
+    for p, files in m1["partitions"].items():
+        if p.startswith("symbol=BTC-USDT") and "date=20240101" in p:
+            assert m2["partitions"].get(p, []) != files
+        else:
+            assert m2["partitions"][p] == files
+
+    # pre-delete version still time-travels (GDPR clock = vacuum)
+    assert _state(read_snapshot(spark, root, version=v1)) == before
+
+    # replay via the ledger: no-op, no version bump
+    assert snapshot_delete(
+        spark, root, F.col("open") >= 0.0, applied_id="gdpr-1"
+    ) == (v2, 0)
+
+    # no-match predicate: version unchanged
+    assert snapshot_delete(spark, root, F.col("open") > 1e9) == (v2, 0)
+
+
+def test_snapshot_delete_null_predicate_keeps_row(spark, tmp_path):
+    """SQL DELETE semantics: rows where the predicate is NULL stay."""
+    from crypto_data_ingestion_module_spark.sinks.snapshot import (
+        snapshot_delete,
+    )
+
+    root = str(tmp_path / "snap")
+    df = _candles(
+        spark,
+        [
+            (100.0, 1.0, T0, "BTC-USDT", "coinbase", "15m"),
+            (110.0, 1.0, T1, "BTC-USDT", "coinbase", "15m"),
+        ],
+    ).withColumn(
+        "note",
+        F.when(F.col("open") > 105.0, F.lit("hi")).otherwise(
+            F.lit(None).cast("string")
+        ),
+    )
+    snapshot_upsert(spark, df, root)
+    _, n = snapshot_delete(spark, root, F.col("note") != "hi")
+    assert n == 0  # NULL != 'hi' is NULL, not TRUE — nothing deleted
+    _, n = snapshot_delete(spark, root, F.col("note") == "hi")
+    assert n == 1
+    assert read_snapshot(spark, root).count() == 1
