@@ -125,3 +125,46 @@ def returns_ma_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def user_sessions_stream(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    lateness: str = "1 hour",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Streaming gap-based sessionization — the streaming twin of the
+    registered ``user_sessions_30m`` batch query, on Spark's NATIVE
+    session_window state operator (no custom state code: the operator
+    merges windows that touch within ``gap`` and holds state only for
+    OPEN sessions, evicting each one ``lateness`` past its close).
+
+    Emits one row per FINALIZED session (append mode): a session is
+    output exactly once, when the watermark passes its end + gap.  The
+    aggregate mirrors the batch query's columns, with ``total_value``
+    through the same micro-unit fixed-point sum, so a finalized
+    streaming session is bit-identical to its batch twin (pinned by
+    test)."""
+    sw = F.session_window(F.col(ts_col), gap)
+    return (
+        events.withWatermark(ts_col, lateness)
+        .groupBy(sw, F.col(key_col))
+        .agg(
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            (
+                F.sum(
+                    F.round(F.col(value_col) * 1_000_000.0).cast(
+                        "decimal(38,0)"
+                    )
+                ).cast("double")
+                / 1_000_000.0
+            ).alias("total_value"),
+        )
+        .select(
+            key_col, "session_start", "session_end", "n_events", "total_value"
+        )
+    )

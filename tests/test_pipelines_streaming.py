@@ -630,3 +630,71 @@ def test_streaming_returns_ma_matches_batch(spark, tmp_path):
         ).collect()
     }
     assert got == want  # bit-identical closes, returns, moving averages
+
+
+def test_streaming_sessions_match_batch(spark, tmp_path):
+    """Native session_window streaming sessionization: finalized sessions
+    must equal the registered batch query's rows for every session the
+    watermark closed — bit-identical including the fixed-point sum."""
+    import time as _time
+
+    from crypto_data_ingestion_module_spark.plans.queries import QUERY_SPECS
+    from crypto_data_ingestion_module_spark.session import load_table
+    from crypto_data_ingestion_module_spark.streaming.analytics import (
+        user_sessions_stream,
+    )
+    from tests.conftest import SF_SMALL
+
+    ev = load_table(spark, SF_SMALL, "events")
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    # two arrival files split by event id — sessions straddle batches
+    for n, i in enumerate([0, 1]):
+        tmp = str(tmp_path / f"t{i}")
+        ev.filter(F.col("event_id") % 2 == i).coalesce(1).write.parquet(tmp)
+        os.rename(
+            glob.glob(tmp + "/*.parquet")[0], os.path.join(src, f"b{n}.parquet")
+        )
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        user_sessions_stream(stream)
+        .writeStream.format("memory")
+        .queryName("sess_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.user_id, r.session_start): (r.session_end, r.n_events, r.total_value)
+        for r in spark.sql("SELECT * FROM sess_out").collect()
+    }
+    assert got, "no session finalized"
+
+    # batch twin, restricted to sessions the stream's final watermark
+    # (max ts - 1h lateness) had closed (end + 30min gap < watermark)
+    max_ts = ev.agg(F.max("ts")).first()[0]
+    import datetime as _dt
+
+    wm = max_ts - _dt.timedelta(hours=1)
+    want = {
+        (r.user_id, r.session_start): (r.session_end, r.n_events, r.total_value)
+        for r in QUERY_SPECS["user_sessions_30m"].spark(spark, SF_SMALL).collect()
+        if r.session_end + _dt.timedelta(minutes=30) < wm
+    }
+    # every watermark-closed batch session must appear, bit-identical
+    for k, v in want.items():
+        assert got.get(k) == v, (k, got.get(k), v)
+    # and nothing the stream emitted disagrees with the batch plan
+    full = {
+        (r.user_id, r.session_start): (r.session_end, r.n_events, r.total_value)
+        for r in QUERY_SPECS["user_sessions_30m"].spark(spark, SF_SMALL).collect()
+    }
+    for k, v in got.items():
+        assert full.get(k) == v, (k, v, full.get(k))

@@ -689,3 +689,71 @@ def test_snapshot_delete_null_predicate_keeps_row(spark, tmp_path):
     _, n = snapshot_delete(spark, root, F.col("note") == "hi")
     assert n == 1
     assert read_snapshot(spark, root).count() == 1
+
+
+def test_snapshot_changes_cdc_feed(spark, tmp_path):
+    """CDC between versions: inserts/updates/deletes tagged with the
+    post-image; layout-only commits yield zero change rows."""
+    from crypto_data_ingestion_module_spark.sinks.snapshot import (
+        compact_snapshot,
+        snapshot_changes,
+        snapshot_delete,
+    )
+
+    root = str(tmp_path / "snap")
+    v1 = snapshot_upsert(
+        spark,
+        _candles(
+            spark,
+            [
+                (100.0, 1.0, T0, "BTC-USDT", "coinbase", "15m"),
+                (50.0, 2.0, T0, "ETH-USDT", "coinbase", "15m"),
+            ],
+        ),
+        root,
+    )
+    # v2: update BTC@T0, insert BTC@T1; ETH partition untouched
+    v2 = snapshot_upsert(
+        spark,
+        _candles(
+            spark,
+            [
+                (200.0, 9.0, T0, "BTC-USDT", "coinbase", "15m"),
+                (110.0, 1.0, T1, "BTC-USDT", "coinbase", "15m"),
+            ],
+        ),
+        root,
+    )
+    ch = {
+        (r.symbol, r.timestamp): (r._change_type, r.open)
+        for r in snapshot_changes(spark, root, v1, v2).collect()
+    }
+    assert ch == {
+        ("BTC-USDT", T0): ("update_postimage", 200.0),
+        ("BTC-USDT", T1): ("insert", 110.0),
+    }
+
+    # v3: delete ETH row
+    v3, n = snapshot_delete(spark, root, F.col("symbol") == "ETH-USDT")
+    assert n == 1
+    ch = {
+        (r.symbol, r.timestamp): r._change_type
+        for r in snapshot_changes(spark, root, v2, v3).collect()
+    }
+    assert ch == {("ETH-USDT", T0): "delete"}
+
+    # v1 -> v3 composes: ETH delete + BTC update + BTC insert
+    ch = {
+        (r.symbol, r.timestamp): r._change_type
+        for r in snapshot_changes(spark, root, v1, v3).collect()
+    }
+    assert ch == {
+        ("ETH-USDT", T0): "delete",
+        ("BTC-USDT", T0): "update_postimage",
+        ("BTC-USDT", T1): "insert",
+    }
+
+    # layout-only commit: partitions rewritten, but NO content change
+    v4 = compact_snapshot(spark, root, max_files_per_partition=0)
+    if v4 is not None:
+        assert snapshot_changes(spark, root, v3, v4).count() == 0
