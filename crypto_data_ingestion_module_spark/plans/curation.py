@@ -18,6 +18,7 @@ from crypto_data_ingestion_module_spark.plans.queries import (
     QuerySpec,
     _register,
     _t,
+    osum,
 )
 
 # --------------------------------------------------------------------------
@@ -618,6 +619,67 @@ WITH ranked AS (
 )
 SELECT doc_id, source, lang, sample_rank FROM ranked
 WHERE sample_rank <= {_MIX_CASE}
+""",
+    )
+)
+
+
+# --------------------------------------------------------------------------
+# Document rarity: mean inverse document frequency over each doc's
+# DISTINCT [a-z]+ terms — the log-free IDF analog (ln is not
+# correctly-rounded cross-engine; 1/df is ONE double division of exact
+# integers, bit-identical in both engines, then micro-unit fixed-point
+# mean).  High rarity = niche vocabulary; the curation signal that
+# complements quality_score's surface features.  Plan: distinct
+# (doc, term) grain once, df hash-agg, broadcast the vocabulary-sized df
+# table back, one per-doc aggregate.
+# --------------------------------------------------------------------------
+
+def _doc_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crypto_data_ingestion_module_spark.plans.queries import dsum
+
+    toks = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok").rlike("^[a-z]+$"))
+        .distinct()
+    )
+    dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        toks.join(F.broadcast(dfreq), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            (
+                dsum(F.lit(1.0) / F.col("df"))
+                / F.count(F.lit(1)).cast("double")
+            ).alias("rarity"),
+        )
+    )
+
+
+_register(
+    QuerySpec(
+        name="doc_rarity_score",
+        survey_ids=("X4",),
+        description="mean inverse document frequency over each doc's "
+        "distinct terms (log-free IDF: exact-integer division + "
+        "fixed-point mean) — the niche-vocabulary curation signal",
+        spark=_doc_rarity,
+        oracle=f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, word FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+  ) WHERE regexp_matches(word, '^[a-z]+$')
+),
+dfreq AS (
+  SELECT word, count(*) AS df FROM toks GROUP BY word
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_terms,
+       {osum('1.0 / df')} / count(*) AS rarity
+FROM toks JOIN dfreq USING (word)
+GROUP BY doc_id
 """,
     )
 )

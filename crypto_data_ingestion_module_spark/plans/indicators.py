@@ -1039,3 +1039,168 @@ FROM lagged GROUP BY event_type
 """,
     )
 )
+
+
+# --------------------------------------------------------------------------
+# 3-sigma outliers: per-type exact moments (centi-unit integer sums, the
+# Bollinger machinery at GROUP grain) broadcast back onto the stream; flag
+# and z-score every tick.  One hash aggregate + one broadcast join — no
+# window, no second scan shape at 100 TB.  Magnitude audit as at module
+# head: n*s2 <= 1e10 * 1e5 rows-per-type ~ 1e15 < 2^53 at sf0.1; the
+# z-score itself is ordinary double arithmetic on bit-identical inputs.
+# --------------------------------------------------------------------------
+
+def _value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _series(spark, sf_dir).withColumn(
+        "v_c", F.round(F.col("value") * 100.0)
+    )
+    n = F.count(F.lit(1))
+    s1 = F.sum("v_c")
+    s2 = F.sum(F.col("v_c") * F.col("v_c"))
+    mom = df.groupBy("event_type").agg(
+        n.alias("n"), s1.alias("s1"), s2.alias("s2")
+    )
+    mom = mom.withColumn("mean_c", F.col("s1") / F.col("n")).withColumn(
+        "sd_c",
+        F.when(
+            F.col("n") >= 2,
+            F.sqrt(
+                (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1"))
+                / (F.col("n") * (F.col("n") - 1))
+            ),
+        ),
+    )
+    z = (F.col("v_c") - F.col("mean_c")) / F.col("sd_c")
+    return (
+        df.join(F.broadcast(mom.select("event_type", "mean_c", "sd_c")),
+                "event_type")
+        .filter(
+            F.col("sd_c").isNotNull()
+            & (F.abs(F.col("v_c") - F.col("mean_c")) > 3.0 * F.col("sd_c"))
+        )
+        .select(
+            "event_type",
+            "event_id",
+            "ts",
+            "value",
+            z.alias("zscore"),
+        )
+    )
+
+
+_register(
+    QuerySpec(
+        name="value_outliers_3sigma",
+        survey_ids=("A2", "F1"),
+        description="3-sigma tick outliers: per-type exact integer "
+        "moments broadcast onto the stream, |x - mean| > 3 sd flag with "
+        "the z-score (anomaly surfacing for the DQ pipeline)",
+        spark=_value_outliers,
+        oracle="""
+WITH c AS (
+  SELECT event_id, event_type, ts, value, round(value * 100.0) AS v_c
+  FROM events
+),
+m AS (
+  SELECT event_type,
+         count(*) AS n, sum(v_c) AS s1, sum(v_c * v_c) AS s2
+  FROM c GROUP BY event_type
+),
+mm AS (
+  SELECT event_type, s1 / n AS mean_c,
+         CASE WHEN n >= 2
+              THEN sqrt((n * s2 - s1 * s1) / (n * (n - 1))) END AS sd_c
+  FROM m
+)
+SELECT c.event_type, c.event_id, c.ts, c.value,
+       (c.v_c - mm.mean_c) / mm.sd_c AS zscore
+FROM c JOIN mm USING (event_type)
+WHERE mm.sd_c IS NOT NULL
+  AND abs(c.v_c - mm.mean_c) > 3.0 * mm.sd_c
+""",
+    )
+)
+
+
+# --------------------------------------------------------------------------
+# Co-occurrence lift over user baskets: which event types a user tends to
+# trigger TOGETHER.  lift(a,b) = P(a,b) / (P(a) P(b)) over per-user type
+# sets — all counts are exact integers, the lift is ONE double division
+# of two exact integer products (correctly rounded in both engines; the
+# products stay < 2^53 by orders of magnitude).  Plan: distinct
+# (user, type) grain once, per-type counts, a type<type self-join at the
+# USER grain (bounded: <= |types|^2 output groups), broadcast totals.
+# --------------------------------------------------------------------------
+
+def _type_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ut = (
+        _t(spark, sf_dir, "events")
+        .select("user_id", "event_type")
+        .distinct()
+    )
+    totals = ut.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_type"))
+    n_users = ut.select("user_id").distinct().count()
+    a = ut.alias("a")
+    b = ut.alias("b")
+    both = (
+        a.join(b, "user_id")
+        .filter(F.col("a.event_type") < F.col("b.event_type"))
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    ta = totals.select(
+        F.col("event_type").alias("type_a"), F.col("n_type").alias("n_a")
+    )
+    tb = totals.select(
+        F.col("event_type").alias("type_b"), F.col("n_type").alias("n_b")
+    )
+    return (
+        both.join(F.broadcast(ta), "type_a")
+        .join(F.broadcast(tb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            "n_a",
+            "n_b",
+            (
+                (F.col("n_both") * F.lit(int(n_users))).cast("double")
+                / (F.col("n_a") * F.col("n_b")).cast("double")
+            ).alias("lift"),
+        )
+    )
+
+
+_register(
+    QuerySpec(
+        name="type_cooccurrence_lift",
+        survey_ids=("A2", "D5"),
+        description="market-basket lift over per-user event-type sets: "
+        "P(a,b)/(P(a)P(b)) as one exact-integer-ratio double division",
+        spark=_type_cooccurrence,
+        oracle="""
+WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+tot AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_type
+        FROM ut GROUP BY event_type),
+nu AS (SELECT count(DISTINCT user_id) AS n FROM ut),
+pr AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         CAST(count(*) AS BIGINT) AS n_both
+  FROM ut a JOIN ut b USING (user_id)
+  WHERE a.event_type < b.event_type
+  GROUP BY type_a, type_b
+)
+SELECT type_a, type_b, n_both,
+       ta.n_type AS n_a, tb.n_type AS n_b,
+       CAST(n_both * nu.n AS DOUBLE)
+         / CAST(ta.n_type * tb.n_type AS DOUBLE) AS lift
+FROM pr
+JOIN tot ta ON pr.type_a = ta.event_type
+JOIN tot tb ON pr.type_b = tb.event_type
+CROSS JOIN nu
+""",
+    )
+)
