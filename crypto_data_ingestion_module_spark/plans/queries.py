@@ -132,7 +132,16 @@ def obucket(ts_expr: str, ivl_ms: int) -> str:
 # --------------------------------------------------------------------------
 
 def _flagship(spark: SparkSession, sf_dir: str, ivl_ms: int) -> DataFrame:
-    ev = _t(spark, sf_dir, "events")
+    # Explicit pre-dedup projection: keep-last packs the payload into a
+    # max(struct(...)), which Catalyst cannot prune columns THROUGH — an
+    # unprojected dedup drags user_id and the wide props JSON into the
+    # scan of every flagship-derived query.  Semantics unchanged: the
+    # kept row per (event_type, ts) is still the max-event_id one, and
+    # the resample reads only these four columns.  (Caught by
+    # scripts/plan_audit.py: ReadSchema carried 6/6 columns.)
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
     deduped = dedup_keep_last(ev, ["event_type", "ts"], order_col="event_id")
     out = resample_ohlcv(
         deduped,
@@ -1302,7 +1311,7 @@ _register(
 def _salted_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     from crypto_data_ingestion_module_spark.operators.skew import salted_agg
 
-    ev = _t(spark, sf_dir, "events")
+    ev = _t(spark, sf_dir, "events").select("event_type", "value")
     return salted_agg(
         ev,
         ["event_type"],
