@@ -104,3 +104,46 @@ def stratified_fractions(
     shuffle, expected-count semantics.  Output depends on partitioning —
     pair with :func:`stratified_reservoir` when reproducibility matters."""
     return df.sampleBy(stratum_col, dict(fractions), seed)
+
+
+def systematic_pps_sample(
+    docs: DataFrame,
+    step: int,
+    weight_col: str = "n_chars",
+    stratum_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Systematic probability-proportional-to-size sampling: walk each
+    stratum's cumulative weight axis and select the document straddling
+    every multiple of ``step`` — the classic PPS design (selection
+    probability ~ weight/step) with ZERO randomness, so it is exactly
+    reproducible and oracle-checkable.  The token-budget shape: sampling
+    "one doc per ~step chars" yields a mixture whose per-source volume
+    tracks the corpus while long docs are kept proportionally often.
+
+    All arithmetic is exact integers (running sum + integer division) —
+    no pow/log, no random state.  Scale: the running sum partitions by
+    stratum (the same per-stratum window discipline as pack_sequences);
+    a global single-window variant would serialize and is deliberately
+    not offered.
+    """
+    w = (
+        Window.partitionBy(stratum_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(F.col(weight_col).cast("long")).over(w)
+    df = docs.select(
+        id_col, stratum_col, weight_col
+    ).withColumn("cum", cum)
+    tick = F.expr(f"cum DIV {int(step)}")
+    prev_tick = F.expr(f"(cum - {weight_col}) DIV {int(step)}")
+    return (
+        df.filter(tick > prev_tick)
+        .select(
+            id_col,
+            stratum_col,
+            weight_col,
+            tick.cast("long").alias("tick"),
+        )
+    )

@@ -683,3 +683,42 @@ GROUP BY doc_id
 """,
     )
 )
+
+
+# --------------------------------------------------------------------------
+# Length-weighted systematic sampling (token-budget mixture draw)
+# --------------------------------------------------------------------------
+
+def _pps_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crypto_data_ingestion_module_spark.operators.sampling import (
+        systematic_pps_sample,
+    )
+
+    return systematic_pps_sample(
+        _t(spark, sf_dir, "documents"), step=5000
+    )
+
+
+_register(
+    QuerySpec(
+        name="length_weighted_sample",
+        survey_ids=("X4",),
+        description="systematic PPS draw: one doc per 5000 chars of each "
+        "source's cumulative mass — deterministic length-proportional "
+        "sampling in exact integer arithmetic (no rng, no pow)",
+        spark=_pps_sample,
+        oracle="""
+WITH c AS (
+  SELECT doc_id, source, n_chars,
+         SUM(CAST(n_chars AS BIGINT)) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS UNBOUNDED PRECEDING) AS cum
+  FROM documents
+)
+SELECT doc_id, source, n_chars,
+       CAST(cum // 5000 AS BIGINT) AS tick
+FROM c
+WHERE cum // 5000 > (cum - n_chars) // 5000
+""",
+    )
+)
