@@ -102,6 +102,7 @@ def backfill(
     pacing: dict[str, float] | None = None,
     normalizer=normalize_mock_pages,
     backend: str = "snapshot",
+    incremental: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """Historical backfill: manifest → distributed fetch → canonical
     candles → keep-last MERGE into the lake.
@@ -115,11 +116,43 @@ def backfill(
     never see a half-applied backfill; ``"swap"`` keeps the plain
     directory layout for external parquet scanners.
 
+    ``incremental=True`` (default): when the lake already exists, the
+    manifest is clamped to its per-series watermarks
+    (``sources.manifest.incremental_manifest``) — only uncollected
+    buckets are fetched, and a re-run over an up-to-date lake fetches
+    nothing, exactly the reference's ``last_collected_ts`` discipline
+    (crypto_collector.py:481-520).  ``incremental=False`` re-fetches the
+    full range (corrections sweep: keep-last MERGE makes it safe).
+
     ``normalizer`` must match the adapter's page layout: the mock layout
     for :class:`MockExchangeAdapter`, ``normalize_real_pages`` for real
     venue payloads — a mismatch scrambles OHLC column order silently.
     """
     manifest = backfill_manifest(spark, symbols_df, intervals_df, end_ms)
+    if incremental:
+        from crypto_data_ingestion_module_spark.sources.manifest import (
+            incremental_manifest,
+        )
+
+        existing = None
+        if backend == "snapshot":
+            from crypto_data_ingestion_module_spark.sinks.snapshot import (
+                current_version,
+                read_snapshot,
+            )
+
+            if current_version(spark, lake_root) is not None:
+                existing = read_snapshot(spark, lake_root)
+        else:
+            from crypto_data_ingestion_module_spark.sinks.parquet_lake import (
+                _lake_exists,
+                read_lake,
+            )
+
+            if _lake_exists(spark, lake_root):
+                existing = read_lake(spark, lake_root)
+        if existing is not None:
+            manifest = incremental_manifest(manifest, existing)
     raw = fetch_pages(spark, manifest, adapter, pacing=pacing)
     # drop the chunk-provenance seq: the lake stamps a monotone
     # (max existing + 1) arrival order, so a re-fetch of the same range

@@ -192,3 +192,43 @@ def repair_manifest(
             "chunk_end_ms",
         )
     )
+
+
+def incremental_manifest(
+    manifest: DataFrame,
+    lake: DataFrame,
+) -> DataFrame:
+    """Clamp a backfill manifest to the lake's watermarks — the
+    reference's incremental discipline (fetch only past the stored
+    ``last_collected_ts``, crypto_collector.py:481-520,652) as one join.
+
+    Per (symbol, interval, exchange): the watermark is the last stored
+    bucket start; chunks ending at or before ``watermark + interval``
+    are already collected and drop out entirely; a chunk straddling the
+    watermark starts at the first uncollected bucket.  Series absent
+    from the lake keep their full range.  A re-run over an up-to-date
+    lake therefore fetches NOTHING — the backfill is a fixpoint, like
+    ``repair_manifest``.
+    """
+    from crypto_data_ingestion_module_spark.functions.timeutil import (
+        interval_ms_col,
+    )
+
+    keys = ["symbol", "interval", "exchange"]
+    wm = lake.groupBy(*keys).agg(
+        F.max((F.unix_micros("timestamp") / 1000).cast("long")).alias("_wm_ms")
+    )
+    ivl = interval_ms_col(F.col("interval"))
+    nxt = F.col("_wm_ms") + ivl
+    return (
+        manifest.join(F.broadcast(wm), keys, "left")
+        .filter(F.col("_wm_ms").isNull() | (F.col("chunk_end_ms") > nxt))
+        .withColumn(
+            "chunk_start_ms",
+            F.greatest(
+                F.col("chunk_start_ms"),
+                F.coalesce(nxt, F.col("chunk_start_ms")),
+            ),
+        )
+        .drop("_wm_ms")
+    )

@@ -698,3 +698,70 @@ def test_streaming_sessions_match_batch(spark, tmp_path):
     }
     for k, v in got.items():
         assert full.get(k) == v, (k, v, full.get(k))
+
+
+def test_backfill_is_watermark_incremental(spark, tmp_path):
+    """Re-running backfill fetches only past the lake watermark: an
+    up-to-date lake clamps the manifest to EMPTY (the reference's
+    last_collected_ts discipline), and a range extension fetches only
+    the delta."""
+    from crypto_data_ingestion_module_spark.sources.manifest import (
+        backfill_manifest,
+        incremental_manifest,
+    )
+
+    lake = str(tmp_path / "lake")
+    backfill(
+        spark,
+        _symbols(spark),
+        _intervals(spark),
+        end_ms=START_MS + 3 * DAY_MS,
+        adapter=MockExchangeAdapter(),
+        lake_root=lake,
+    )
+    stored = read_snapshot(spark, lake)
+
+    # same range again: nothing left to fetch
+    full = backfill_manifest(
+        spark, _symbols(spark), _intervals(spark), START_MS + 3 * DAY_MS
+    )
+    assert incremental_manifest(full, stored).count() == 0
+
+    # one more day: every chunk starts exactly at the watermark + 1 ivl
+    ext = backfill_manifest(
+        spark, _symbols(spark), _intervals(spark), START_MS + 4 * DAY_MS
+    )
+    delta = incremental_manifest(ext, stored)
+    rows = delta.collect()
+    assert rows
+    for r in rows:
+        assert r.chunk_start_ms >= START_MS + 3 * DAY_MS - DAY_MS, r
+        assert r.chunk_end_ms == START_MS + 4 * DAY_MS, r
+
+    # and the end-to-end incremental run lands the exact full-range state
+    backfill(
+        spark,
+        _symbols(spark),
+        _intervals(spark),
+        end_ms=START_MS + 4 * DAY_MS,
+        adapter=MockExchangeAdapter(),
+        lake_root=lake,
+    )
+    got = {
+        (r.symbol, r.interval, r.exchange, r.timestamp)
+        for r in read_snapshot(spark, lake).collect()
+    }
+    fresh_lake = str(tmp_path / "fresh")
+    backfill(
+        spark,
+        _symbols(spark),
+        _intervals(spark),
+        end_ms=START_MS + 4 * DAY_MS,
+        adapter=MockExchangeAdapter(),
+        lake_root=fresh_lake,
+    )
+    want = {
+        (r.symbol, r.interval, r.exchange, r.timestamp)
+        for r in read_snapshot(spark, fresh_lake).collect()
+    }
+    assert got == want
