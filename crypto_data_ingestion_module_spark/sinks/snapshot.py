@@ -1061,6 +1061,47 @@ def snapshot_changes(
     )
 
 
+def snapshot_restore(
+    spark: SparkSession, root: str, version: int, retries: int = 2
+) -> int:
+    """RESTORE: make an old version the new head by committing its
+    manifest (partitions, stats, schema, partition_cols) as version
+    N+1 — no data movement at all, since files are immutable; the only
+    thing that changes is the pointer.  The replay ledger and
+    arrival-order high-water are kept from the CURRENT head, not the
+    restore target: a batch applied after the target was committed is
+    still applied-history (its data is being deliberately rolled back;
+    re-delivering it must not silently re-commit), and future upserts
+    must keep superseding.  Needs the target manifest still retained
+    (i.e. not vacuumed)."""
+    last: RuntimeError | None = None
+    for _ in range(retries + 1):
+        head = current_version(spark, root)
+        if head is None:
+            raise FileNotFoundError(f"no snapshot versions under {root}")
+        target = read_manifest(spark, root, version)
+        cur = read_manifest(spark, root, head)
+        new_manifest = {
+            "version": head + 1,
+            "partitions": target["partitions"],
+            "file_stats": target.get("file_stats", {}),
+        }
+        for k in ("schema", "partition_cols"):
+            if target.get(k) is not None:
+                new_manifest[k] = target[k]
+        for k in ("applied_ids", "max_ingest_seq"):
+            if cur.get(k) is not None:
+                new_manifest[k] = cur[k]
+        try:
+            commit_version(spark, root, new_manifest, head + 1)
+            return head + 1
+        except RuntimeError as e:
+            if "already committed" not in str(e):
+                raise
+            last = e
+    raise last
+
+
 def compact_snapshot(
     spark: SparkSession,
     root: str,

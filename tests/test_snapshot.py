@@ -757,3 +757,52 @@ def test_snapshot_changes_cdc_feed(spark, tmp_path):
     v4 = compact_snapshot(spark, root, max_files_per_partition=0)
     if v4 is not None:
         assert snapshot_changes(spark, root, v3, v4).count() == 0
+
+
+def test_snapshot_restore_rolls_back_without_data_movement(spark, tmp_path):
+    from crypto_data_ingestion_module_spark.sinks.snapshot import (
+        snapshot_changes,
+        snapshot_restore,
+    )
+
+    root = str(tmp_path / "snap")
+    v1 = snapshot_upsert(
+        spark,
+        _candles(spark, [(100.0, 1.0, T0, "BTC-USDT", "coinbase", "15m")]),
+        root,
+        applied_id="b1",
+    )
+    before = _state(read_snapshot(spark, root))
+    v2 = snapshot_upsert(
+        spark,
+        _candles(spark, [(999.0, 9.0, T0, "BTC-USDT", "coinbase", "15m")]),
+        root,
+        applied_id="b2",
+    )
+    v3 = snapshot_restore(spark, root, v1)
+    assert v3 == v2 + 1
+    assert _state(read_snapshot(spark, root)) == before
+    # the rolled-back content is still time-travelable at v2
+    assert _state(read_snapshot(spark, root, version=v2)) != before
+    # CDC across the restore shows the revert as an update back
+    ch = snapshot_changes(spark, root, v2, v3).collect()
+    assert {r._change_type for r in ch} == {"update_postimage"}
+    assert ch[0].open == 100.0
+    # the ledger survives the restore: replaying b2 after the rollback
+    # is a no-op — its data was REMOVED deliberately, not lost
+    out = snapshot_upsert(
+        spark,
+        _candles(spark, [(999.0, 9.0, T0, "BTC-USDT", "coinbase", "15m")]),
+        root,
+        applied_id="b2",
+    )
+    assert out == v3
+    assert _state(read_snapshot(spark, root)) == before
+    # a genuinely NEW batch still supersedes (seq high-water kept)
+    snapshot_upsert(
+        spark,
+        _candles(spark, [(111.0, 2.0, T0, "BTC-USDT", "coinbase", "15m")]),
+        root,
+        applied_id="b3",
+    )
+    assert [r[3] for r in _state(read_snapshot(spark, root))] == [111.0]
