@@ -1524,6 +1524,11 @@ _register(
 #                            — driver-green r4; sessionization family
 #                              now evidenced by user_sessions_30m +
 #                              funnel_conversions
+# Round-6 rotation candidates (round-5 additions with pytest-only
+# signal so far): bpe_encode_docs, local_supplier_volume,
+# forecast_revenue_change, priority_by_linestatus,
+# value_outliers_3sigma, type_cooccurrence_lift, doc_rarity_score,
+# length_weighted_sample — displace per the usual family-twin rule.
 # --------------------------------------------------------------------------
 
 CHECKED_QUERIES: tuple[str, ...] = (
