@@ -39,9 +39,17 @@ def index_batch(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     dim: int = 64,
+    backend: str = "snapshot",
 ) -> None:
     """Encode + assign one batch against the frozen quantizers and append
-    it to the index lake (idempotent per batch id)."""
+    it to the index lake (idempotent per batch id).
+
+    ``backend="snapshot"`` (default): the append is one snapshot commit
+    partitioned by ``list_id``, with the batch id in the manifest's
+    replay ledger — a re-delivered batch appends NOTHING, and searchers
+    scanning the index mid-append see a whole version, never a partial
+    batch.  ``backend="swap"`` keeps the batch-id-deterministic
+    directory layout (replay overwrites its own dir)."""
     from crypto_data_ingestion_module_spark.operators.pq import (
         pq_encode,
         seeded_codebook,
@@ -85,13 +93,34 @@ def index_batch(
         )
     )
     out = assigned.join(codes, "nid")
-    # batch-id-deterministic dir: a replayed batch overwrites itself
-    out.write.mode("overwrite").parquet(
-        f"{lake_root.rstrip('/')}/batch-{batch_id}"
-    )
+    if backend == "snapshot":
+        from crypto_data_ingestion_module_spark.sinks.snapshot import (
+            snapshot_append,
+        )
+
+        snapshot_append(
+            batch.sparkSession,
+            lake_root,
+            out,
+            partition_cols=("list_id",),
+            applied_id=f"ann-{batch_id}",
+            ts_col="_no_ts",
+        )
+    else:
+        # batch-id-deterministic dir: a replayed batch overwrites itself
+        out.write.mode("overwrite").parquet(
+            f"{lake_root.rstrip('/')}/batch-{batch_id}"
+        )
 
 
 def read_index(spark: SparkSession, lake_root: str) -> DataFrame:
+    from crypto_data_ingestion_module_spark.sinks.snapshot import (
+        current_version,
+        read_snapshot,
+    )
+
+    if current_version(spark, lake_root) is not None:
+        return read_snapshot(spark, lake_root)
     return spark.read.parquet(f"{lake_root.rstrip('/')}/batch-*")
 
 
@@ -109,6 +138,11 @@ def stream_index_embeddings(
     available_now: bool = True,
 ) -> StreamingQuery:
     """Start incremental index maintenance over an embedding stream."""
+    import hashlib
+
+    # stream-scoped batch identity: a fresh checkpoint restarts ids at 0
+    # with different data (same discipline as streaming/live.py)
+    qid = hashlib.md5(checkpoint.encode()).hexdigest()[:12]
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -117,7 +151,7 @@ def stream_index_embeddings(
             batch_df,
             reference,
             lake_root,
-            batch_id,
+            f"{qid}-{batch_id}",
             n_lists,
             m,
             k_codes,
