@@ -8,6 +8,7 @@ cluster deployment only overrides this one module.
 from __future__ import annotations
 
 import os
+from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -238,3 +239,17 @@ def scan_time_range(
                 & (F.col(ts_col) < F.timestamp_millis(F.lit(hi_ms)))
             )
     return df
+
+
+def register_views(
+    spark: SparkSession, sf_dir: str, tables: Sequence[str] = TABLES
+) -> None:
+    """Expose the testdata tables as temp views so ``spark.sql`` is a
+    first-class query surface over the same data every DataFrame query
+    reads — including the nanosecond-timestamp handling of
+    :func:`load_table` (a raw ``CREATE TEMP VIEW ... USING parquet``
+    would read the events nano column as LONG).  After this, any ANSI
+    query a DuckDB-oracle string expresses (modulo dialect functions)
+    runs verbatim through Catalyst."""
+    for t in tables:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)

@@ -262,3 +262,53 @@ def test_q6_predicates_reach_parquet_scan(spark):
         assert col in pushed[0], (col, pushed[0])
     read = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
     assert read and "l_returnflag" not in read[0], read  # column pruning
+
+
+def test_sql_surface_over_registered_views(spark):
+    """spark.sql is a first-class surface: a join+aggregate written as
+    ANSI SQL over register_views equals the DataFrame twin bit-for-bit,
+    including the nano-timestamp events table."""
+    from crypto_data_ingestion_module_spark.session import (
+        load_table,
+        register_views,
+    )
+    from tests.conftest import SF_SMALL
+
+    register_views(spark, SF_SMALL)
+    got = {
+        (r.n_name, r.n_custs): round(r.total_bal, 6)
+        for r in spark.sql(
+            """
+            SELECT n_name, count(*) AS n_custs,
+                   CAST(SUM(CAST(round(c_acctbal * 100) AS DECIMAL(38,0)))
+                        AS DOUBLE) / 100.0 AS total_bal
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
+            """
+        ).collect()
+    }
+    cust = load_table(spark, SF_SMALL, "customer")
+    nat = load_table(spark, SF_SMALL, "nation")
+    want = {
+        (r.n_name, r.n_custs): round(r.total_bal, 6)
+        for r in cust.join(
+            nat, F.col("c_nationkey") == F.col("n_nationkey")
+        )
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_custs"),
+            (
+                F.sum(
+                    F.round(F.col("c_acctbal") * 100).cast("decimal(38,0)")
+                ).cast("double")
+                / 100.0
+            ).alias("total_bal"),
+        )
+        .collect()
+    }
+    assert got == want and got
+    # the nano-ts table reads as a real timestamp through the view
+    row = spark.sql("SELECT min(ts) AS lo FROM events").first()
+    import datetime as _dt
+
+    assert isinstance(row.lo, _dt.datetime)

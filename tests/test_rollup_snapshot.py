@@ -149,3 +149,30 @@ def test_snapshot_rollup_matches_marker_lake(spark, tmp_path):
     assert _rows(
         finalize(read_rollup_snapshot(spark, snap), ["event_type"])
     ) == _rows(finalize(read_rollup(spark, mark), ["event_type"]))
+
+
+def test_cascade_from_snapshot_rollup(spark, tmp_path):
+    """Coarser candles derived from the SNAPSHOT rollup's stored partials
+    equal a direct coarse rollup of the raw ticks — the materialized-view
+    hierarchy holds over the unified lake too."""
+    from crypto_data_ingestion_module_spark.operators.rollup import (
+        cascade_partials,
+    )
+
+    ev = load_table(spark, SF_SMALL, "events")
+    lake = str(tmp_path / "fine")
+    for i in range(2):
+        maintain_rollup_snapshot(
+            spark, ev.filter(F.col("event_id") % 2 == i), lake, IVL,
+            batch_id=i,
+        )
+    fine = read_rollup_snapshot(spark, lake).drop("date")
+    coarse = finalize(
+        cascade_partials(fine, IVL, 4 * IVL), ["event_type"]
+    )
+    direct_lake = str(tmp_path / "coarse")
+    maintain_rollup_snapshot(spark, ev, direct_lake, 4 * IVL, batch_id="d")
+    direct = finalize(
+        read_rollup_snapshot(spark, direct_lake), ["event_type"]
+    )
+    assert _rows(coarse) == _rows(direct)
