@@ -2370,3 +2370,33 @@ FROM ranked WHERE rank <= 5
 """,
     )
 )
+
+
+# --------------------------------------------------------------------------
+# A2/A3 sketch breadth: Misra-Gries heavy hitters (rows-only — the
+# sketch is approximate BY CONTRACT; its under-count bound and
+# heavy-hitter completeness are pinned by tests/test_sketch.py against
+# exact counts, the same discipline as value_quantiles_sketch).
+# --------------------------------------------------------------------------
+
+def _frequent_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crypto_data_ingestion_module_spark.operators.sketch import (
+        frequent_items,
+    )
+
+    return frequent_items(
+        _t(spark, sf_dir, "events"), "user_id", k=64, top=20
+    )
+
+
+_register(
+    QuerySpec(
+        name="frequent_users_sketch",
+        survey_ids=("A2", "A3"),
+        description="Misra-Gries heavy-hitter sketch over user_id: "
+        "k-counter bounded-memory partials per partition, one bounded "
+        "merge (mergeable, error <= n/(k+1); bound pinned in pytest)",
+        spark=_frequent_users,
+        oracle=None,
+    )
+)

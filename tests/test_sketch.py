@@ -1,0 +1,42 @@
+"""Misra-Gries frequent-items sketch: the classic guarantees, pinned
+against exact counts on an adversarially skewed frame."""
+
+from pyspark.sql import functions as F
+
+from crypto_data_ingestion_module_spark.operators.sketch import frequent_items
+from crypto_data_ingestion_module_spark.session import load_table
+from tests.conftest import SF_SMALL
+
+
+def test_mg_bounds_on_skewed_data(spark):
+    # power-law-ish: item i gets ~ N/(i+1) rows, plus a long uniform tail
+    rows = []
+    for i in range(8):
+        rows += [(f"hot{i}",)] * (2000 // (i + 1))
+    rows += [(f"cold{j}",) for j in range(3000)]
+    df = spark.createDataFrame(rows, "v string").repartition(16)
+    n = len(rows)
+    k = 64
+
+    got = {r.item: r.count_lower for r in frequent_items(df, "v", k=k, top=50).collect()}
+    exact = {
+        r.v: r.c
+        for r in df.groupBy("v").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    thresh = n / (k + 1)
+    # completeness: every true heavy hitter above n/(k+1) survives
+    for item, c in exact.items():
+        if c > thresh:
+            assert item in got, (item, c, thresh)
+    # soundness: the reported count is a LOWER bound within n/(k+1)
+    for item, lo in got.items():
+        assert lo <= exact[item], (item, lo, exact[item])
+        assert exact[item] - lo <= thresh + 1e-9, (item, lo, exact[item])
+
+
+def test_mg_over_testdata_runs_bounded(spark):
+    out = frequent_items(
+        load_table(spark, SF_SMALL, "events"), "user_id", k=64, top=20
+    ).collect()
+    assert 0 < len(out) <= 20
+    assert all(r.count_lower >= 1 for r in out)
