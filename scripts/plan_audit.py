@@ -44,6 +44,7 @@ NL_ALLOW = {
     "funnel_conversions": "single-row stage-total aggregates",
     "merge_upsert_keep_last": "single-row max-ingest-seq stamp broadcast",
     "ann_ivfpq_topk": "k-row centroid/codebook tables broadcast",
+    "frequent_tokens_exact": "single-row scalar (total n) threshold crossJoin",
 }
 
 # Full-width scans that are legitimately full-width (all columns used).

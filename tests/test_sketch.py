@@ -3,7 +3,10 @@ against exact counts on an adversarially skewed frame."""
 
 from pyspark.sql import functions as F
 
-from crypto_data_ingestion_module_spark.operators.sketch import frequent_items
+from crypto_data_ingestion_module_spark.operators.sketch import (
+    frequent_items,
+    frequent_items_exact,
+)
 from crypto_data_ingestion_module_spark.session import load_table
 from tests.conftest import SF_SMALL
 
@@ -40,3 +43,50 @@ def test_mg_over_testdata_runs_bounded(spark):
     ).collect()
     assert 0 < len(out) <= 20
     assert all(r.count_lower >= 1 for r in out)
+
+
+def test_exact_two_pass_equals_group_by_having(spark):
+    # the two-pass recipe must be partitioning-independent: its output
+    # equals the plain GROUP BY ... HAVING cnt*(k+1) > n on the same
+    # frame, including items that straddle the sketch's survivor set
+    rows = []
+    for i in range(8):
+        rows += [(f"hot{i}",)] * (2000 // (i + 1))
+    rows += [(f"cold{j}",) for j in range(3000)]
+    df = spark.createDataFrame(rows, "v string").repartition(16)
+    k = 9
+    n = len(rows)
+    got = [
+        (r.item, r.cnt) for r in frequent_items_exact(df, "v", k=k).collect()
+    ]
+    exact = {
+        r.v: r.c
+        for r in df.groupBy("v").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    want = sorted(
+        ((v, c) for v, c in exact.items() if c * (k + 1) > n),
+        key=lambda t: (-t[1], t[0]),
+    )
+    assert got == want
+    assert 0 < len(want) < len(exact)  # the threshold genuinely filters
+
+
+def test_hll_distinct_bound_vs_exact(spark):
+    # approx_count_distinct(rsd=0.02): pin relative error per group well
+    # inside the advertised bound's tail (3x rsd covers >99.7%)
+    ev = load_table(spark, SF_SMALL, "events")
+    approx = {
+        (r.event_type,): r.a
+        for r in ev.groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", 0.02).alias("a"))
+        .collect()
+    }
+    exact = {
+        (r.event_type,): r.e
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("e"))
+        .collect()
+    }
+    assert approx.keys() == exact.keys()
+    for key, e in exact.items():
+        assert abs(approx[key] - e) <= max(1, 0.06 * e), (key, approx[key], e)
