@@ -1245,8 +1245,18 @@ def _cluster_lake_path(sf_dir: str) -> str:
     import os
 
     base = os.path.basename(os.path.normpath(sf_dir))
+    # fold a data fingerprint into the key: regenerating testdata in
+    # place must invalidate the cache, not silently serve stale clusters
+    doc = os.path.join(sf_dir, "documents.parquet")
+    try:
+        st = os.stat(doc)
+        fp = f"{st.st_size}-{st.st_mtime_ns}"
+    except OSError:
+        fp = "nostat"
     return os.path.join(
-        "/tmp/spark_graft_cluster_lake", _CLUSTER_LAKE_VERSION, base
+        "/tmp/spark_graft_cluster_lake",
+        _CLUSTER_LAKE_VERSION,
+        f"{base}-{fp}",
     )
 
 
@@ -1307,7 +1317,18 @@ def _curated_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     path = _cluster_lake_path(sf_dir)
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        materialize_clusters(d, simhash_hamming_pairs(d), path)
+        # build into a private temp dir, publish with one atomic rename:
+        # a concurrent builder can never expose a half-written lake, and
+        # the rename loser just discards its copy and reads the winner's
+        import shutil
+
+        tmp = f"{path}.build-{os.getpid()}"
+        materialize_clusters(d, simhash_hamming_pairs(d), tmp)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        try:
+            os.rename(tmp, path)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
     return curated_corpus(
         d, read_clusters(spark, path), quality_min=_QUALITY_MIN
     )

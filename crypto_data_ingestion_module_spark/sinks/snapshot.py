@@ -444,6 +444,55 @@ def read_snapshot(
     return df
 
 
+def _check_partition_cols(manifest: dict, partition_cols: Sequence[str]) -> None:
+    """A write must use the lake's own partitioning: committing a
+    manifest whose ``partition_cols`` differ from the existing one would
+    leave files at mismatched paths and silently break partition-key
+    pruning (an upsert could then miss rows a foreign-partitioned append
+    wrote).  Repartitioning a lake is a migration, not a write."""
+    have = manifest.get("partition_cols")
+    if have is not None and list(have) != list(partition_cols):
+        raise ValueError(
+            f"lake is partitioned by {list(have)} but the write specifies "
+            f"{list(partition_cols)}: repartitioning needs an explicit "
+            "migration"
+        )
+
+
+def _evolve_schema(cur_schema, incoming_schema):
+    """Additive-only schema evolution shared by upsert/append: incoming
+    NEW columns widen the table schema; a retyped column is refused (a
+    migration, not a write).  Returns the widened StructType."""
+    from pyspark.sql import types as T
+
+    cur_types = {f.name: f.dataType for f in cur_schema.fields}
+    for f in incoming_schema.fields:
+        if f.name in cur_types and cur_types[f.name] != f.dataType:
+            raise TypeError(
+                f"column {f.name!r} arrives as {f.dataType.simpleString()} "
+                f"but the lake stores {cur_types[f.name].simpleString()}: "
+                "type changes need an explicit migration"
+            )
+    return T.StructType(
+        list(cur_schema.fields)
+        + [f for f in incoming_schema.fields if f.name not in cur_types]
+    )
+
+
+def _seq_high_water(manifest: dict, df: DataFrame) -> int | None:
+    """The arrival-order high-water mark to commit: the manifest's value,
+    raised to the written frame's own max(_ingest_seq) when the frame
+    carries the column — otherwise a later upsert could stamp
+    batch_seq <= existing seqs and keep-last would prefer stale rows."""
+    if manifest.get("max_ingest_seq") is None:
+        return None
+    hi = int(manifest["max_ingest_seq"])
+    if INGEST_SEQ in df.columns:
+        row = df.agg(F.max(INGEST_SEQ).alias("m")).first()
+        hi = max(hi, int(row["m"] or 0))
+    return hi
+
+
 def _conform(df: DataFrame, schema) -> DataFrame:
     """Project ``df`` onto ``schema`` (a StructType): present columns pass
     through, absent ones read typed NULL — how an evolved lake serves old
@@ -603,21 +652,21 @@ def _snapshot_merge_once(
         parts: dict[str, list[str]] = {}
         for f in files:
             parts.setdefault(_partition_of(f, partition_cols), []).append(f)
-        commit_version(
-            spark,
-            root,
-            {
-                "version": 1,
-                "partitions": parts,
-                "file_stats": _stats_for(spark, root, files, merged, ts_col),
-                "schema": merged.schema.jsonValue(),
-                "partition_cols": list(partition_cols),
-                "applied_ids": [applied_id] if applied_id else [],
-            },
-            1,
-        )
+        man1 = {
+            "version": 1,
+            "partitions": parts,
+            "file_stats": _stats_for(spark, root, files, merged, ts_col),
+            "schema": merged.schema.jsonValue(),
+            "partition_cols": list(partition_cols),
+            "applied_ids": [applied_id] if applied_id else [],
+        }
+        if INGEST_SEQ in merged.columns:
+            row = merged.agg(F.max(INGEST_SEQ).alias("m")).first()
+            man1["max_ingest_seq"] = int(row["m"] or 0)
+        commit_version(spark, root, man1, 1)
         return 1
     manifest = read_manifest(spark, root, v)
+    _check_partition_cols(manifest, partition_cols)
     if applied_id is not None and applied_id in manifest.get("applied_ids", []):
         return v
 
@@ -655,8 +704,9 @@ def _snapshot_merge_once(
         "partition_cols": list(partition_cols),
         "applied_ids": sorted(applied),
     }
-    if manifest.get("max_ingest_seq") is not None:
-        new_manifest["max_ingest_seq"] = manifest["max_ingest_seq"]
+    hi = _seq_high_water(manifest, merged)
+    if hi is not None:
+        new_manifest["max_ingest_seq"] = hi
     commit_version(spark, root, new_manifest, v + 1)
     return v + 1
 
@@ -702,8 +752,15 @@ def _snapshot_append_once(
             applied_id, ts_col,
         )
     manifest = read_manifest(spark, root, v)
+    _check_partition_cols(manifest, partition_cols)
     if applied_id is not None and applied_id in manifest.get("applied_ids", []):
         return v
+    # Same additive-evolution contract as the upsert path: new columns
+    # widen the committed schema (the explicit-schema read path would
+    # otherwise silently drop them forever), retypes are refused.
+    cur_schema = _manifest_schema(spark, root, manifest, v)
+    evolved = _evolve_schema(cur_schema, df.schema)
+    df = _conform(df, evolved)
     new_files = _write_data_files(spark, df, root, partition_cols)
     parts = {k: list(fl) for k, fl in manifest["partitions"].items()}
     for f in new_files:
@@ -717,12 +774,13 @@ def _snapshot_append_once(
         "version": v + 1,
         "partitions": parts,
         "file_stats": stats,
-        "schema": manifest.get("schema") or df.schema.jsonValue(),
+        "schema": evolved.jsonValue(),
         "partition_cols": list(partition_cols),
         "applied_ids": sorted(applied),
     }
-    if manifest.get("max_ingest_seq") is not None:
-        new_manifest["max_ingest_seq"] = manifest["max_ingest_seq"]
+    hi = _seq_high_water(manifest, df)
+    if hi is not None:
+        new_manifest["max_ingest_seq"] = hi
     commit_version(spark, root, new_manifest, v + 1)
     return v + 1
 
@@ -793,6 +851,7 @@ def _snapshot_upsert_once(
             spark, incoming, root, partition_cols, applied_id=applied_id
         )
     manifest = read_manifest(spark, root, v)
+    _check_partition_cols(manifest, partition_cols)
     if applied_id is not None and applied_id in manifest.get("applied_ids", []):
         return v
 
@@ -819,18 +878,7 @@ def _snapshot_upsert_once(
     # silently dropping the data; a batch MISSING known columns writes
     # NULL for them.  Dropping or retyping a column is refused — that is
     # a migration, not an upsert.
-    cur_types = {f.name: f.dataType for f in cur_schema.fields}
-    for f in incoming.schema.fields:
-        if f.name in cur_types and cur_types[f.name] != f.dataType:
-            raise TypeError(
-                f"column {f.name!r} arrives as {f.dataType.simpleString()} "
-                f"but the lake stores {cur_types[f.name].simpleString()}: "
-                "type changes need an explicit migration"
-            )
-    evolved = T.StructType(
-        list(cur_schema.fields)
-        + [f for f in incoming.schema.fields if f.name not in cur_types]
-    )
+    evolved = _evolve_schema(cur_schema, incoming.schema)
 
     touched_keys = {
         "/".join(f"{c}={r[c]}" for c in partition_cols)
@@ -895,6 +943,7 @@ def snapshot_delete(
     predicate,
     partition_cols: Sequence[str] = PARTITION_COLS,
     applied_id: str | None = None,
+    ts_col: str = "timestamp",
     retries: int = 2,
 ) -> tuple[int, int]:
     """DELETE FROM the snapshot lake: rewrite only the partitions holding
@@ -918,7 +967,7 @@ def snapshot_delete(
     for _ in range(retries + 1):
         try:
             return _snapshot_delete_once(
-                spark, root, predicate, partition_cols, applied_id
+                spark, root, predicate, partition_cols, applied_id, ts_col
             )
         except RuntimeError as e:
             if "already committed" not in str(e):
@@ -933,11 +982,13 @@ def _snapshot_delete_once(
     predicate,
     partition_cols: Sequence[str],
     applied_id: str | None,
+    ts_col: str,
 ) -> tuple[int, int]:
     v = current_version(spark, root)
     if v is None:
         raise FileNotFoundError(f"no snapshot versions under {root}")
     manifest = read_manifest(spark, root, v)
+    _check_partition_cols(manifest, partition_cols)
     if applied_id is not None and applied_id in manifest.get("applied_ids", []):
         return v, 0
 
@@ -974,7 +1025,7 @@ def _snapshot_delete_once(
         for f, st in manifest.get("file_stats", {}).items()
         if f in kept_files
     }
-    stats.update(_stats_for(spark, root, new_files, kept, "timestamp"))
+    stats.update(_stats_for(spark, root, new_files, kept, ts_col))
     applied = set(manifest.get("applied_ids", []))
     if applied_id is not None:
         applied.add(applied_id)
@@ -1003,6 +1054,7 @@ def snapshot_changes(
     to_version: int,
     key_cols: Sequence[str] = LOGICAL_KEY,
     partition_cols: Sequence[str] = PARTITION_COLS,
+    ignore_cols: Sequence[str] = (INGEST_SEQ,),
 ) -> DataFrame:
     """Change-data feed between two snapshot versions: every row keyed by
     ``key_cols`` that was inserted, updated, or deleted, tagged with a
@@ -1036,11 +1088,17 @@ def snapshot_changes(
     )
     keys = list(key_cols)
     payload = [c for c in [f.name for f in schema.fields] if c not in keys]
+    # the comparison struct excludes bookkeeping columns (_ingest_seq by
+    # default): a re-upsert of byte-identical business rows must emit no
+    # update_postimage; the emitted _image still carries every column
+    cmp_cols = [c for c in payload if c not in set(ignore_cols)]
     o = old.select(
-        *keys, F.struct(*payload).alias("_old")
+        *keys, F.struct(*payload).alias("_old"),
+        F.struct(*cmp_cols).alias("_oldc"),
     )
     n = new.select(
-        *keys, F.struct(*payload).alias("_new")
+        *keys, F.struct(*payload).alias("_new"),
+        F.struct(*cmp_cols).alias("_newc"),
     )
     j = o.join(n, keys, "full_outer")
     return (
@@ -1048,7 +1106,7 @@ def snapshot_changes(
             "_change_type",
             F.when(F.col("_old").isNull(), F.lit("insert"))
             .when(F.col("_new").isNull(), F.lit("delete"))
-            .when(~F.col("_old").eqNullSafe(F.col("_new")),
+            .when(~F.col("_oldc").eqNullSafe(F.col("_newc")),
                   F.lit("update_postimage")),
         )
         .filter(F.col("_change_type").isNotNull())

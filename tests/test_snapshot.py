@@ -806,3 +806,113 @@ def test_snapshot_restore_rolls_back_without_data_movement(spark, tmp_path):
         applied_id="b3",
     )
     assert [r[3] for r in _state(read_snapshot(spark, root))] == [111.0]
+
+
+def test_append_widens_schema_and_refuses_retype(spark, tmp_path):
+    """ADVICE r5 (medium): the append path honors the same additive
+    schema-evolution contract as upsert — new columns reach the manifest
+    schema (so the explicit-schema read path keeps them), retypes raise."""
+    from crypto_data_ingestion_module_spark.sinks.parquet_lake import PARTITION_COLS
+    from crypto_data_ingestion_module_spark.sinks.snapshot import snapshot_append
+
+    root = str(tmp_path / "snap")
+    snapshot_upsert(
+        spark,
+        _candles(spark, [(100.0, 1.0, T0, "BTC-USDT", "coinbase", "15m")]),
+        root,
+    )
+    wide = _candles(
+        spark, [(110.0, 1.5, T1, "BTC-USDT", "coinbase", "15m")]
+    ).withColumn("venue_tier", F.lit("tier1")).withColumn(
+        "date", F.date_format("timestamp", "yyyyMMdd")
+    )
+    snapshot_append(spark, root, wide, PARTITION_COLS)
+    out = read_snapshot(spark, root)
+    assert "venue_tier" in out.columns  # survived the explicit-schema read
+    got = {r.timestamp: r.venue_tier for r in out.collect()}
+    assert got == {T0: None, T1: "tier1"}
+
+    retyped = wide.withColumn("venue_tier", F.lit(7))
+    with pytest.raises(TypeError, match="venue_tier"):
+        snapshot_append(spark, root, retyped, PARTITION_COLS)
+
+    # a write partitioned differently from the lake is refused outright
+    with pytest.raises(ValueError, match="partitioned by"):
+        snapshot_append(spark, root, wide, ["date"])
+
+
+def test_append_advances_seq_high_water(spark, tmp_path):
+    """ADVICE r5: a merged/appended frame carrying _ingest_seq above the
+    recorded high-water must raise max_ingest_seq, or a later upsert
+    stamps a stale batch_seq and keep-last prefers old rows."""
+    from crypto_data_ingestion_module_spark.operators.merge import INGEST_SEQ
+    from crypto_data_ingestion_module_spark.sinks.parquet_lake import PARTITION_COLS
+    from crypto_data_ingestion_module_spark.sinks.snapshot import snapshot_append
+
+    root = str(tmp_path / "snap")
+    snapshot_upsert(
+        spark,
+        _candles(spark, [(100.0, 1.0, T0, "BTC-USDT", "coinbase", "15m")]),
+        root,
+    )  # max_ingest_seq == 1
+    carried = (
+        _candles(spark, [(110.0, 1.5, T1, "BTC-USDT", "coinbase", "15m")])
+        .withColumn(INGEST_SEQ, F.lit(100).cast("long"))
+        .withColumn("date", F.date_format("timestamp", "yyyyMMdd"))
+    )
+    v = snapshot_append(spark, root, carried, PARTITION_COLS)
+    assert read_manifest(spark, root, v)["max_ingest_seq"] == 100
+    # the correction now stamps batch_seq 101 and wins keep-last
+    snapshot_upsert(
+        spark,
+        _candles(spark, [(999.0, 9.9, T1, "BTC-USDT", "coinbase", "15m")]),
+        root,
+    )
+    got = {r.timestamp: r.open for r in read_snapshot(spark, root).collect()}
+    assert got[T1] == 999.0
+
+
+def test_cdc_ignores_ingest_seq_bookkeeping(spark, tmp_path):
+    """ADVICE r5: re-upserting byte-identical business rows bumps only
+    _ingest_seq; the CDC feed must emit zero logical changes."""
+    from crypto_data_ingestion_module_spark.sinks.snapshot import snapshot_changes
+
+    root = str(tmp_path / "snap")
+    rows = [
+        (100.0, 1.0, T0, "BTC-USDT", "coinbase", "15m"),
+        (50.0, 2.0, T0, "ETH-USDT", "coinbase", "15m"),
+    ]
+    v1 = snapshot_upsert(spark, _candles(spark, rows), root)
+    v2 = snapshot_upsert(spark, _candles(spark, rows), root)
+    assert v2 == v1 + 1  # files did change (new _ingest_seq stamps)
+    assert snapshot_changes(spark, root, v1, v2).count() == 0
+
+
+def test_delete_threads_ts_col_for_rewritten_file_stats(spark, tmp_path):
+    """ADVICE r5: deleting from a lake keyed on a non-default time axis
+    keeps per-file time stats for the rewritten files (pruning intact)."""
+    from crypto_data_ingestion_module_spark.sinks.snapshot import (
+        snapshot_append,
+        snapshot_delete,
+    )
+
+    root = str(tmp_path / "snap")
+    df = spark.createDataFrame(
+        [(T0, "a", 1.0), (T1, "a", 2.0), (T2, "b", 3.0)],
+        "bucket_ts timestamp, sym string, v double",
+    ).withColumn("date", F.to_date("bucket_ts"))
+    snapshot_append(spark, root, df, ["date"], ts_col="bucket_ts")
+    v, n = snapshot_delete(
+        spark,
+        root,
+        F.col("sym") == "a",
+        partition_cols=["date"],
+        ts_col="bucket_ts",
+    )
+    assert n == 2
+    man = read_manifest(spark, root, v)
+    live = {f for fl in man["partitions"].values() for f in fl}
+    assert live  # T2 row's partition survives (one rewritten, one kept)
+    for f in live:
+        assert f in man["file_stats"], f
+        assert man["file_stats"][f]["ts_min_us"] > 0
