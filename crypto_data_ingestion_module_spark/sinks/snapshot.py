@@ -62,6 +62,16 @@ from crypto_data_ingestion_module_spark.sinks.parquet_lake import (
 _VERSIONS = "_versions"
 
 
+class CommitConflict(RuntimeError):
+    """A concurrent writer won the version race.  Both loss modes raise
+    this: the pre-write existence check ("already committed") and the
+    losing rename itself (two writers can pass the existence check
+    together; exactly one rename lands).  Retry wrappers catch THIS type
+    — matching on message text once missed the rename-loser mode and a
+    lost race under real thread concurrency surfaced as a hard failure
+    instead of a recompute (caught by the writer-stress test)."""
+
+
 def _fs(spark: SparkSession, path_str: str):
     jvm = spark._jvm
     Path = jvm.org.apache.hadoop.fs.Path
@@ -171,7 +181,7 @@ def commit_version(
     fs.mkdirs(Path(vdir))
     final = Path(f"{vdir}/v{version:08d}.json")
     if fs.exists(final):
-        raise RuntimeError(
+        raise CommitConflict(
             f"snapshot version {version} already committed (concurrent "
             "writer won the race) — recompute against the new current "
             "version and retry"
@@ -184,7 +194,11 @@ def commit_version(
         out.close()
     if not fs.rename(tmp, final):
         fs.delete(tmp, False)
-        raise RuntimeError(f"rename to {final} failed (concurrent commit?)")
+        raise CommitConflict(
+            f"rename to {final} failed: a concurrent writer won the "
+            "version race — recompute against the new current version "
+            "and retry"
+        )
 
 
 def snapshot_files(spark: SparkSession, root: str,
@@ -622,16 +636,14 @@ def snapshot_merge_partitions(
     receives None when the lake doesn't exist yet (bootstrap).  Its
     result must carry the partition columns.
     """
-    last: RuntimeError | None = None
+    last: CommitConflict | None = None
     for _ in range(retries + 1):
         try:
             return _snapshot_merge_once(
                 spark, root, incoming, merge_fn, partition_cols,
                 applied_id, ts_col,
             )
-        except RuntimeError as e:
-            if "already committed" not in str(e):
-                raise
+        except CommitConflict as e:
             last = e
     raise last
 
@@ -724,15 +736,13 @@ def snapshot_append(
     partitions without replacing anything — the discipline for immutable
     facts (fingerprint band rows).  With ``applied_id``, a replayed
     batch appends NOTHING instead of relying on downstream dedup."""
-    last: RuntimeError | None = None
+    last: CommitConflict | None = None
     for _ in range(retries + 1):
         try:
             return _snapshot_append_once(
                 spark, root, df, partition_cols, applied_id, ts_col
             )
-        except RuntimeError as e:
-            if "already committed" not in str(e):
-                raise
+        except CommitConflict as e:
             last = e
     raise last
 
@@ -808,16 +818,14 @@ def snapshot_upsert(
     a no-op — exactly-once commits under at-least-once delivery, without
     leaning on keep-last coincidence.
     """
-    last: RuntimeError | None = None
+    last: CommitConflict | None = None
     for _ in range(retries + 1):
         try:
             return _snapshot_upsert_once(
                 spark, incoming, root, key_cols, partition_cols, batch_seq,
                 applied_id,
             )
-        except RuntimeError as e:
-            if "already committed" not in str(e):
-                raise
+        except CommitConflict as e:
             last = e
     raise last
 
@@ -963,15 +971,13 @@ def snapshot_delete(
     ``vacuum`` (which is also the GDPR clock: data is physically gone
     only when no retained manifest references its files).
     """
-    last: RuntimeError | None = None
+    last: CommitConflict | None = None
     for _ in range(retries + 1):
         try:
             return _snapshot_delete_once(
                 spark, root, predicate, partition_cols, applied_id, ts_col
             )
-        except RuntimeError as e:
-            if "already committed" not in str(e):
-                raise
+        except CommitConflict as e:
             last = e
     raise last
 
@@ -1132,7 +1138,7 @@ def snapshot_restore(
     re-delivering it must not silently re-commit), and future upserts
     must keep superseding.  Needs the target manifest still retained
     (i.e. not vacuumed)."""
-    last: RuntimeError | None = None
+    last: CommitConflict | None = None
     for _ in range(retries + 1):
         head = current_version(spark, root)
         if head is None:
@@ -1153,9 +1159,7 @@ def snapshot_restore(
         try:
             commit_version(spark, root, new_manifest, head + 1)
             return head + 1
-        except RuntimeError as e:
-            if "already committed" not in str(e):
-                raise
+        except CommitConflict as e:
             last = e
     raise last
 
@@ -1252,15 +1256,13 @@ def optimize_snapshot_zorder(
     files cover disjoint z-ranges, which is what makes the stat boxes
     tight.  ``files_per_partition`` scales the task count.
     """
-    last: RuntimeError | None = None
+    last: CommitConflict | None = None
     for _ in range(retries + 1):
         try:
             return _optimize_zorder_once(
                 spark, root, zcols, files_per_partition, partition_cols, ts_col
             )
-        except RuntimeError as e:
-            if "already committed" not in str(e):
-                raise
+        except CommitConflict as e:
             last = e
     raise last
 

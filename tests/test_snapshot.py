@@ -916,3 +916,108 @@ def test_delete_threads_ts_col_for_rewritten_file_stats(spark, tmp_path):
     for f in live:
         assert f in man["file_stats"], f
         assert man["file_stats"][f]["ts_min_us"] > 0
+
+
+def test_concurrent_writer_stress_with_reader_and_vacuum(spark, tmp_path):
+    """VERDICT r5 item 4: N threads upserting disjoint AND overlapping
+    partitions concurrently; a reader loop pins version monotonicity and
+    never observes a torn snapshot; vacuum races a reader of an old
+    version inside its retention window.  Every writer's row must land
+    (optimistic retry recomputes a lost race against the new current
+    snapshot — no write is silently dropped)."""
+    import threading
+
+    root = str(tmp_path / "snap")
+    snapshot_upsert(
+        spark,
+        _candles(
+            spark,
+            [(100.0 + i, 1.0, T0, f"S{i}-USDT", "coinbase", "15m")
+             for i in range(4)],
+        ),
+        root,
+    )
+
+    n_writers = 8
+    errors: list[BaseException] = []
+    stop = threading.Event()
+
+    def writer(i: int) -> None:
+        # i % 4 → two threads share each symbol partition (overlap);
+        # distinct timestamps → distinct logical keys, so a correct
+        # retry loop preserves every row
+        try:
+            snapshot_upsert(
+                spark,
+                _candles(
+                    spark,
+                    [(1000.0 + i, 2.0, T0 + dt.timedelta(minutes=i + 1),
+                      f"S{i % 4}-USDT", "coinbase", "15m")],
+                ),
+                root,
+                retries=32,
+            )
+        except BaseException as e:  # surfaced after join
+            errors.append(e)
+
+    def reader() -> None:
+        last_v = 0
+        try:
+            while not stop.is_set():
+                v = current_version(spark, root)
+                assert v is not None and v >= last_v, (v, last_v)
+                last_v = v
+                # a torn snapshot would read missing files or a row mix
+                # from two versions; explicit-manifest reads make this a
+                # hard failure rather than silent wrongness
+                n = read_snapshot(spark, root, v).count()
+                assert n >= 4, n
+        except BaseException as e:
+            errors.append(e)
+
+    threads = [threading.Thread(target=writer, args=(i,)) for i in range(n_writers)]
+    rt = threading.Thread(target=reader)
+    rt.start()
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    stop.set()
+    rt.join()
+    assert not errors, errors
+
+    # every writer's row landed exactly once
+    final = read_snapshot(spark, root)
+    assert final.count() == 4 + n_writers
+    opens = sorted(
+        r.open for r in final.filter(F.col("timestamp") > T0).collect()
+    )
+    assert opens == [1000.0 + i for i in range(n_writers)]
+    # the version chain is gap-free: one commit per successful write
+    v_now = current_version(spark, root)
+    for v in range(1, v_now + 1):
+        assert read_manifest(spark, root, v)["version"] == v
+
+    # vacuum racing a reader of an old version INSIDE the retention
+    # window: keep=3 retains v_now-2..v_now; reading v_now-1 while
+    # vacuum deletes pre-window files must succeed
+    target = v_now - 1
+    pre = read_snapshot(spark, root, target).count()
+    results: list[int] = []
+
+    def old_reader() -> None:
+        try:
+            for _ in range(5):
+                results.append(read_snapshot(spark, root, target).count())
+        except BaseException as e:
+            errors.append(e)
+
+    ot = threading.Thread(target=old_reader)
+    ot.start()
+    vacuum(spark, root, keep=3)
+    ot.join()
+    assert not errors, errors
+    assert results == [pre] * 5
+    # and the pre-window version is really gone (files collected)
+    with pytest.raises(Exception):
+        read_manifest(spark, root, 1)
