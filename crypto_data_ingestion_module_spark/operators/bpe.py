@@ -173,24 +173,17 @@ def bpe_vocab(
     )
 
 
-def bpe_encode_docs(
+def bpe_segment_table(
     docs: DataFrame,
     n_merges: int = 5,
     text_col: str = "text",
-    id_col: str = "doc_id",
 ) -> DataFrame:
-    """Tokenize every document with the trained merge table — the encode
-    side of :func:`bpe_merges`.  Returns per-document
-    ``(id, n_words, n_tokens)``: its [a-z]+ word count and its BPE token
-    count after ``n_merges`` rounds (the real token budget a trained
-    tokenizer would charge, vs the whitespace proxy in functions/text).
-
-    Scale shape: encoding is WORD-level — the distinct-word table
-    (vocabulary-sized) is segmented once by replaying the merge rounds,
-    then documents join their words against that tiny table (broadcast
-    at any corpus size: the vocabulary does not grow with corpus bytes
-    the way documents do).  Per-document work never re-runs a merge.
-    """
+    """Train the merge rounds and return the word-level segment table
+    ``(word, n_sym)``: each distinct [a-z]+ word with its BPE token
+    count after ``n_merges`` rounds.  This is the serving ARTIFACT — at
+    100 TB it is trained once, stored (vocabulary-sized: it does not
+    grow with corpus bytes), and every encode pass reads it instead of
+    replaying the trainer."""
     words = (
         docs.select(F.explode(F.split(F.col(text_col), " ")).alias("word"))
         .filter(F.col("word").rlike("^[a-z]+$"))
@@ -222,17 +215,53 @@ def bpe_encode_docs(
                 F.concat(F.lit(" "), F.col("lhs"), F.col("rhs"), F.lit(" ")),
             ).alias("w"),
         )
-    enc = words.select(
+    return words.select(
         "word", F.size(F.split(F.trim(F.col("w")), " ")).alias("n_sym")
     )
+
+
+def bpe_encode_with_segments(
+    docs: DataFrame,
+    segments: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Encode documents against a PRECOMPUTED segment table (the stored
+    merge-table artifact from :func:`bpe_segment_table`): one corpus
+    scan, one broadcast join, one hash aggregate — the 100 TB serving
+    path; per-document work never replays a merge."""
     return (
         docs.select(
             F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("word")
         )
-        .join(F.broadcast(enc), "word")
+        .join(F.broadcast(segments), "word")
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_words"),
             F.sum("n_sym").cast("long").alias("n_tokens"),
         )
+    )
+
+
+def bpe_encode_docs(
+    docs: DataFrame,
+    n_merges: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenize every document with the trained merge table — the encode
+    side of :func:`bpe_merges`.  Returns per-document
+    ``(id, n_words, n_tokens)``: its [a-z]+ word count and its BPE token
+    count after ``n_merges`` rounds (the real token budget a trained
+    tokenizer would charge, vs the whitespace proxy in functions/text).
+
+    Self-contained twin: trains the segment table inline and encodes
+    with it — row-identical to ``bpe_encode_with_segments`` over a
+    stored :func:`bpe_segment_table` artifact (pinned in pytest).
+    """
+    return bpe_encode_with_segments(
+        docs,
+        bpe_segment_table(docs, n_merges=n_merges, text_col=text_col),
+        text_col=text_col,
+        id_col=id_col,
     )

@@ -158,15 +158,23 @@ def _ret_milli() -> Column:
 def _rolling_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = _w_trail(24)
     df = _series(spark, sf_dir).withColumn("ret_m", _ret_milli())
-    n = F.count("ret_m").over(w)  # non-null returns in frame
-    s1 = F.sum("ret_m").over(w)
-    s2 = F.sum(F.col("ret_m") * F.col("ret_m")).over(w)
+    # materialize each window aggregate ONCE: referencing the window
+    # expressions directly inside var_m re-expanded them per reference
+    # (the physical plan carried count(ret_m) x4 and sum(ret_m) x2 across
+    # two Window execs — the r5 1.05 -> 1.4 s regression); as columns,
+    # Catalyst collapses all three into one Window exec pass.
+    df = (
+        df.withColumn("n", F.count("ret_m").over(w))  # non-null returns
+        .withColumn("s1", F.sum("ret_m").over(w))
+        .withColumn("s2", F.sum(F.col("ret_m") * F.col("ret_m")).over(w))
+    )
     # sample variance in milli^2; all inputs integer-valued doubles, so the
     # expression evaluates to identical bits in both engines.
-    var_m = (n * s2 - s1 * s1) / (n * (n - 1))
+    var_m = (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")) / (
+        F.col("n") * (F.col("n") - 1)
+    )
     return (
-        df.withColumn("n", n)
-        .withColumn("var_m", var_m)
+        df.withColumn("var_m", var_m)
         .select(
             "event_id",
             "event_type",

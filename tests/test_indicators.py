@@ -359,3 +359,30 @@ def test_bpe_training_trajectory(spark):
 
     t2 = bpe_merges(docs, n_merges=4, checkpoint=True)
     assert sorted(map(tuple, t2.collect())) == rows
+
+
+def test_bpe_encode_lake_path_equals_inline_twin(spark, tmp_path):
+    """The stored-segment serving path (what the registered query runs)
+    is row-identical to the self-contained trainer twin."""
+    from crypto_data_ingestion_module_spark.operators.bpe import (
+        bpe_encode_docs,
+        bpe_encode_with_segments,
+        bpe_segment_table,
+    )
+    from crypto_data_ingestion_module_spark.session import load_table
+    from tests.conftest import SF_SMALL
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    path = str(tmp_path / "segments")
+    bpe_segment_table(docs, n_merges=5).write.parquet(path)
+    lake = {
+        r.doc_id: (r.n_words, r.n_tokens)
+        for r in bpe_encode_with_segments(
+            docs, spark.read.parquet(path)
+        ).collect()
+    }
+    inline = {
+        r.doc_id: (r.n_words, r.n_tokens)
+        for r in bpe_encode_docs(docs, n_merges=5).collect()
+    }
+    assert lake == inline and len(lake) > 0
