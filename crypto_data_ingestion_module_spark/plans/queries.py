@@ -1524,11 +1524,44 @@ _register(
 #                            — driver-green r4; sessionization family
 #                              now evidenced by user_sessions_30m +
 #                              funnel_conversions
-# Round-6 rotation candidates (round-5 additions with pytest-only
-# signal so far): bpe_encode_docs, local_supplier_volume,
-# forecast_revenue_change, priority_by_linestatus,
+# Round-6 rotation (VERDICT r5 items 1 and 8): externalize the eight
+# round-5-late queries plus embedding_kmeans (the only major X3
+# component never driver-checked), sliding_value_stats_1h_15m (the
+# sliding/windowed family's stronger row), and the new
+# frequent_tokens_exact (the sketch family's first oracle-paired row).
+# In: bpe_encode_docs (now the stored-segment serving path),
+# local_supplier_volume (Q5), forecast_revenue_change (Q6, carries the
+# PushedFilters/ReadSchema plan pin), priority_by_linestatus (Q12),
 # value_outliers_3sigma, type_cooccurrence_lift, doc_rarity_score,
-# length_weighted_sample — displace per the usual family-twin rule.
+# length_weighted_sample, embedding_kmeans, sliding_value_stats_1h_15m,
+# frequent_tokens_exact.  Out (every family keeps an in-window twin;
+# all outs driver-green in r5):
+#   bpe_merge_table          — X4 BPE evidenced by bpe_vocab +
+#                              bpe_encode_docs (encode consumes the
+#                              merge table)
+#   stratified_sample_events — sampling family twin =
+#                              length_weighted_sample; pack_sequences
+#                              keeps the token-transform evidence
+#   ann_ivf_topk             — X3 keeps cosine_topk + ann_ivfpq_topk +
+#                              pq_adc_topk + hybrid_search_rerank, and
+#                              gains embedding_kmeans
+#   sliding_distinct_users   — sliding family twin =
+#                              sliding_value_stats_1h_15m
+#   revenue_by_nation        — §2.5 keeps pricing_summary (Q1),
+#                              shipping_priority_topk (Q3), the as-of
+#                              join, and gains Q5/Q6/Q12
+#   waiting_suppliers        — Q21 shape, driver-green r4+r5; same
+#                              §2.5 evidence set as above
+#   event_transitions        — sequence family evidenced by
+#                              funnel_conversions + user_sessions_30m
+#   candlestick_patterns     — indicator family keeps vwap_1h +
+#                              rolling_volatility_24 + max_drawdown
+#   semantic_near_dup_pairs  — X2 keeps simhash_hamming_pairs +
+#                              dedup_clusters + curated_corpus
+#   order_cube_status_year   — A2 partial/final agg evidenced by
+#                              pricing_summary + daily_type_pivot
+#   user_state_scd2          — stateful-history family evidenced by
+#                              funnel_conversions + user_sessions_30m
 # --------------------------------------------------------------------------
 
 CHECKED_QUERIES: tuple[str, ...] = (
@@ -1553,41 +1586,41 @@ CHECKED_QUERIES: tuple[str, ...] = (
     "candles_gap_filled",
     # joins / windows / grouping (§2.5 capability extensions)
     "pricing_summary",
-    "revenue_by_nation",
+    "local_supplier_volume",
+    "forecast_revenue_change",
+    "priority_by_linestatus",
     "asof_last_view_before_purchase",
     "user_sessions_30m",
-    "order_cube_status_year",
     "shipping_priority_topk",
-    "waiting_suppliers",
     # windowed / stateful analytics (round-5 rotation)
-    "user_state_scd2",
     "daily_type_pivot",
-    "sliding_distinct_users",
-    "event_transitions",
+    "sliding_value_stats_1h_15m",
     "funnel_conversions",
+    "value_outliers_3sigma",
+    "type_cooccurrence_lift",
+    "frequent_tokens_exact",
     # technical indicators (round-4: the candle lake's downstream analytics)
     "vwap_1h",
     "rolling_volatility_24",
     "max_drawdown",
-    "candlestick_patterns",
     # LLM-data-pipeline operators (X1–X5)
     "dedup_exact_documents",
     "text_quality",
     "simhash_hamming_pairs",
-    "semantic_near_dup_pairs",
     "dedup_clusters",
+    "doc_rarity_score",
     "cosine_topk",
-    "ann_ivf_topk",
+    "embedding_kmeans",
     "ann_ivfpq_topk",
     "pq_adc_topk",
     "hybrid_search_rerank",
-    "stratified_sample_events",
     "pack_sequences",
+    "length_weighted_sample",
     "curated_corpus",
     "label_centroids",
     "decontaminate_docs",
-    "bpe_merge_table",
     "bpe_vocab",
+    "bpe_encode_docs",
 )
 
 assert len(CHECKED_QUERIES) <= 50, len(CHECKED_QUERIES)
