@@ -95,6 +95,25 @@ def main() -> None:
     headline = {n: run(n) for n in HEADLINE if n in QUERY_SPECS}
 
     total = round(sum(timings.values()), 4)
+    # Cross-round regression artifact (VERDICT r5 item 6): the full
+    # settled-sweep detail as a FILE, so round-over-round comparisons
+    # stop depending on the driver's truncated output tail.  Diff two
+    # rounds with scripts/perf_diff.py.
+    perf_out = os.environ.get("SPARK_GRAFT_PERF_OUT")
+    if perf_out:
+        with open(perf_out, "w") as fh:
+            json.dump(
+                {
+                    "sf": _sf_from_dir(SF_DIR),
+                    "cpus": os.environ.get("SPARK_GRAFT_CPUS"),
+                    "sweep": timings,
+                    "headline": headline,
+                    "sweep_total_sec": total,
+                },
+                fh,
+                indent=1,
+                sort_keys=True,
+            )
     # Full detail first (local profiling / PERF.md source material) …
     print(
         json.dumps(
