@@ -1562,6 +1562,45 @@ _register(
 #                              pricing_summary + daily_type_pivot
 #   user_state_scd2          — stateful-history family evidenced by
 #                              funnel_conversions + user_sessions_30m
+# Round-7 rotation (VERDICT r6 item 2): drain the never-driver-checked
+# tail — all 11 ins have zero driver-green rows across r1–r6 (see
+# COVERAGE.md, regenerated by scripts/coverage_ledger.py).  In:
+# pattern_topk_windows, dup_ngram_stats, hashed_doc_similarity,
+# fuzzy_key_pairs, corpus_report, daily_volume_anomalies,
+# cosine_topk_quantized, quantize_embeddings, volume_shipping_by_year
+# (Q7 shape — also the r6 sweep's largest mover, so a driver row pins
+# its correctness while PERF.md tracks its time), excess_share_suppliers
+# (the most expensive sweep query, previously pytest-only), twap_1h.
+# Out (every family keeps an in-window twin; all outs multi-round
+# driver-green):
+#   shipping_priority_topk   — Q3, green r1–r6; §2.5 keeps
+#                              pricing_summary + Q5/Q6/Q12 + the as-of
+#                              join and gains Q7 + excess_share
+#   user_sessions_30m        — green r1,r3–r6; sessionization family
+#                              evidenced by funnel_conversions
+#   cosine_topk              — green r1–r6; X3 keeps embedding_kmeans +
+#                              ann_ivfpq_topk + pq_adc_topk and gains
+#                              cosine_topk_quantized + quantize_embeddings
+#   dedup_exact_documents    — green r1–r6; X1 evidenced by
+#                              decontaminate_docs (same hash-groupBy core)
+#   text_quality             — green r1–r6; X4 keeps doc_rarity_score +
+#                              bpe rows and gains corpus_report
+#   simhash_hamming_pairs    — green r2–r6; X2 keeps dedup_clusters +
+#                              curated_corpus and gains
+#                              hashed_doc_similarity + fuzzy_key_pairs +
+#                              dup_ngram_stats
+#   hybrid_search_rerank     — green r2–r6; X3 evidence as above
+#   max_drawdown             — green r4–r6; indicator family keeps
+#                              vwap_1h + rolling_volatility_24, gains
+#                              twap_1h
+#   candles_gap_filled       — green r4–r6; A1 evidenced by
+#                              ohlcv_resample_1h (flagship) + vwap_1h
+#   daily_type_pivot         — green r5–r6; daily-agg family gains
+#                              daily_volume_anomalies
+#   sliding_value_stats_1h_15m
+#                            — green r1,r3,r6; sliding-window family
+#                              gains pattern_topk_windows +
+#                              value_outliers_3sigma stays
 # --------------------------------------------------------------------------
 
 CHECKED_QUERIES: tuple[str, ...] = (
@@ -1582,38 +1621,37 @@ CHECKED_QUERIES: tuple[str, ...] = (
     "venue_interval_lookup",
     "backfill_chunk_manifest",
     "datasource_candles",
-    # candle analytics on the 15m resample (A1 dependents)
-    "candles_gap_filled",
     # joins / windows / grouping (§2.5 capability extensions)
     "pricing_summary",
     "local_supplier_volume",
     "forecast_revenue_change",
     "priority_by_linestatus",
     "asof_last_view_before_purchase",
-    "user_sessions_30m",
-    "shipping_priority_topk",
-    # windowed / stateful analytics (round-5 rotation)
-    "daily_type_pivot",
-    "sliding_value_stats_1h_15m",
+    "volume_shipping_by_year",
+    "excess_share_suppliers",
+    # windowed / stateful analytics
     "funnel_conversions",
     "value_outliers_3sigma",
     "type_cooccurrence_lift",
     "frequent_tokens_exact",
+    "pattern_topk_windows",
+    "daily_volume_anomalies",
     # technical indicators (round-4: the candle lake's downstream analytics)
     "vwap_1h",
     "rolling_volatility_24",
-    "max_drawdown",
+    "twap_1h",
     # LLM-data-pipeline operators (X1–X5)
-    "dedup_exact_documents",
-    "text_quality",
-    "simhash_hamming_pairs",
     "dedup_clusters",
     "doc_rarity_score",
-    "cosine_topk",
+    "dup_ngram_stats",
+    "hashed_doc_similarity",
+    "fuzzy_key_pairs",
+    "corpus_report",
     "embedding_kmeans",
     "ann_ivfpq_topk",
     "pq_adc_topk",
-    "hybrid_search_rerank",
+    "cosine_topk_quantized",
+    "quantize_embeddings",
     "pack_sequences",
     "length_weighted_sample",
     "curated_corpus",
