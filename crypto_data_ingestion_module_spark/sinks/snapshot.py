@@ -61,6 +61,36 @@ from crypto_data_ingestion_module_spark.sinks.parquet_lake import (
 
 _VERSIONS = "_versions"
 
+#: Replay-ledger retention horizon: each manifest keeps only the NEWEST
+#: this-many ``applied_ids`` (arrival order).  Unbounded, the ledger is
+#: O(all batches ever) rewritten into every manifest — at streaming
+#: cadence that makes the commit path itself the scale bottleneck long
+#: before data volume does.  512 covers any realistic at-least-once
+#: replay window (structured streaming re-delivers only the last
+#: uncommitted batch; external backfill drivers retry the last few
+#: chunks); a replay arriving from BEYOND the horizon re-applies, which
+#: keep-last upsert semantics absorb and append-only callers must treat
+#: as the documented contract.  Monkeypatch for tests.
+APPLIED_IDS_RETAIN = 512
+
+
+def _applied_ids_next(manifest: dict, applied_id: str | None) -> tuple[list[str], int]:
+    """The next manifest's bounded replay ledger.
+
+    Returns ``(ids, evicted_total)``: the arrival-ordered id list
+    truncated to the newest ``APPLIED_IDS_RETAIN`` entries, and the
+    cumulative count of ids ever evicted (carried forward so operators
+    can see that the ledger has compacted).  Arrival order — not the
+    sorted order older manifests stored — is what makes "newest N" a
+    replay HORIZON rather than an arbitrary lexicographic sample.
+    """
+    ids = list(manifest.get("applied_ids", []))
+    if applied_id is not None and applied_id not in ids:
+        ids.append(applied_id)
+    evicted = max(0, len(ids) - APPLIED_IDS_RETAIN)
+    total = int(manifest.get("applied_ids_evicted", 0)) + evicted
+    return ids[evicted:], total
+
 
 class CommitConflict(RuntimeError):
     """A concurrent writer won the version race.  Both loss modes raise
@@ -493,17 +523,38 @@ def _evolve_schema(cur_schema, incoming_schema):
     )
 
 
-def _seq_high_water(manifest: dict, df: DataFrame) -> int | None:
+def _seq_high_water(
+    manifest: dict,
+    df: DataFrame,
+    spark: SparkSession | None = None,
+    root: str | None = None,
+) -> int | None:
     """The arrival-order high-water mark to commit: the manifest's value,
     raised to the written frame's own max(_ingest_seq) when the frame
     carries the column — otherwise a later upsert could stamp
-    batch_seq <= existing seqs and keep-last would prefer stale rows."""
-    if manifest.get("max_ingest_seq") is None:
-        return None
-    hi = int(manifest["max_ingest_seq"])
+    batch_seq <= existing seqs and keep-last would prefer stale rows.
+
+    When the PRIOR manifest lacks the key (a legacy lake) but the frame
+    carries ``_ingest_seq``, HEAL by paying the full-lake max() read
+    ONCE here (the same fallback a later upsert would otherwise pay on
+    every call) and committing it.  The frame's own max is NOT a safe
+    substitute: a merge/append frame covers only the touched partitions,
+    so its max can understate seqs living elsewhere in the lake, and a
+    subsequent upsert's ``batch_seq = value + 1`` would then stamp new
+    rows BELOW existing ones — keep-last would prefer stale data."""
+    hi = (
+        int(manifest["max_ingest_seq"])
+        if manifest.get("max_ingest_seq") is not None
+        else None
+    )
     if INGEST_SEQ in df.columns:
+        if hi is None and spark is not None and root is not None:
+            lake = read_snapshot(spark, root, int(manifest["version"]))
+            if INGEST_SEQ in lake.columns:
+                row = lake.agg(F.max(INGEST_SEQ).alias("m")).first()
+                hi = int(row["m"] or 0)
         row = df.agg(F.max(INGEST_SEQ).alias("m")).first()
-        hi = max(hi, int(row["m"] or 0))
+        hi = max(hi or 0, int(row["m"] or 0))
     return hi
 
 
@@ -705,18 +756,17 @@ def _snapshot_merge_once(
         if f in kept
     }
     stats.update(_stats_for(spark, root, new_files, merged, ts_col))
-    applied = set(manifest.get("applied_ids", []))
-    if applied_id is not None:
-        applied.add(applied_id)
+    applied, evicted = _applied_ids_next(manifest, applied_id)
     new_manifest = {
         "version": v + 1,
         "partitions": parts,
         "file_stats": stats,
         "schema": merged.schema.jsonValue(),
         "partition_cols": list(partition_cols),
-        "applied_ids": sorted(applied),
+        "applied_ids": applied,
+        "applied_ids_evicted": evicted,
     }
-    hi = _seq_high_water(manifest, merged)
+    hi = _seq_high_water(manifest, merged, spark, root)
     if hi is not None:
         new_manifest["max_ingest_seq"] = hi
     commit_version(spark, root, new_manifest, v + 1)
@@ -777,18 +827,17 @@ def _snapshot_append_once(
         parts.setdefault(_partition_of(f, partition_cols), []).append(f)
     stats = dict(manifest.get("file_stats", {}))
     stats.update(_stats_for(spark, root, new_files, df, ts_col))
-    applied = set(manifest.get("applied_ids", []))
-    if applied_id is not None:
-        applied.add(applied_id)
+    applied, evicted = _applied_ids_next(manifest, applied_id)
     new_manifest = {
         "version": v + 1,
         "partitions": parts,
         "file_stats": stats,
         "schema": evolved.jsonValue(),
         "partition_cols": list(partition_cols),
-        "applied_ids": sorted(applied),
+        "applied_ids": applied,
+        "applied_ids_evicted": evicted,
     }
-    hi = _seq_high_water(manifest, df)
+    hi = _seq_high_water(manifest, df, spark, root)
     if hi is not None:
         new_manifest["max_ingest_seq"] = hi
     commit_version(spark, root, new_manifest, v + 1)
@@ -923,9 +972,7 @@ def _snapshot_upsert_once(
         seq_now = int(row["m"] or 0)
     else:
         seq_now = batch_seq
-    applied = set(manifest.get("applied_ids", []))
-    if applied_id is not None:
-        applied.add(applied_id)
+    applied, evicted = _applied_ids_next(manifest, applied_id)
     commit_version(
         spark,
         root,
@@ -935,7 +982,8 @@ def _snapshot_upsert_once(
             "file_stats": stats,
             "schema": evolved.jsonValue(),
             "partition_cols": list(partition_cols),
-            "applied_ids": sorted(applied),
+            "applied_ids": applied,
+            "applied_ids_evicted": evicted,
             "max_ingest_seq": max(
                 int(manifest.get("max_ingest_seq") or 0), seq_now
             ),
@@ -1032,9 +1080,7 @@ def _snapshot_delete_once(
         if f in kept_files
     }
     stats.update(_stats_for(spark, root, new_files, kept, ts_col))
-    applied = set(manifest.get("applied_ids", []))
-    if applied_id is not None:
-        applied.add(applied_id)
+    applied, evicted = _applied_ids_next(manifest, applied_id)
     commit_version(
         spark,
         root,
@@ -1045,7 +1091,8 @@ def _snapshot_delete_once(
                 "partitions": parts,
                 "file_stats": stats,
                 "partition_cols": list(partition_cols),
-                "applied_ids": sorted(applied),
+                "applied_ids": applied,
+                "applied_ids_evicted": evicted,
             },
         ),
         v + 1,
@@ -1153,7 +1200,7 @@ def snapshot_restore(
         for k in ("schema", "partition_cols"):
             if target.get(k) is not None:
                 new_manifest[k] = target[k]
-        for k in ("applied_ids", "max_ingest_seq"):
+        for k in ("applied_ids", "applied_ids_evicted", "max_ingest_seq"):
             if cur.get(k) is not None:
                 new_manifest[k] = cur[k]
         try:
@@ -1224,7 +1271,13 @@ def compact_snapshot(
 def _carry_extras(manifest: dict, new_manifest: dict) -> dict:
     """Layout-only commits (compact, zorder) must not lose the logical
     manifest state: table schema, replay ledger, arrival high-water."""
-    for k in ("schema", "partition_cols", "applied_ids", "max_ingest_seq"):
+    for k in (
+        "schema",
+        "partition_cols",
+        "applied_ids",
+        "applied_ids_evicted",
+        "max_ingest_seq",
+    ):
         if manifest.get(k) is not None:
             new_manifest.setdefault(k, manifest[k])
     return new_manifest

@@ -1021,3 +1021,140 @@ def test_concurrent_writer_stress_with_reader_and_vacuum(spark, tmp_path):
     # and the pre-window version is really gone (files collected)
     with pytest.raises(Exception):
         read_manifest(spark, root, 1)
+
+
+def test_applied_ids_ledger_is_bounded(spark, tmp_path, monkeypatch):
+    """VERDICT r6 item 3: the replay ledger is a retention HORIZON, not
+    an O(all-batches-ever) list rewritten into every manifest — the
+    commit path must stay O(retain) at streaming cadence."""
+    import crypto_data_ingestion_module_spark.sinks.snapshot as snap
+
+    monkeypatch.setattr(snap, "APPLIED_IDS_RETAIN", 8)
+
+    # 1,000-commit loop over the ledger fold itself: bounded throughout
+    man = {"applied_ids": [], "applied_ids_evicted": 0}
+    for i in range(1000):
+        ids, evicted = snap._applied_ids_next(man, f"batch-{i:04d}")
+        man = {"applied_ids": ids, "applied_ids_evicted": evicted}
+        assert len(man["applied_ids"]) <= 8
+    assert man["applied_ids"] == [f"batch-{i:04d}" for i in range(992, 1000)]
+    assert man["applied_ids_evicted"] == 992
+
+    # integration: a real lake under commit pressure keeps a bounded
+    # arrival-ordered ledger and still rejects an IN-horizon duplicate
+    # after older ids have been evicted
+    root = str(tmp_path / "snap")
+    for i in range(12):
+        snapshot_upsert(
+            spark,
+            _candles(
+                spark, [(float(i), 1.0, T0, "BTC-USDT", "coinbase", "15m")]
+            ),
+            root,
+            applied_id=f"b{i:02d}",
+        )
+    v = current_version(spark, root)
+    man = read_manifest(spark, root, v)
+    assert man["applied_ids"] == [f"b{i:02d}" for i in range(4, 12)]
+    assert man["applied_ids_evicted"] == 4
+    out = snapshot_upsert(
+        spark,
+        _candles(spark, [(999.0, 9.0, T0, "BTC-USDT", "coinbase", "15m")]),
+        root,
+        applied_id="b05",
+    )
+    assert out == v  # replay: no version bump
+    assert not any(
+        o == 999.0 for (_, _, _, o, _) in _state(read_snapshot(spark, root))
+    )
+
+
+def test_evicted_applied_id_reapplies_and_keep_last_absorbs(
+    spark, tmp_path, monkeypatch
+):
+    """Beyond the horizon the ledger forgets: a replay of an EVICTED id
+    re-applies (documented contract) — and on the upsert path keep-last
+    absorbs it, so lake content stays correct as long as the true replay
+    window fits inside APPLIED_IDS_RETAIN."""
+    import crypto_data_ingestion_module_spark.sinks.snapshot as snap
+
+    monkeypatch.setattr(snap, "APPLIED_IDS_RETAIN", 2)
+    root = str(tmp_path / "snap")
+    for i, aid in enumerate(["b0", "b1", "b2", "b3"]):
+        snapshot_upsert(
+            spark,
+            _candles(
+                spark, [(100.0 + i, 1.0, T0, "BTC-USDT", "coinbase", "15m")]
+            ),
+            root,
+            applied_id=aid,
+        )
+    v = current_version(spark, root)
+    assert read_manifest(spark, root, v)["applied_ids"] == ["b2", "b3"]
+    # b0 was evicted: its replay is NOT deduplicated (version bumps) but
+    # its stale payload carries a fresh higher batch_seq, so keep-last
+    # keeps the lake at the replayed payload — idempotent content only
+    # if the payload is idempotent; the retention horizon is the real
+    # exactly-once boundary and must cover the delivery replay window.
+    out = snapshot_upsert(
+        spark,
+        _candles(spark, [(100.0, 1.0, T0, "BTC-USDT", "coinbase", "15m")]),
+        root,
+        applied_id="b0",
+    )
+    assert out == v + 1
+
+
+def test_legacy_manifest_heals_max_ingest_seq_with_lake_wide_max(
+    spark, tmp_path
+):
+    """ADVICE r6: a legacy manifest (no max_ingest_seq) heals onto the
+    manifest fast path at the next merge/append commit — with the
+    LAKE-WIDE max, not the frame's own.  A frame covers only its touched
+    partitions, so its max can understate seqs living elsewhere; a later
+    upsert's batch_seq = healed+1 would then stamp new rows BELOW live
+    ones and keep-last would prefer stale data."""
+    from crypto_data_ingestion_module_spark.operators.merge import INGEST_SEQ
+    from crypto_data_ingestion_module_spark.sinks.snapshot import (
+        snapshot_append,
+    )
+
+    root = str(tmp_path / "snap")
+    snapshot_upsert(
+        spark,
+        _candles(spark, [(100.0, 1.0, T0, "BTC-USDT", "coinbase", "15m")]),
+        root,
+    )
+    snapshot_upsert(
+        spark,
+        _candles(spark, [(110.0, 1.0, T0, "BTC-USDT", "coinbase", "15m")]),
+        root,
+    )
+    v = current_version(spark, root)
+    man = read_manifest(spark, root, v)
+    lake_hi = int(man["max_ingest_seq"])
+    assert lake_hi >= 1
+    # simulate a legacy lake: strip the high-water key from the manifest
+    legacy = {k: val for k, val in man.items() if k != "max_ingest_seq"}
+    legacy["version"] = v + 1
+    commit_version(spark, root, legacy, v + 1)
+    assert read_manifest(spark, root, v + 1).get("max_ingest_seq") is None
+    # append into a DIFFERENT partition with a deliberately LOW seq
+    from crypto_data_ingestion_module_spark.sinks.parquet_lake import (
+        _with_date,
+    )
+
+    low = _with_date(
+        _candles(spark, [(200.0, 1.0, T2, "BTC-USDT", "coinbase", "15m")])
+    ).withColumn(INGEST_SEQ, F.lit(0).cast("long"))
+    v2 = snapshot_append(spark, root, low, partition_cols=man["partition_cols"])
+    healed = read_manifest(spark, root, v2)["max_ingest_seq"]
+    assert healed == lake_hi  # lake-wide, not the frame's 0
+    # and the fast path now yields a batch_seq that supersedes live rows
+    snapshot_upsert(
+        spark,
+        _candles(spark, [(300.0, 3.0, T0, "BTC-USDT", "coinbase", "15m")]),
+        root,
+    )
+    got = _state(read_snapshot(spark, root))
+    assert any(ts == T0 and o == 300.0 for (_, _, ts, o, _) in got)
