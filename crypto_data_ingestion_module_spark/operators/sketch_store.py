@@ -1,0 +1,316 @@
+"""Persisted, mergeable sketch partials over time (VERDICT r6 item 5).
+
+The 100 TB monitoring pattern is not "sketch the whole fact per query" —
+it is a daily job that stores each day's BOUNDED partial in the lake and
+a reader that merges partials over any date range without touching the
+fact again.  All three sketch families the repo computes are mergeable
+by construction; this module adds the missing persistence half:
+
+* **Misra-Gries heavy hitters** — per-(stratum, partition) k-counter
+  partials.  Each partial under-counts an item by at most
+  n_partial/(k+1); summed over ALL stored partials of a range the total
+  deficit is at most n_range/(k+1) (the bound telescopes), so every item
+  with true range-count > n_range/(k+1) survives with a positive summed
+  lower bound — the same completeness argument as the single-query
+  two-pass recipe in ``operators/sketch.py``, now across stored daily
+  partials.  The exact second pass is unchanged.
+* **HyperLogLog distinct** — per-(stratum, group) Datasketches HLL
+  binaries (``hll_sketch_agg``).  HLL merge is register-wise max:
+  associative, commutative, lossless at equal lgConfigK, so the
+  merged-over-range estimate EQUALS the recompute-from-scratch estimate
+  bit-for-bit (pinned in tests, not just bounded).
+* **Fixed-grid histograms (quantiles)** — per-stratum bucket counts.
+  Counts sum exactly, so range-merged quantile estimates equal the
+  from-scratch histogram's, and sit within one bucket width of the true
+  quantile.
+
+Storage is the repo's snapshot lake (``sinks/snapshot.py``): each
+day/stratum batch is one ``snapshot_append`` with an ``applied_id``, so
+a replayed daily job commits nothing, readers get snapshot isolation,
+and the partial tables inherit time travel + vacuum.  Partials are
+partitioned by the stratum column — a range read prunes to the touched
+partitions through the manifest, never scanning the fact.
+
+The reference has no sketch surface at all (crypto_collector.py keeps
+plain pandas frames); this is capability extension in the SURVEY §2.5 /
+A2 lane.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator, Sequence
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from crypto_data_ingestion_module_spark.sinks.snapshot import (
+    read_snapshot,
+    snapshot_append,
+)
+
+# ---------------------------------------------------------------------------
+# Misra-Gries partials, stratified
+# ---------------------------------------------------------------------------
+
+
+def _mg_by_stratum(stratum: str, col: str, k: int):
+    """Vectorized weighted MG with an independent k-counter set per
+    stratum value seen in this partition (same batch kernel as
+    ``operators/sketch._mg_partition``, keyed by stratum).  State is
+    (strata-in-partition x k) counters — bounded because a daily/enum
+    stratum has low cardinality; repartition by stratum upstream if it
+    does not."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counters: dict[str, pd.Series] = {}
+        for pdf in batches:
+            for day, grp in pdf.groupby(stratum, observed=True):
+                vc = grp[col].dropna().value_counts()
+                if vc.empty:
+                    continue
+                cur = counters.get(day)
+                cur = vc if cur is None else cur.add(vc, fill_value=0)
+                if len(cur) > k:
+                    d = cur.nlargest(k + 1).iloc[-1]
+                    cur = cur - d
+                    cur = cur[cur > 0]
+                counters[day] = cur
+        frames = [
+            pd.DataFrame(
+                {
+                    stratum: day,
+                    "item": cur.index.astype(str),
+                    "count_lower": cur.to_numpy().astype("int64"),
+                }
+            )
+            for day, cur in counters.items()
+        ]
+        if frames:
+            yield pd.concat(frames, ignore_index=True)
+        else:
+            yield pd.DataFrame(
+                {
+                    stratum: pd.Series(dtype=str),
+                    "item": pd.Series(dtype=str),
+                    "count_lower": pd.Series(dtype="int64"),
+                }
+            )
+
+    return run
+
+
+def mg_partials(
+    df: DataFrame, col: str, stratum: str, k: int = 64
+) -> DataFrame:
+    """Bounded ``(stratum, item, count_lower)`` MG partials: at most
+    (partitions x strata x k) rows, computed in one Arrow pass."""
+    src = df.select(
+        F.col(stratum).cast("string").alias(stratum),
+        F.col(col).cast("string").alias(col),
+    )
+    return src.mapInPandas(
+        _mg_by_stratum(stratum, col, k),
+        schema=f"{stratum} string, item string, count_lower long",
+    )
+
+
+def store_mg_partials(
+    spark: SparkSession,
+    df: DataFrame,
+    col: str,
+    root: str,
+    stratum: str = "day",
+    k: int = 64,
+    applied_id: str | None = None,
+) -> int:
+    """One daily-job commit: compute ``df``'s MG partials and append
+    them to the partial lake at ``root`` (replay-immune via
+    ``applied_id``)."""
+    return snapshot_append(
+        spark,
+        root,
+        mg_partials(df, col, stratum, k=k),
+        partition_cols=(stratum,),
+        applied_id=applied_id,
+    )
+
+
+def frequent_items_exact_from_partials(
+    fact: DataFrame,
+    partials: DataFrame,
+    col: str,
+    k: int,
+) -> DataFrame:
+    """The two-pass exact heavy hitters, pass 1 served from STORED
+    partials: the survivor set is the union of stored survivor items
+    (bounded, broadcastable); pass 2 is the same exact semi-join count
+    over ``fact`` — which must be exactly the data the partials cover.
+    Output ``(item, cnt)`` equals ``frequent_items_exact(fact)`` and the
+    plain-SQL oracle, independent of how partials were stored."""
+    survivors = partials.select("item").distinct()
+    src = fact.select(F.col(col).cast("string").alias("item")).where(
+        F.col("item").isNotNull()
+    )
+    total = src.agg(F.count(F.lit(1)).alias("n"))
+    exact = (
+        src.join(F.broadcast(survivors), "item", "left_semi")
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        exact.crossJoin(F.broadcast(total))  # single-row scalar, bounded
+        .where(F.col("cnt") * (k + 1) > F.col("n"))
+        .select("item", "cnt")
+        .orderBy(F.desc("cnt"), F.asc("item"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# HLL distinct partials
+# ---------------------------------------------------------------------------
+
+_HLL_LGK = 12
+
+
+def hll_partials(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str],
+    stratum: str = "day",
+    lgk: int = _HLL_LGK,
+) -> DataFrame:
+    """Per-(stratum, groups) Datasketches HLL binaries + exact row
+    counts — the stored unit of mergeable count-distinct."""
+    return df.groupBy(stratum, *group_cols).agg(
+        F.hll_sketch_agg(value_col, F.lit(lgk)).alias("hll"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+def store_hll_partials(
+    spark: SparkSession,
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str],
+    root: str,
+    stratum: str = "day",
+    lgk: int = _HLL_LGK,
+    applied_id: str | None = None,
+) -> int:
+    return snapshot_append(
+        spark,
+        root,
+        hll_partials(df, value_col, group_cols, stratum, lgk),
+        partition_cols=(stratum,),
+        applied_id=applied_id,
+    )
+
+
+def approx_distinct_over_range(
+    spark: SparkSession,
+    root: str,
+    group_cols: Sequence[str],
+    strata: Sequence[str] | None = None,
+    stratum: str = "day",
+) -> DataFrame:
+    """Merged count-distinct over any stored range: one register-wise
+    HLL union per group — never re-reads the fact.  Equals the
+    from-scratch estimate exactly (HLL merge is lossless at equal
+    lgConfigK; pinned in tests)."""
+    p = read_snapshot(spark, root)
+    if strata is not None:
+        p = p.where(F.col(stratum).isin(list(strata)))
+    return p.groupBy(*group_cols).agg(
+        F.hll_sketch_estimate(F.hll_union_agg("hll")).alias(
+            "approx_distinct"
+        ),
+        F.sum("n_rows").alias("n_rows"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-grid histogram partials (mergeable quantiles)
+# ---------------------------------------------------------------------------
+
+
+def histogram_partials(
+    df: DataFrame,
+    col: str,
+    lo: float,
+    hi: float,
+    bins: int,
+    stratum: str = "day",
+) -> DataFrame:
+    """Per-(stratum, bucket) counts on a fixed grid over [lo, hi]:
+    counts sum exactly across strata, so any range merge is lossless."""
+    w = (hi - lo) / bins
+    bucket = F.greatest(
+        F.lit(0),
+        F.least(
+            F.floor((F.col(col) - F.lit(lo)) / F.lit(w)).cast("long"),
+            F.lit(bins - 1),
+        ),
+    )
+    return (
+        df.where(F.col(col).isNotNull())
+        .groupBy(F.col(stratum), bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def store_histogram_partials(
+    spark: SparkSession,
+    df: DataFrame,
+    col: str,
+    root: str,
+    lo: float,
+    hi: float,
+    bins: int,
+    stratum: str = "day",
+    applied_id: str | None = None,
+) -> int:
+    return snapshot_append(
+        spark,
+        root,
+        histogram_partials(df, col, lo, hi, bins, stratum),
+        partition_cols=(stratum,),
+        applied_id=applied_id,
+    )
+
+
+def quantiles_from_histogram(
+    hist: DataFrame, qs: Sequence[float], lo: float, hi: float, bins: int
+) -> DataFrame:
+    """Quantile estimates from (possibly range-filtered) stored bucket
+    counts: merge = one hash agg over buckets, estimate = upper edge of
+    the first bucket whose cumulative count reaches q*n.  Error is
+    bounded by one bucket width; merged-over-range equals
+    from-scratch because counts sum exactly."""
+    from pyspark.sql import Window
+
+    w = (hi - lo) / bins
+    merged = hist.groupBy("bucket").agg(F.sum("cnt").alias("cnt"))
+    cum = merged.withColumn(
+        "cum",
+        F.sum("cnt").over(
+            Window.orderBy("bucket").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        ),
+    ).withColumn("n", F.sum("cnt").over(Window.partitionBy()))
+    out = None
+    for q in qs:
+        pick = (
+            cum.where(F.col("cum") >= F.lit(q) * F.col("n"))
+            .orderBy("bucket")
+            .limit(1)
+            .select(
+                F.lit(q).alias("q"),
+                (F.lit(lo) + (F.col("bucket") + 1) * F.lit(w)).alias(
+                    "estimate"
+                ),
+            )
+        )
+        out = pick if out is None else out.unionAll(pick)
+    return out

@@ -1241,46 +1241,83 @@ _QUALITY_MIN = 0.5
 _CLUSTER_LAKE_VERSION = "v1-simhash60-h3"
 
 
-def _artifact_path(sf_dir: str, family: str, version: str) -> str:
-    """Cache path for a materialized serving artifact (cluster lake, BPE
-    segment table): keyed by family + semantics version + sf_dir name +
-    a DATA fingerprint (documents parquet size+mtime) so regenerating
-    testdata in place invalidates the cache instead of silently serving
-    stale artifacts."""
+_ARTIFACTS_ROOT = "/tmp/spark_graft_artifacts"
+
+
+def _artifact_lake_root(sf_dir: str, family: str, version: str) -> str:
+    """STABLE snapshot-lake root for a materialized serving artifact
+    (cluster lake, BPE segment table): family + semantics version +
+    sf_dir name.  The data fingerprint is NOT in the path — it is the
+    refresh's ``applied_id``, so regenerating testdata in place commits
+    one overwrite into the same lake (old files vacuumed) instead of
+    stranding a sibling directory forever."""
     import os
 
     base = os.path.basename(os.path.normpath(sf_dir))
+    return os.path.join(_ARTIFACTS_ROOT, family, version, base)
+
+
+def _data_fingerprint(sf_dir: str) -> str:
+    """Cheap identity of the source corpus (documents parquet
+    size+mtime): the applied_id of an artifact refresh."""
+    import os
+
     doc = os.path.join(sf_dir, "documents.parquet")
     try:
         st = os.stat(doc)
-        fp = f"{st.st_size}-{st.st_mtime_ns}"
+        return f"{st.st_size}-{st.st_mtime_ns}"
     except OSError:
-        fp = "nostat"
-    return os.path.join(
-        f"/tmp/spark_graft_{family}", version, f"{base}-{fp}"
-    )
+        return "nostat"
 
 
-def _publish_atomic(path: str, build_fn) -> None:
-    """Build into a private temp dir, publish with one atomic rename: a
-    concurrent builder can never expose a half-written artifact, and the
-    rename loser discards its copy and reads the winner's."""
+def _serve_artifact(
+    spark: SparkSession, sf_dir: str, family: str, version: str, build_fn
+) -> DataFrame:
+    """Serve a derived artifact table from the repo's own snapshot lake.
+
+    Replaces the former bespoke ``/tmp`` + atomic-rename protocol
+    (VERDICT r6 item 4): the lake already provides atomic publication,
+    reader isolation, a version log for refresh history, and a
+    stress-tested concurrent-commit race.  The refresh is one
+    ``snapshot_overwrite`` keyed by the data fingerprint as
+    ``applied_id`` — a replayed build commits nothing, concurrent
+    builders collapse onto one winner, and a regeneration of the source
+    data triggers exactly one overwrite whose predecessor files
+    ``vacuum`` then collects.  Stale sibling SEMANTIC versions of the
+    same family are pruned on publish."""
     import os
     import shutil
 
-    if os.path.exists(os.path.join(path, "_SUCCESS")):
-        return
-    tmp = f"{path}.build-{os.getpid()}"
-    build_fn(tmp)
-    os.makedirs(os.path.dirname(path), exist_ok=True)
+    from crypto_data_ingestion_module_spark.sinks.snapshot import (
+        current_version,
+        read_manifest,
+        read_snapshot,
+        snapshot_overwrite,
+        vacuum,
+    )
+
+    root = _artifact_lake_root(sf_dir, family, version)
+    fp = _data_fingerprint(sf_dir)
+    v = current_version(spark, root)
+    if v is not None:
+        man = read_manifest(spark, root, v)
+        if fp in man.get("applied_ids", []):
+            return read_snapshot(spark, root, v).drop("shard")
+    df = build_fn().withColumn("shard", F.lit("all"))
+    ver = snapshot_overwrite(
+        spark, root, df, partition_cols=("shard",), applied_id=fp
+    )
+    vacuum(spark, root, keep=2)
+    fam_dir = os.path.join(_ARTIFACTS_ROOT, family)
     try:
-        os.rename(tmp, path)
+        for sibling in os.listdir(fam_dir):
+            if sibling != version:
+                shutil.rmtree(
+                    os.path.join(fam_dir, sibling), ignore_errors=True
+                )
     except OSError:
-        shutil.rmtree(tmp, ignore_errors=True)
-
-
-def _cluster_lake_path(sf_dir: str) -> str:
-    return _artifact_path(sf_dir, "cluster_lake", _CLUSTER_LAKE_VERSION)
+        pass
+    return read_snapshot(spark, root, ver).drop("shard")
 
 
 def _curated_q_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1321,28 +1358,30 @@ def _curated_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     The 100 TB shape (operators/curation.py): connected components runs
     once in the refresh pipeline; every consumer query is a corpus scan
     plus two semi-joins, one against the thin (doc_id, cluster_id,
-    is_rep) table.  The lake is built on first access per sf_dir —
-    refresh cost lands in the pipeline (or bench warmup), not in the
-    per-query path.  Oracle unchanged: identical output to the inline
-    twin.
+    is_rep) table.  The table lives in the repo's snapshot lake, built
+    on first access per sf_dir — refresh cost lands in the pipeline (or
+    bench warmup), not in the per-query path.  Oracle unchanged:
+    identical output to the inline twin.
     """
     from crypto_data_ingestion_module_spark.operators.curation import (
         curated_corpus,
-        materialize_clusters,
-        read_clusters,
+    )
+    from crypto_data_ingestion_module_spark.operators.graph import (
+        assign_clusters,
     )
     from crypto_data_ingestion_module_spark.operators.text_dedup import (
         simhash_hamming_pairs,
     )
 
     d = _t(spark, sf_dir, "documents")
-    path = _cluster_lake_path(sf_dir)
-    _publish_atomic(
-        path, lambda tmp: materialize_clusters(d, simhash_hamming_pairs(d), tmp)
+    clusters = _serve_artifact(
+        spark,
+        sf_dir,
+        "cluster_lake",
+        _CLUSTER_LAKE_VERSION,
+        lambda: assign_clusters(d, simhash_hamming_pairs(d)),
     )
-    return curated_corpus(
-        d, read_clusters(spark, path), quality_min=_QUALITY_MIN
-    )
+    return curated_corpus(d, clusters, quality_min=_QUALITY_MIN)
 
 
 _register(
@@ -2237,14 +2276,14 @@ def _bpe_encode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = _t(spark, sf_dir, "documents")
-    path = _artifact_path(sf_dir, "bpe_segments", _BPE_SEGMENTS_VERSION)
-    _publish_atomic(
-        path,
-        lambda tmp: bpe_segment_table(d, n_merges=5)
-        .write.mode("overwrite")
-        .parquet(tmp),
+    seg = _serve_artifact(
+        spark,
+        sf_dir,
+        "bpe_segments",
+        _BPE_SEGMENTS_VERSION,
+        lambda: bpe_segment_table(d, n_merges=5),
     )
-    return bpe_encode_with_segments(d, spark.read.parquet(path))
+    return bpe_encode_with_segments(d, seg)
 
 
 def _bpe_encode_oracle(n: int) -> str:

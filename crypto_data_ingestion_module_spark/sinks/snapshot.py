@@ -844,6 +844,77 @@ def _snapshot_append_once(
     return v + 1
 
 
+def snapshot_overwrite(
+    spark: SparkSession,
+    root: str,
+    df: DataFrame,
+    partition_cols: Sequence[str],
+    applied_id: str | None = None,
+    ts_col: str = "timestamp",
+    retries: int = 2,
+) -> int:
+    """INSERT OVERWRITE for the snapshot lake: replace the table's
+    ENTIRE content with ``df`` in one atomic manifest swap — the refresh
+    discipline for derived serving artifacts (near-dup cluster tables,
+    tokenizer segment tables) whose rebuild supersedes everything.
+
+    The replay ledger carries across overwrites: with ``applied_id`` a
+    re-delivered refresh (same data fingerprint) commits nothing, and
+    concurrent builders collapse onto one winner through the same
+    ``CommitConflict`` race every other write path uses — no bespoke
+    rename protocol.  Old versions stay readable (time travel) until
+    ``vacuum``.  Unlike upsert/append, the committed schema is the
+    frame's own: an overwrite IS the migration path."""
+    last: CommitConflict | None = None
+    for _ in range(retries + 1):
+        try:
+            return _snapshot_overwrite_once(
+                spark, root, df, partition_cols, applied_id, ts_col
+            )
+        except CommitConflict as e:
+            last = e
+    raise last
+
+
+def _snapshot_overwrite_once(
+    spark: SparkSession,
+    root: str,
+    df: DataFrame,
+    partition_cols: Sequence[str],
+    applied_id: str | None,
+    ts_col: str,
+) -> int:
+    v = current_version(spark, root)
+    manifest = read_manifest(spark, root, v) if v is not None else {}
+    if v is not None:
+        _check_partition_cols(manifest, partition_cols)
+        if applied_id is not None and applied_id in manifest.get(
+            "applied_ids", []
+        ):
+            return v
+    new_files = _write_data_files(spark, df, root, partition_cols)
+    parts: dict[str, list[str]] = {}
+    for f in new_files:
+        parts.setdefault(_partition_of(f, partition_cols), []).append(f)
+    applied, evicted = _applied_ids_next(manifest, applied_id)
+    new_manifest = {
+        "version": (v or 0) + 1,
+        "partitions": parts,
+        "file_stats": _stats_for(spark, root, new_files, df, ts_col),
+        "schema": df.schema.jsonValue(),
+        "partition_cols": list(partition_cols),
+        "applied_ids": applied,
+        "applied_ids_evicted": evicted,
+    }
+    hi = _seq_high_water(manifest, df, spark, root) if v is not None else (
+        _seq_high_water({}, df)
+    )
+    if hi is not None:
+        new_manifest["max_ingest_seq"] = hi
+    commit_version(spark, root, new_manifest, (v or 0) + 1)
+    return (v or 0) + 1
+
+
 def snapshot_upsert(
     spark: SparkSession,
     incoming: DataFrame,

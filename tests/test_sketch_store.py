@@ -1,0 +1,195 @@
+"""Persisted sketch partials (operators/sketch_store.py): lake-backed
+daily partials whose range merge EQUALS recompute-from-scratch — the
+100 TB monitoring discipline (VERDICT r6 item 5)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from crypto_data_ingestion_module_spark.operators.sketch import (
+    frequent_items_exact,
+)
+from crypto_data_ingestion_module_spark.operators.sketch_store import (
+    approx_distinct_over_range,
+    frequent_items_exact_from_partials,
+    histogram_partials,
+    quantiles_from_histogram,
+    store_histogram_partials,
+    store_hll_partials,
+    store_mg_partials,
+)
+from crypto_data_ingestion_module_spark.session import load_table
+from crypto_data_ingestion_module_spark.sinks.snapshot import (
+    current_version,
+    read_snapshot,
+)
+from tests.conftest import SF_SMALL
+
+K = 49
+
+
+def _tokens(spark):
+    return (
+        load_table(spark, SF_SMALL, "documents")
+        .filter(F.col("text").isNotNull())
+        .select(
+            "lang",
+            F.explode(F.split(F.lower("text"), " ")).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+    )
+
+
+def _events_with_day(spark):
+    return load_table(spark, SF_SMALL, "events").withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd")
+    )
+
+
+def test_mg_partials_stored_incrementally_merge_equals_single_query(
+    spark, tmp_path
+):
+    """Store each lang-stratum's MG partial as its OWN lake commit (the
+    daily-job shape), then serve exact heavy hitters from the stored
+    partials: identical rows to the one-shot two-pass operator."""
+    toks = _tokens(spark)
+    root = str(tmp_path / "mg")
+    langs = [r.lang for r in toks.select("lang").distinct().collect()]
+    for lang in langs:
+        store_mg_partials(
+            spark,
+            toks.where(F.col("lang") == lang),
+            "tok",
+            root,
+            stratum="lang",
+            k=K,
+            applied_id=f"mg-{lang}",
+        )
+    assert current_version(spark, root) == len(langs)
+
+    partials = read_snapshot(spark, root)
+    # bounded by construction: <= partitions x strata x k rows
+    assert partials.count() <= toks.rdd.getNumPartitions() * len(langs) * K
+
+    got = frequent_items_exact_from_partials(
+        toks, partials, "tok", k=K
+    ).collect()
+    want = frequent_items_exact(toks, "tok", k=K).collect()
+    assert [tuple(r) for r in got] == [
+        (r["item"], r["cnt"]) for r in want
+    ]
+    assert got, "threshold produced an empty heavy-hitter set"
+
+
+def test_mg_partials_replay_is_a_noop(spark, tmp_path):
+    toks = _tokens(spark)
+    root = str(tmp_path / "mg")
+    v1 = store_mg_partials(
+        spark, toks, "tok", root, stratum="lang", k=K, applied_id="job-1"
+    )
+    n1 = read_snapshot(spark, root).count()
+    v2 = store_mg_partials(
+        spark, toks, "tok", root, stratum="lang", k=K, applied_id="job-1"
+    )
+    assert v2 == v1  # replayed daily job: no version bump
+    assert read_snapshot(spark, root).count() == n1
+
+
+def test_hll_range_merge_equals_recompute(spark, tmp_path):
+    """HLL merge is register-wise max — lossless at equal lgK: the
+    estimate served from stored per-day partials equals the from-scratch
+    sketch of the same rows, for the full range AND a sub-range."""
+    ev = _events_with_day(spark)
+    root = str(tmp_path / "hll")
+    days = sorted(r.day for r in ev.select("day").distinct().collect())
+    for day in days:
+        store_hll_partials(
+            spark,
+            ev.where(F.col("day") == day),
+            "user_id",
+            ["event_type"],
+            root,
+            stratum="day",
+            applied_id=f"hll-{day}",
+        )
+
+    def direct(frame):
+        return {
+            (r.event_type, r.approx, r.n_rows)
+            for r in frame.groupBy("event_type")
+            .agg(
+                F.hll_sketch_estimate(
+                    F.hll_sketch_agg("user_id", F.lit(12))
+                ).alias("approx"),
+                F.count(F.lit(1)).alias("n_rows"),
+            )
+            .collect()
+        }
+
+    merged_all = {
+        (r.event_type, r.approx_distinct, r.n_rows)
+        for r in approx_distinct_over_range(
+            spark, root, ["event_type"]
+        ).collect()
+    }
+    assert merged_all == direct(ev)
+
+    sub = days[: max(1, len(days) // 2)]
+    merged_sub = {
+        (r.event_type, r.approx_distinct, r.n_rows)
+        for r in approx_distinct_over_range(
+            spark, root, ["event_type"], strata=sub
+        ).collect()
+    }
+    assert merged_sub == direct(ev.where(F.col("day").isin(sub)))
+
+    # the estimate is also close to truth (sanity on the rsd contract)
+    exact = {
+        r.event_type: r.d
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("d"))
+        .collect()
+    }
+    for et, est, _ in merged_all:
+        assert est == pytest.approx(exact[et], rel=0.05)
+
+
+def test_histogram_quantiles_merge_equals_scratch_and_bounds_error(
+    spark, tmp_path
+):
+    ev = _events_with_day(spark)
+    lo, hi, bins = 0.0, 1000.0, 200
+    root = str(tmp_path / "hist")
+    days = sorted(r.day for r in ev.select("day").distinct().collect())
+    for day in days:
+        store_histogram_partials(
+            spark,
+            ev.where(F.col("day") == day),
+            "value",
+            root,
+            lo,
+            hi,
+            bins,
+            stratum="day",
+            applied_id=f"h-{day}",
+        )
+    stored = read_snapshot(spark, root)
+    qs = [0.25, 0.5, 0.9, 0.99]
+    merged = {
+        r.q: r.estimate
+        for r in quantiles_from_histogram(stored, qs, lo, hi, bins).collect()
+    }
+    scratch = {
+        r.q: r.estimate
+        for r in quantiles_from_histogram(
+            histogram_partials(ev, "value", lo, hi, bins, stratum="day"),
+            qs,
+            lo,
+            hi,
+            bins,
+        ).collect()
+    }
+    assert merged == scratch  # counts sum exactly: lossless merge
+    width = (hi - lo) / bins
+    truth = ev.approxQuantile("value", qs, 0.0)  # exact at relErr=0
+    for q, t in zip(qs, truth):
+        assert abs(merged[q] - t) <= width + 1e-9

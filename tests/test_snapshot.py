@@ -1158,3 +1158,34 @@ def test_legacy_manifest_heals_max_ingest_seq_with_lake_wide_max(
     )
     got = _state(read_snapshot(spark, root))
     assert any(ts == T0 and o == 300.0 for (_, _, ts, o, _) in got)
+
+
+def test_snapshot_overwrite_replaces_everything_and_keeps_ledger(
+    spark, tmp_path
+):
+    """INSERT OVERWRITE: one atomic manifest swap replaces the whole
+    table — no partition of the old content survives — while the replay
+    ledger carries across, so a re-delivered refresh commits nothing."""
+    from crypto_data_ingestion_module_spark.sinks.snapshot import (
+        snapshot_overwrite,
+    )
+
+    root = str(tmp_path / "art")
+    a = spark.range(5).withColumn("shard", F.lit("all"))
+    v1 = snapshot_overwrite(spark, root, a, ("shard",), applied_id="fp-1")
+    assert v1 == 1
+    b = spark.range(100, 102).withColumn("shard", F.lit("all"))
+    v2 = snapshot_overwrite(spark, root, b, ("shard",), applied_id="fp-2")
+    assert v2 == 2
+    got = sorted(r.id for r in read_snapshot(spark, root).collect())
+    assert got == [100, 101]  # old rows gone wholly
+    man = read_manifest(spark, root, v2)
+    assert man["applied_ids"] == ["fp-1", "fp-2"]
+    # replayed refresh: no version bump, content untouched
+    c = spark.range(999, 1000).withColumn("shard", F.lit("all"))
+    out = snapshot_overwrite(spark, root, c, ("shard",), applied_id="fp-2")
+    assert out == v2
+    assert current_version(spark, root) == v2
+    # time travel still serves the pre-overwrite snapshot
+    old = sorted(r.id for r in read_snapshot(spark, root, v1).collect())
+    assert old == [0, 1, 2, 3, 4]
