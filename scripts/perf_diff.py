@@ -51,26 +51,20 @@ def _load(path: str) -> dict[str, dict[str, float]]:
     raise SystemExit(f"{path}: no per-query timings found")
 
 
-def main() -> int:
-    if len(sys.argv) < 3:
-        print(__doc__)
-        return 1
-    new_path, old_path = sys.argv[1], sys.argv[2]
-    threshold = float(sys.argv[3]) if len(sys.argv) > 3 else 1.5
-    a, b = _load(new_path), _load(old_path)
-    kind = next(
-        (k for k in ("sweep", "headline") if a.get(k) and b.get(k)), None
-    )
-    if kind is None:
-        raise SystemExit(
-            "no comparable section: one file has only sweep, the other "
-            "only headline"
-        )
+def diff_section(
+    kind: str,
+    new: dict[str, float],
+    old: dict[str, float],
+    threshold: float,
+) -> list[tuple[str, float, float, float]]:
+    """Print the round-over-round comparison for one section and return
+    the flagged queries.  Sections are never cross-compared (in-sweep
+    numbers carry interference the settled headline does not)."""
     print(f"comparing {kind} timings")
-    new, old = a[kind], b[kind]
     common = sorted(set(new) & set(old))
     if not common:
-        raise SystemExit("no common queries between the two rounds")
+        print(f"  no common {kind} queries between the two rounds")
+        return []
 
     t_new = sum(new[q] for q in common)
     t_old = sum(old[q] for q in common)
@@ -91,11 +85,37 @@ def main() -> int:
         if old[q] > 0 and new[q] / old[q] > threshold
     ]
     if not flagged:
-        print(f"no query above {threshold}x its prior time — clean")
+        print(f"no {kind} query above {threshold}x its prior time — clean")
+        return []
+    print(f"\nFLAGGED {kind} (> {threshold}x prior; re-measure standalone before attributing):")
+    for q, t_o, t_n, r in sorted(flagged, key=lambda t: -t[3]):
+        print(f"  {q}: {t_o:.3f} s -> {t_n:.3f} s ({r:.2f}x)")
+    return flagged
+
+
+def main() -> int:
+    if len(sys.argv) < 3:
+        print(__doc__)
+        return 1
+    new_path, old_path = sys.argv[1], sys.argv[2]
+    threshold = float(sys.argv[3]) if len(sys.argv) > 3 else 1.5
+    a, b = _load(new_path), _load(old_path)
+    # Diff EVERY section present in both artifacts and flag on either —
+    # diffing only the first common section let a 1.23x settled-headline
+    # drift pass ungated while the sweep stayed under threshold (r7).
+    kinds = [k for k in ("sweep", "headline") if a.get(k) and b.get(k)]
+    if not kinds:
+        raise SystemExit(
+            "no comparable section: one file has only sweep, the other "
+            "only headline"
+        )
+    any_flagged = False
+    for kind in kinds:
+        if any_flagged:
+            print()
+        any_flagged = bool(diff_section(kind, a[kind], b[kind], threshold)) or any_flagged
+    if not any_flagged:
         return 0
-    print(f"\nFLAGGED (> {threshold}x prior; re-measure standalone before attributing):")
-    for q, a, b, r in sorted(flagged, key=lambda t: -t[3]):
-        print(f"  {q}: {a:.3f} s -> {b:.3f} s ({r:.2f}x)")
     print(
         "\nreceipt recipe: 2 warm-ups + System.gc + 5 noop-sink runs at "
         "sf0.1 local[32] (PERF.md round-6 methodology note), then record "
