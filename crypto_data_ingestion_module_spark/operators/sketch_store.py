@@ -53,6 +53,17 @@ from crypto_data_ingestion_module_spark.sinks.snapshot import (
 # Misra-Gries partials, stratified
 # ---------------------------------------------------------------------------
 
+#: Sentinel stratum for rows whose stratum column is NULL.  The survivor
+#: completeness contract (``frequent_items_exact_from_partials`` equals
+#: ``frequent_items_exact(fact)``) requires EVERY fact row with a
+#: non-null item to be counted in some partial — pandas ``groupby``'s
+#: default ``dropna=True`` silently excluded null-stratum rows, so an
+#: item concentrated there could miss the survivor set and a true heavy
+#: hitter would be dropped (ADVICE r7).  A real stratum value equal to
+#: the sentinel merely merges counter sets — still a valid MG partial
+#: over the combined substream, never an undercount.
+NULL_STRATUM = "__null__"
+
 
 def _mg_by_stratum(stratum: str, col: str, k: int):
     """Vectorized weighted MG with an independent k-counter set per
@@ -65,6 +76,12 @@ def _mg_by_stratum(stratum: str, col: str, k: int):
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         counters: dict[str, pd.Series] = {}
         for pdf in batches:
+            # normalize BEFORE the groupby: dropna=True would silently
+            # exclude null-stratum rows from every partial
+            if pdf[stratum].isna().any():
+                pdf = pdf.assign(
+                    **{stratum: pdf[stratum].fillna(NULL_STRATUM)}
+                )
             for day, grp in pdf.groupby(stratum, observed=True):
                 vc = grp[col].dropna().value_counts()
                 if vc.empty:
@@ -243,14 +260,26 @@ def histogram_partials(
     stratum: str = "day",
 ) -> DataFrame:
     """Per-(stratum, bucket) counts on a fixed grid over [lo, hi]:
-    counts sum exactly across strata, so any range merge is lossless."""
+    counts sum exactly across strata, so any range merge is lossless.
+
+    Out-of-grid values land in DEDICATED sentinel buckets — ``-1`` for
+    ``v < lo``, ``bins`` for ``v >= hi`` — instead of being folded into
+    the edge buckets, which would silently break the one-bucket-width
+    quantile error bound without any visible signal (ADVICE r7).  A
+    non-zero sentinel count is the operator's cue that the fixed grid no
+    longer covers the data and needs re-ranging."""
     w = (hi - lo) / bins
-    bucket = F.greatest(
-        F.lit(0),
-        F.least(
-            F.floor((F.col(col) - F.lit(lo)) / F.lit(w)).cast("long"),
-            F.lit(bins - 1),
-        ),
+    bucket = (
+        F.when(F.col(col) < F.lit(lo), F.lit(-1).cast("long"))
+        .when(F.col(col) >= F.lit(hi), F.lit(bins).cast("long"))
+        .otherwise(
+            # least() guards the float edge case where v just under hi
+            # divides to exactly `bins` after rounding
+            F.least(
+                F.floor((F.col(col) - F.lit(lo)) / F.lit(w)).cast("long"),
+                F.lit(bins - 1),
+            )
+        )
     )
     return (
         df.where(F.col(col).isNotNull())
@@ -285,8 +314,13 @@ def quantiles_from_histogram(
     """Quantile estimates from (possibly range-filtered) stored bucket
     counts: merge = one hash agg over buckets, estimate = upper edge of
     the first bucket whose cumulative count reaches q*n.  Error is
-    bounded by one bucket width; merged-over-range equals
-    from-scratch because counts sum exactly."""
+    bounded by one bucket width FOR IN-GRID BUCKETS; merged-over-range
+    equals from-scratch because counts sum exactly.  The sentinel
+    buckets extend the grid continuously — underflow (``-1``) estimates
+    as ``lo`` (a true upper edge: the value is below the grid), overflow
+    (``bins``) as ``hi + width``, where the width bound does NOT hold
+    (the value may exceed ``hi`` arbitrarily) — by construction visible
+    rather than silently clamped."""
     from pyspark.sql import Window
 
     w = (hi - lo) / bins

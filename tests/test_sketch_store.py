@@ -94,6 +94,63 @@ def test_mg_partials_replay_is_a_noop(spark, tmp_path):
     assert read_snapshot(spark, root).count() == n1
 
 
+def test_mg_partials_count_null_stratum_rows(spark, tmp_path):
+    """A heavy hitter whose occurrences concentrate in NULL-stratum rows
+    must still survive into the stored partials: pandas groupby's default
+    dropna=True silently excluded those rows (ADVICE r7), breaking the
+    'equals frequent_items_exact(fact)' contract."""
+    rows = (
+        # 'hot' appears 40x, ONLY under a null stratum
+        [(None, "hot")] * 40
+        # plus strata-tagged filler making n large enough that only
+        # 'hot' and 'warm' clear the n/(k+1) threshold
+        + [("d1", "warm")] * 30
+        + [("d1", f"rare{i}") for i in range(15)]
+        + [("d2", f"rare{i}") for i in range(15, 30)]
+    )
+    fact = spark.createDataFrame(rows, "day string, tok string").coalesce(4)
+    k = 9  # threshold = n/10 = 10 occurrences
+    root = str(tmp_path / "mgnull")
+    store_mg_partials(
+        spark, fact, "tok", root, stratum="day", k=k, applied_id="j1"
+    )
+    partials = read_snapshot(spark, root)
+    got = [
+        tuple(r)
+        for r in frequent_items_exact_from_partials(
+            fact, partials, "tok", k=k
+        ).collect()
+    ]
+    want = [
+        (r["item"], r["cnt"])
+        for r in frequent_items_exact(fact, "tok", k=k).collect()
+    ]
+    assert got == want
+    assert ("hot", 40) in got
+
+
+def test_histogram_out_of_range_mass_is_visible(spark, tmp_path):
+    """Values outside [lo, hi) land in dedicated sentinel buckets (-1 /
+    bins) instead of silently inflating the edge buckets (ADVICE r7)."""
+    lo, hi, bins = 0.0, 10.0, 10
+    rows = (
+        [("d1", -5.0)] * 3          # underflow
+        + [("d1", 0.0), ("d1", 9.9)]  # true edge values, in-grid
+        + [("d1", 10.0), ("d1", 99.0)]  # overflow (hi is exclusive)
+        + [("d1", 5.0)] * 4
+    )
+    df = spark.createDataFrame(rows, "day string, value double")
+    hist = {
+        r.bucket: r.cnt
+        for r in histogram_partials(df, "value", lo, hi, bins).collect()
+    }
+    assert hist[-1] == 3          # underflow visible, not folded into 0
+    assert hist[bins] == 2        # overflow visible, not folded into 9
+    assert hist[0] == 1 and hist[9] == 1  # edge buckets: in-grid rows only
+    assert hist[5] == 4
+    assert sum(hist.values()) == len(rows)
+
+
 def test_hll_range_merge_equals_recompute(spark, tmp_path):
     """HLL merge is register-wise max — lossless at equal lgK: the
     estimate served from stored per-day partials equals the from-scratch
