@@ -1601,6 +1601,45 @@ _register(
 #                            — green r1,r3,r6; sliding-window family
 #                              gains pattern_topk_windows +
 #                              value_outliers_3sigma stays
+# Round-8 rotation (VERDICT r7 items 3, 4, 6): keep draining the
+# never-driver-checked tail.  In (11 never-checked + the new
+# frequent_tokens_from_partials, the sketch store's first driver-facing
+# oracle row): retention_cohorts, returned_item_ranking (Q10),
+# product_profit_by_nation_year (Q9), large_volume_customers (Q18),
+# disjunctive_revenue (Q19), dq_audit, doc_keywords, embedding_outliers,
+# corpus_mixture, value_histogram_1h, rsi_14,
+# frequent_tokens_from_partials.  Out (every family keeps an in-window
+# twin; all outs driver-green, most freshly in r7):
+#   volume_shipping_by_year, excess_share_suppliers, local_supplier_volume,
+#   priority_by_linestatus   — Q7/Q11/Q5/Q12 shapes (green r7/r7/r6/r6);
+#                              §2.5 keeps pricing_summary (Q1) +
+#                              forecast_revenue_change (Q6) + the as-of
+#                              join and gains Q9/Q10/Q18/Q19
+#   twap_1h, rolling_volatility_24
+#                            — green r7 / r4-r6; indicator family keeps
+#                              vwap_1h (the r7 perf-weak row — its fresh
+#                              driver receipt matters) and gains rsi_14
+#   dup_ngram_stats, hashed_doc_similarity, fuzzy_key_pairs
+#                            — green r7; X2 keeps dedup_clusters +
+#                              curated_corpus
+#   quantize_embeddings, cosine_topk_quantized
+#                            — green r7; X3 keeps embedding_kmeans +
+#                              ann_ivfpq_topk + pq_adc_topk and gains
+#                              embedding_outliers
+#   corpus_report            — green r7; X4 keeps doc_rarity_score +
+#                              bpe rows and gains doc_keywords +
+#                              corpus_mixture
+# Round-9 rotation plan (VERDICT r7 item 6 — commit the list now so the
+# never-checked paired backlog reaches ZERO next round).  After r8's
+# receipts land, exactly 10 paired queries remain never-driver-checked;
+# rotate ALL of them in: activity_streaks, amihud_illiquidity,
+# bollinger_breakouts_20, cross_stream_spread_1h, hourly_seasonality,
+# important_parts, interval_completeness, mean_shift_points,
+# order_flow_1h, value_deciles.  Suggested outs (all will then hold
+# r8 receipts; keep each family's twin): retention_cohorts,
+# returned_item_ranking, product_profit_by_nation_year,
+# large_volume_customers, disjunctive_revenue, dq_audit, doc_keywords,
+# embedding_outliers, corpus_mixture, value_histogram_1h.
 # --------------------------------------------------------------------------
 
 CHECKED_QUERIES: tuple[str, ...] = (
@@ -1623,35 +1662,35 @@ CHECKED_QUERIES: tuple[str, ...] = (
     "datasource_candles",
     # joins / windows / grouping (§2.5 capability extensions)
     "pricing_summary",
-    "local_supplier_volume",
     "forecast_revenue_change",
-    "priority_by_linestatus",
     "asof_last_view_before_purchase",
-    "volume_shipping_by_year",
-    "excess_share_suppliers",
+    "returned_item_ranking",
+    "product_profit_by_nation_year",
+    "large_volume_customers",
+    "disjunctive_revenue",
     # windowed / stateful analytics
     "funnel_conversions",
     "value_outliers_3sigma",
     "type_cooccurrence_lift",
     "frequent_tokens_exact",
+    "frequent_tokens_from_partials",
     "pattern_topk_windows",
     "daily_volume_anomalies",
+    "value_histogram_1h",
+    "retention_cohorts",
+    "dq_audit",
     # technical indicators (round-4: the candle lake's downstream analytics)
     "vwap_1h",
-    "rolling_volatility_24",
-    "twap_1h",
+    "rsi_14",
     # LLM-data-pipeline operators (X1–X5)
     "dedup_clusters",
     "doc_rarity_score",
-    "dup_ngram_stats",
-    "hashed_doc_similarity",
-    "fuzzy_key_pairs",
-    "corpus_report",
+    "doc_keywords",
+    "corpus_mixture",
     "embedding_kmeans",
+    "embedding_outliers",
     "ann_ivfpq_topk",
     "pq_adc_topk",
-    "cosine_topk_quantized",
-    "quantize_embeddings",
     "pack_sequences",
     "length_weighted_sample",
     "curated_corpus",

@@ -74,22 +74,39 @@ _VERSIONS = "_versions"
 APPLIED_IDS_RETAIN = 512
 
 
-def _applied_ids_next(manifest: dict, applied_id: str | None) -> tuple[list[str], int]:
+def _applied_ids_next(
+    manifest: dict, applied_id: str | None
+) -> tuple[list[str], int, int]:
     """The next manifest's bounded replay ledger.
 
-    Returns ``(ids, evicted_total)``: the arrival-ordered id list
-    truncated to the newest ``APPLIED_IDS_RETAIN`` entries, and the
-    cumulative count of ids ever evicted (carried forward so operators
-    can see that the ledger has compacted).  Arrival order — not the
-    sorted order older manifests stored — is what makes "newest N" a
-    replay HORIZON rather than an arbitrary lexicographic sample.
+    Returns ``(ids, evicted_total, frozen_n)``: the arrival-ordered id
+    list truncated to the newest ``APPLIED_IDS_RETAIN`` post-transition
+    entries, the cumulative count of ids ever evicted (carried forward
+    so operators can see that the ledger has compacted), and the length
+    of the frozen legacy prefix.  Arrival order — not the sorted order
+    older manifests stored — is what makes "newest N" a replay HORIZON
+    rather than an arbitrary lexicographic sample.
+
+    A manifest written before the horizon existed (no
+    ``applied_ids_evicted`` key) stored its ledger SORTED, so "newest N"
+    truncation would actually evict the lexicographically smallest ids —
+    possibly genuinely recent ones, whose replay would then re-apply
+    (ADVICE r7).  The transition commit therefore FREEZES the inherited
+    ledger whole (bounded: it never grows again) and the horizon bounds
+    only ids appended after the transition.
     """
     ids = list(manifest.get("applied_ids", []))
+    frozen = manifest.get("applied_ids_frozen_n")
+    if frozen is None:
+        legacy = bool(ids) and "applied_ids_evicted" not in manifest
+        frozen = len(ids) if legacy else 0
+    frozen = int(frozen)
     if applied_id is not None and applied_id not in ids:
         ids.append(applied_id)
-    evicted = max(0, len(ids) - APPLIED_IDS_RETAIN)
+    suffix = ids[frozen:]
+    evicted = max(0, len(suffix) - APPLIED_IDS_RETAIN)
     total = int(manifest.get("applied_ids_evicted", 0)) + evicted
-    return ids[evicted:], total
+    return ids[:frozen] + suffix[evicted:], total, frozen
 
 
 class CommitConflict(RuntimeError):
@@ -649,6 +666,12 @@ def init_snapshot_lake(
             "schema": df.schema.jsonValue(),
             "partition_cols": list(partition_cols),
             "applied_ids": [applied_id] if applied_id else [],
+            # stamp the horizon bookkeeping from birth: a manifest
+            # WITHOUT these keys is how _applied_ids_next recognizes a
+            # pre-horizon legacy ledger (sorted ids) that must be frozen
+            # rather than truncated
+            "applied_ids_evicted": 0,
+            "applied_ids_frozen_n": 0,
             "max_ingest_seq": int(seq_max or 0),
         },
         1,
@@ -722,6 +745,10 @@ def _snapshot_merge_once(
             "schema": merged.schema.jsonValue(),
             "partition_cols": list(partition_cols),
             "applied_ids": [applied_id] if applied_id else [],
+            # horizon bookkeeping from birth — absence of these keys is
+            # the legacy-ledger marker (see _applied_ids_next)
+            "applied_ids_evicted": 0,
+            "applied_ids_frozen_n": 0,
         }
         if INGEST_SEQ in merged.columns:
             row = merged.agg(F.max(INGEST_SEQ).alias("m")).first()
@@ -756,7 +783,7 @@ def _snapshot_merge_once(
         if f in kept
     }
     stats.update(_stats_for(spark, root, new_files, merged, ts_col))
-    applied, evicted = _applied_ids_next(manifest, applied_id)
+    applied, evicted, frozen = _applied_ids_next(manifest, applied_id)
     new_manifest = {
         "version": v + 1,
         "partitions": parts,
@@ -765,6 +792,7 @@ def _snapshot_merge_once(
         "partition_cols": list(partition_cols),
         "applied_ids": applied,
         "applied_ids_evicted": evicted,
+        "applied_ids_frozen_n": frozen,
     }
     hi = _seq_high_water(manifest, merged, spark, root)
     if hi is not None:
@@ -827,7 +855,7 @@ def _snapshot_append_once(
         parts.setdefault(_partition_of(f, partition_cols), []).append(f)
     stats = dict(manifest.get("file_stats", {}))
     stats.update(_stats_for(spark, root, new_files, df, ts_col))
-    applied, evicted = _applied_ids_next(manifest, applied_id)
+    applied, evicted, frozen = _applied_ids_next(manifest, applied_id)
     new_manifest = {
         "version": v + 1,
         "partitions": parts,
@@ -836,6 +864,7 @@ def _snapshot_append_once(
         "partition_cols": list(partition_cols),
         "applied_ids": applied,
         "applied_ids_evicted": evicted,
+        "applied_ids_frozen_n": frozen,
     }
     hi = _seq_high_water(manifest, df, spark, root)
     if hi is not None:
@@ -896,7 +925,7 @@ def _snapshot_overwrite_once(
     parts: dict[str, list[str]] = {}
     for f in new_files:
         parts.setdefault(_partition_of(f, partition_cols), []).append(f)
-    applied, evicted = _applied_ids_next(manifest, applied_id)
+    applied, evicted, frozen = _applied_ids_next(manifest, applied_id)
     new_manifest = {
         "version": (v or 0) + 1,
         "partitions": parts,
@@ -905,6 +934,7 @@ def _snapshot_overwrite_once(
         "partition_cols": list(partition_cols),
         "applied_ids": applied,
         "applied_ids_evicted": evicted,
+        "applied_ids_frozen_n": frozen,
     }
     hi = _seq_high_water(manifest, df, spark, root) if v is not None else (
         _seq_high_water({}, df)
@@ -1043,7 +1073,7 @@ def _snapshot_upsert_once(
         seq_now = int(row["m"] or 0)
     else:
         seq_now = batch_seq
-    applied, evicted = _applied_ids_next(manifest, applied_id)
+    applied, evicted, frozen = _applied_ids_next(manifest, applied_id)
     commit_version(
         spark,
         root,
@@ -1055,6 +1085,7 @@ def _snapshot_upsert_once(
             "partition_cols": list(partition_cols),
             "applied_ids": applied,
             "applied_ids_evicted": evicted,
+            "applied_ids_frozen_n": frozen,
             "max_ingest_seq": max(
                 int(manifest.get("max_ingest_seq") or 0), seq_now
             ),
@@ -1151,7 +1182,7 @@ def _snapshot_delete_once(
         if f in kept_files
     }
     stats.update(_stats_for(spark, root, new_files, kept, ts_col))
-    applied, evicted = _applied_ids_next(manifest, applied_id)
+    applied, evicted, frozen = _applied_ids_next(manifest, applied_id)
     commit_version(
         spark,
         root,
@@ -1164,6 +1195,7 @@ def _snapshot_delete_once(
                 "partition_cols": list(partition_cols),
                 "applied_ids": applied,
                 "applied_ids_evicted": evicted,
+                "applied_ids_frozen_n": frozen,
             },
         ),
         v + 1,
@@ -1271,7 +1303,12 @@ def snapshot_restore(
         for k in ("schema", "partition_cols"):
             if target.get(k) is not None:
                 new_manifest[k] = target[k]
-        for k in ("applied_ids", "applied_ids_evicted", "max_ingest_seq"):
+        for k in (
+            "applied_ids",
+            "applied_ids_evicted",
+            "applied_ids_frozen_n",
+            "max_ingest_seq",
+        ):
             if cur.get(k) is not None:
                 new_manifest[k] = cur[k]
         try:
@@ -1347,6 +1384,7 @@ def _carry_extras(manifest: dict, new_manifest: dict) -> dict:
         "partition_cols",
         "applied_ids",
         "applied_ids_evicted",
+        "applied_ids_frozen_n",
         "max_ingest_seq",
     ):
         if manifest.get(k) is not None:

@@ -80,7 +80,7 @@ def test_serve_artifact_lake_refresh_and_replay(spark, tmp_path, monkeypatch):
 
     root = ext._artifact_lake_root(SF_SMALL, "fam", "v1")
     v = current_version(spark, root)
-    assert read_manifest(spark, root, v)["applied_ids"] == ["fp-1"]
+    assert read_manifest(spark, root, v)["applied_ids"] == ["fp-1#v1"]
 
     # data regenerated in place: one overwrite commit, content replaced
     fps["fp"] = "fp-2"
@@ -89,7 +89,23 @@ def test_serve_artifact_lake_refresh_and_replay(spark, tmp_path, monkeypatch):
     assert {r.payload for r in fresh.collect()} == {2}
     v2 = current_version(spark, root)
     assert v2 > v
-    assert "fp-2" in read_manifest(spark, root, v2)["applied_ids"]
+    assert read_manifest(spark, root, v2)["applied_ids"][-1] == f"fp-2#v{v2}"
+
+    # fingerprint REVERTS to an earlier value (testdata restored from a
+    # backup / mtime-preserving copy): the old fp still sits in the
+    # replay ledger, but the CURRENT content was built from fp-2 — the
+    # serve must rebuild, not serve the fp-2 artifact forever (ADVICE r7)
+    fps["fp"] = "fp-1"
+    reverted = ext._serve_artifact(spark, SF_SMALL, "fam", "v1", build)
+    assert builds["n"] == 3
+    assert {r.payload for r in reverted.collect()} == {3}
+    # and the rebuild actually COMMITTED (a bare-fp applied_id would be
+    # deduped by ledger membership and keep serving stale content)
+    v3 = current_version(spark, root)
+    assert v3 > v2
+    # subsequent same-fingerprint access serves without rebuilding
+    ext._serve_artifact(spark, SF_SMALL, "fam", "v1", build)
+    assert builds["n"] == 3
 
     # a stale sibling SEMANTIC version dir is pruned on publish
     import os

@@ -1034,7 +1034,7 @@ def test_applied_ids_ledger_is_bounded(spark, tmp_path, monkeypatch):
     # 1,000-commit loop over the ledger fold itself: bounded throughout
     man = {"applied_ids": [], "applied_ids_evicted": 0}
     for i in range(1000):
-        ids, evicted = snap._applied_ids_next(man, f"batch-{i:04d}")
+        ids, evicted, _frozen = snap._applied_ids_next(man, f"batch-{i:04d}")
         man = {"applied_ids": ids, "applied_ids_evicted": evicted}
         assert len(man["applied_ids"]) <= 8
     assert man["applied_ids"] == [f"batch-{i:04d}" for i in range(992, 1000)]
@@ -1103,6 +1103,175 @@ def test_evicted_applied_id_reapplies_and_keep_last_absorbs(
         applied_id="b0",
     )
     assert out == v + 1
+
+
+def test_legacy_sorted_ledger_is_frozen_not_truncated(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r7: a pre-horizon manifest stored its applied_ids SORTED,
+    so 'newest N' truncation on the transition commit would actually
+    evict the lexicographically smallest ids — possibly recent ones,
+    whose replay would then re-apply.  The transition must freeze the
+    inherited ledger whole and bound only post-transition arrivals."""
+    import crypto_data_ingestion_module_spark.sinks.snapshot as snap
+
+    monkeypatch.setattr(snap, "APPLIED_IDS_RETAIN", 4)
+
+    # legacy manifest: oversized SORTED ledger, no eviction bookkeeping
+    legacy_ids = sorted(f"job-{i:03d}" for i in range(10))
+    man = {"applied_ids": legacy_ids}
+    ids, evicted, frozen = snap._applied_ids_next(man, "zz-new-1")
+    assert frozen == 10
+    assert ids[:10] == legacy_ids  # nothing legacy evicted
+    assert ids[10:] == ["zz-new-1"]
+    assert evicted == 0
+
+    # subsequent bounded commits evict ONLY post-transition arrivals
+    man = {
+        "applied_ids": ids,
+        "applied_ids_evicted": evicted,
+        "applied_ids_frozen_n": frozen,
+    }
+    for i in range(2, 9):
+        ids, evicted, frozen = snap._applied_ids_next(man, f"zz-new-{i}")
+        man = {
+            "applied_ids": ids,
+            "applied_ids_evicted": evicted,
+            "applied_ids_frozen_n": frozen,
+        }
+    assert man["applied_ids"][:10] == legacy_ids  # frozen prefix intact
+    assert man["applied_ids"][10:] == [f"zz-new-{i}" for i in range(5, 9)]
+    assert man["applied_ids_evicted"] == 4  # zz-new-1..4 aged out
+
+    # integration: commit over a real legacy manifest — every frozen id
+    # still dedupes a replay afterwards
+    root = str(tmp_path / "snap")
+    snapshot_upsert(
+        spark,
+        _candles(spark, [(100.0, 1.0, T0, "BTC-USDT", "coinbase", "15m")]),
+        root,
+        applied_id="m0",
+    )
+    v = current_version(spark, root)
+    old = read_manifest(spark, root, v)
+    legacy = {
+        k: val
+        for k, val in old.items()
+        if k not in ("applied_ids_evicted", "applied_ids_frozen_n")
+    }
+    legacy["applied_ids"] = sorted(legacy_ids + ["m0"])
+    legacy["version"] = v + 1
+    commit_version(spark, root, legacy, v + 1)
+    for i in range(6):  # push well past RETAIN=4
+        snapshot_upsert(
+            spark,
+            _candles(
+                spark, [(200.0 + i, 1.0, T0, "BTC-USDT", "coinbase", "15m")]
+            ),
+            root,
+            applied_id=f"zz-post-{i}",
+        )
+    v2 = current_version(spark, root)
+    man2 = read_manifest(spark, root, v2)
+    assert man2["applied_ids_frozen_n"] == 11
+    assert set(legacy_ids) <= set(man2["applied_ids"])
+    # a replay of ANY legacy-era id is still a no-op
+    out = snapshot_upsert(
+        spark,
+        _candles(spark, [(999.0, 9.0, T0, "BTC-USDT", "coinbase", "15m")]),
+        root,
+        applied_id="job-000",
+    )
+    assert out == v2
+    assert not any(
+        o == 999.0 for (_, _, _, o, _) in _state(read_snapshot(spark, root))
+    )
+
+
+def test_beyond_horizon_replay_contract_upsert_and_append(
+    spark, tmp_path, monkeypatch
+):
+    """VERDICT r7 item 7: drive a replay from BEYOND the retention
+    horizon through both write paths and pin the documented contract —
+    upsert: keep-last absorbs the re-apply, content stays idempotent for
+    an idempotent payload; append: the batch duplicates (visible rows),
+    which is exactly what APPLIED_IDS_RETAIN's docstring promises."""
+    import crypto_data_ingestion_module_spark.sinks.snapshot as snap
+    from crypto_data_ingestion_module_spark.sinks.snapshot import (
+        snapshot_append,
+    )
+
+    monkeypatch.setattr(snap, "APPLIED_IDS_RETAIN", 2)
+
+    # --- upsert path -------------------------------------------------
+    root_u = str(tmp_path / "up")
+    b0 = _candles(spark, [(100.0, 1.0, T0, "BTC-USDT", "coinbase", "15m")])
+    snapshot_upsert(spark, b0, root_u, applied_id="b0")
+    for i, aid in enumerate(["b1", "b2", "b3"]):  # evicts b0 (horizon=2)
+        snapshot_upsert(
+            spark,
+            _candles(
+                spark, [(200.0 + i, 1.0, T1, "BTC-USDT", "coinbase", "15m")]
+            ),
+            root_u,
+            applied_id=aid,
+        )
+    v = current_version(spark, root_u)
+    assert "b0" not in read_manifest(spark, root_u, v)["applied_ids"]
+    before = _state(read_snapshot(spark, root_u))
+    out = snapshot_upsert(spark, b0, root_u, applied_id="b0")  # replay
+    assert out == v + 1  # re-applied, not deduplicated
+    # identical payload, keep-last key (symbol, timestamp): content is
+    # byte-for-byte what it was — idempotent output
+    assert _state(read_snapshot(spark, root_u)) == before
+
+    # --- append path -------------------------------------------------
+    root_a = str(tmp_path / "ap")
+    a0 = _candles(spark, [(500.0, 5.0, T0, "BTC-USDT", "coinbase", "15m")])
+    from crypto_data_ingestion_module_spark.sinks.parquet_lake import (
+        _with_date,
+    )
+
+    a0 = _with_date(a0)
+    pcols = ("date",)
+    snapshot_append(spark, root_a, a0, partition_cols=pcols, applied_id="a0")
+    for i, aid in enumerate(["a1", "a2", "a3"]):  # evicts a0
+        snapshot_append(
+            spark,
+            root_a,
+            _with_date(
+                _candles(
+                    spark,
+                    [(600.0 + i, 1.0, T1, "BTC-USDT", "coinbase", "15m")],
+                )
+            ),
+            partition_cols=pcols,
+            applied_id=aid,
+        )
+    n_before = read_snapshot(spark, root_a).count()
+    # in-horizon replay: still a no-op
+    va = current_version(spark, root_a)
+    assert (
+        snapshot_append(
+            spark,
+            root_a,
+            _with_date(
+                _candles(
+                    spark,
+                    [(602.0, 1.0, T1, "BTC-USDT", "coinbase", "15m")],
+                )
+            ),
+            partition_cols=pcols,
+            applied_id="a3",
+        )
+        == va
+    )
+    assert read_snapshot(spark, root_a).count() == n_before
+    # beyond-horizon replay: re-applies — DOCUMENTED duplication
+    snapshot_append(spark, root_a, a0, partition_cols=pcols, applied_id="a0")
+    after = read_snapshot(spark, root_a)
+    assert after.count() == n_before + 1
+    assert after.where(F.col("open") == 500.0).count() == 2
 
 
 def test_legacy_manifest_heals_max_ingest_seq_with_lake_wide_max(
