@@ -45,6 +45,7 @@ NL_ALLOW = {
     "merge_upsert_keep_last": "single-row max-ingest-seq stamp broadcast",
     "ann_ivfpq_topk": "k-row centroid/codebook tables broadcast",
     "frequent_tokens_exact": "single-row scalar (total n) threshold crossJoin",
+    "frequent_tokens_from_partials": "single-row scalar (total n) threshold crossJoin",
 }
 
 # Full-width scans that are legitimately full-width (all columns used).
