@@ -1,0 +1,119 @@
+"""Streaming sketch-partial maintenance: continuously append bounded
+Misra-Gries / HyperLogLog partials to the sketch-partial lake
+(operators/sketch_store.py) from a structured stream.
+
+The batch shape of the store is a daily job; the 100 TB monitoring
+reality is a CONTINUOUS feed where each micro-batch contributes its own
+bounded partial and readers merge over any range without ever touching
+the fact.  Both sketch families tolerate arbitrary re-batching:
+
+* MG — a micro-batch partial is just one more stored partial; the
+  telescoped completeness bound (summed deficit <= n_range/(k+1) over
+  ALL stored partials of the range) is batching-independent, so
+  ``frequent_items_exact_from_partials`` over streamed partials EQUALS
+  the one-shot two-pass operator over the union (pinned in tests).
+* HLL — register-wise max union is associative/commutative/lossless at
+  equal lgConfigK, so the merged estimate equals the from-scratch
+  sketch of the union regardless of how rows were split into batches
+  (pinned bit-for-bit in tests).
+
+foreachBatch per micro-batch: one ``snapshot_append`` with a
+stream-scoped ``applied_id`` (checkpoint-hash qid + batch id — the same
+idempotence discipline as streaming/ann_stream.py), so an at-least-once
+re-delivered micro-batch appends NOTHING and the partial lake never
+double-counts.
+
+The reference has no sketch or streaming surface (crypto_collector.py
+is a single-process pandas loop); SURVEY §2.5 / A2 / T2-lane capability
+extension.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming import StreamingQuery
+
+from crypto_data_ingestion_module_spark.operators.sketch_store import (
+    store_hll_partials,
+    store_mg_partials,
+)
+
+
+def _qid(checkpoint: str) -> str:
+    # stream-scoped batch identity: a fresh checkpoint restarts batch
+    # ids at 0 with different data (same discipline as streaming/live.py)
+    return hashlib.md5(checkpoint.encode()).hexdigest()[:12]
+
+
+def stream_mg_partials(
+    source: DataFrame,
+    root: str,
+    checkpoint: str,
+    col: str,
+    stratum: str = "day",
+    k: int = 64,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Maintain the MG heavy-hitter partial lake from a stream: each
+    micro-batch appends its own bounded ``(stratum, item, count_lower)``
+    partial, replay-immune per batch id."""
+    qid = _qid(checkpoint)
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        store_mg_partials(
+            batch_df.sparkSession,
+            batch_df,
+            col,
+            root,
+            stratum=stratum,
+            k=k,
+            applied_id=f"mg-{qid}-{batch_id}",
+        )
+
+    writer = source.writeStream.foreachBatch(_sink).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_hll_partials(
+    source: DataFrame,
+    root: str,
+    checkpoint: str,
+    value_col: str,
+    group_cols: Sequence[str],
+    stratum: str = "day",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Maintain the HLL count-distinct partial lake from a stream: each
+    micro-batch appends one sketch row per (stratum, groups) it touched;
+    range readers union registers across ALL stored rows, so per-batch
+    splitting is invisible to the merged estimate."""
+    qid = _qid(checkpoint)
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        store_hll_partials(
+            batch_df.sparkSession,
+            batch_df,
+            value_col,
+            list(group_cols),
+            root,
+            stratum=stratum,
+            applied_id=f"hll-{qid}-{batch_id}",
+        )
+
+    writer = source.writeStream.foreachBatch(_sink).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
