@@ -1640,6 +1640,29 @@ _register(
 # returned_item_ranking, product_profit_by_nation_year,
 # large_volume_customers, disjunctive_revenue, dq_audit, doc_keywords,
 # embedding_outliers, corpus_mixture, value_histogram_1h.
+# Round-9 rotation (EXECUTED — the pre-committed plan above, verbatim).
+# In (the final 10 never-driver-checked paired queries; backlog → ZERO):
+#   activity_streaks         — funnel/session family (funnel_conversions
+#                              stays as the family twin)
+#   amihud_illiquidity, bollinger_breakouts_20, mean_shift_points,
+#   order_flow_1h            — indicator family (vwap_1h + rsi_14 stay)
+#   cross_stream_spread_1h   — stream-pair family (type_cooccurrence_lift
+#                              stays)
+#   hourly_seasonality       — seasonality/grouping (partition_date_counts
+#                              stays)
+#   important_parts          — Q2-shape join (§2.5 keeps pricing_summary +
+#                              forecast_revenue_change + asof join)
+#   interval_completeness    — gap/coverage family (backfill_chunk_manifest
+#                              stays)
+#   value_deciles            — distribution family (value_outliers_3sigma +
+#                              daily_volume_anomalies stay)
+# Out (exactly the suggested list; every out is driver-green r8 and its
+# family keeps an in-window twin): retention_cohorts,
+# returned_item_ranking, product_profit_by_nation_year,
+# large_volume_customers, disjunctive_revenue, dq_audit, doc_keywords,
+# embedding_outliers, corpus_mixture, value_histogram_1h.
+# After this round every one of the 128 oracle-paired registry queries
+# holds at least one driver receipt (see COVERAGE.md).
 # --------------------------------------------------------------------------
 
 CHECKED_QUERIES: tuple[str, ...] = (
@@ -1664,31 +1687,31 @@ CHECKED_QUERIES: tuple[str, ...] = (
     "pricing_summary",
     "forecast_revenue_change",
     "asof_last_view_before_purchase",
-    "returned_item_ranking",
-    "product_profit_by_nation_year",
-    "large_volume_customers",
-    "disjunctive_revenue",
+    "important_parts",
     # windowed / stateful analytics
     "funnel_conversions",
+    "activity_streaks",
     "value_outliers_3sigma",
+    "value_deciles",
     "type_cooccurrence_lift",
+    "cross_stream_spread_1h",
     "frequent_tokens_exact",
     "frequent_tokens_from_partials",
     "pattern_topk_windows",
     "daily_volume_anomalies",
-    "value_histogram_1h",
-    "retention_cohorts",
-    "dq_audit",
+    "hourly_seasonality",
+    "interval_completeness",
     # technical indicators (round-4: the candle lake's downstream analytics)
     "vwap_1h",
     "rsi_14",
+    "amihud_illiquidity",
+    "bollinger_breakouts_20",
+    "mean_shift_points",
+    "order_flow_1h",
     # LLM-data-pipeline operators (X1–X5)
     "dedup_clusters",
     "doc_rarity_score",
-    "doc_keywords",
-    "corpus_mixture",
     "embedding_kmeans",
-    "embedding_outliers",
     "ann_ivfpq_topk",
     "pq_adc_topk",
     "pack_sequences",
