@@ -24,10 +24,21 @@ sys.path.insert(0, REPO)
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    # hand-rolled on purpose (no argparse import cost in a timing tool),
+    # but the token AFTER --runs is its value, not a query name
+    # (ADVICE r8: `q --runs 7` used to emit {"query": "7", ...})
+    argv = sys.argv[1:]
+    args: list[str] = []
     runs = 5
-    if "--runs" in sys.argv:
-        runs = int(sys.argv[sys.argv.index("--runs") + 1])
+    i = 0
+    while i < len(argv):
+        if argv[i] == "--runs":
+            runs = int(argv[i + 1])
+            i += 2
+            continue
+        if not argv[i].startswith("--"):
+            args.append(argv[i])
+        i += 1
     if not args:
         print(__doc__)
         return 1
