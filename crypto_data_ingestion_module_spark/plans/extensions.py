@@ -1310,7 +1310,24 @@ def _serve_artifact(
         # backup) and serve an artifact built from different data
         # forever (ADVICE r7).  Ledger ids are fp#v<version-read>; bare
         # fp matches pre-r8 artifact lakes.
-        if ids and ids[-1].split("#", 1)[0] == fp:
+        #
+        # BUT "ids[-1] is the newest commit" only holds for the
+        # arrival-ordered suffix.  A pre-horizon legacy lake froze its
+        # ledger SORTED (snapshot.py), so while NO post-transition
+        # entry exists (frozen_n >= len(ids)) ids[-1] is merely the
+        # lexicographically largest id — a fingerprint revert matching
+        # it would serve a stale artifact, the exact failure this check
+        # targets (ADVICE r8).  Skip the serve check once and rebuild:
+        # the salted commit appends the first arrival-ordered entry.
+        frozen = man.get("applied_ids_frozen_n")
+        if frozen is None:
+            frozen = (
+                len(ids)
+                if ids and "applied_ids_evicted" not in man
+                else 0
+            )
+        all_frozen = bool(ids) and int(frozen) >= len(ids)
+        if ids and not all_frozen and ids[-1].split("#", 1)[0] == fp:
             return read_snapshot(spark, root, v).drop("shard")
     df = build_fn().withColumn("shard", F.lit("all"))
     # version-salted applied_id: a reverted fingerprint must commit a
@@ -1322,13 +1339,30 @@ def _serve_artifact(
         spark, root, df, partition_cols=("shard",), applied_id=f"{fp}#v{(v or 0) + 1}"
     )
     vacuum(spark, root, keep=2)
+    # Sibling SEMANTIC versions (older _CLUSTER_LAKE_VERSION-style dirs
+    # of the same family) are pruned with a one-generation DEFERRAL
+    # (VERDICT r8 item 6): in-lake readers are isolated by the version
+    # manifest, but cross-VERSION pruning bypasses that isolation, so
+    # an immediate rmtree could yank files from under a concurrent
+    # reader still probing the old semantics.  First refresh that sees
+    # a sibling only marks it; the NEXT refresh deletes it — any reader
+    # that started before the mark has a full refresh generation to
+    # finish.
     fam_dir = os.path.join(_ARTIFACTS_ROOT, family)
     try:
         for sibling in os.listdir(fam_dir):
-            if sibling != version:
-                shutil.rmtree(
-                    os.path.join(fam_dir, sibling), ignore_errors=True
-                )
+            if sibling == version:
+                continue
+            sib_path = os.path.join(fam_dir, sibling)
+            marker = os.path.join(sib_path, "_prune_pending")
+            if os.path.exists(marker):
+                shutil.rmtree(sib_path, ignore_errors=True)
+            else:
+                try:
+                    with open(marker, "w") as mh:
+                        mh.write(f"superseded-by={version}\n")
+                except OSError:
+                    pass
     except OSError:
         pass
     return read_snapshot(spark, root, ver).drop("shard")

@@ -138,15 +138,15 @@ def stream_index_embeddings(
     available_now: bool = True,
 ) -> StreamingQuery:
     """Start incremental index maintenance over an embedding stream."""
-    import hashlib
-
-    # stream-scoped batch identity: a fresh checkpoint restarts ids at 0
-    # with different data (same discipline as streaming/live.py)
-    qid = hashlib.md5(checkpoint.encode()).hexdigest()[:12]
+    from crypto_data_ingestion_module_spark.streaming.identity import (
+        stream_qid,
+    )
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        # stream-scoped batch identity (see streaming/identity.py)
+        qid = stream_qid(checkpoint)
         index_batch(
             batch_df,
             reference,

@@ -61,13 +61,12 @@ def stream_dedup_ingest(
     order-independent; ``dropDuplicates`` collapses the double match).
     ``backend="swap"`` keeps the plain append + dynamic-overwrite layout.
     """
-    import hashlib
+    from crypto_data_ingestion_module_spark.streaming.identity import (
+        stream_qid,
+    )
 
     index_path = os.path.join(lake_root, INDEX_SUBDIR)
     pairs_path = os.path.join(lake_root, PAIRS_SUBDIR)
-    # stream-scoped ledger ids: a fresh checkpoint restarts batch ids at
-    # 0 with different data — the checkpoint identity must scope them
-    qid = hashlib.md5(checkpoint.encode()).hexdigest()[:12]
 
     def _sink_swap(batch_df: DataFrame, batch_id: int) -> None:
         pairs = ingest_batch(
@@ -103,6 +102,9 @@ def stream_dedup_ingest(
         )
 
         sess = batch_df.sparkSession
+        # stream-scoped ledger ids, resolved at sink time so the
+        # checkpoint's creation marker scopes them (identity.py)
+        qid = stream_qid(checkpoint)
         try:
             index = read_snapshot(sess, index_path)
         except FileNotFoundError:

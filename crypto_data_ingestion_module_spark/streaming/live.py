@@ -63,16 +63,17 @@ def stream_upsert_to_lake(
     (``sinks.parquet_lake``) for layouts that external parquet readers
     scan directly.
     """
-    import hashlib
-
-    # the ledger id is (stream, batch) — a NEW checkpoint restarts batch
-    # ids at 0 with potentially different data, so the stream identity
-    # (its checkpoint) must scope the id (Delta's txnAppId discipline)
-    qid = hashlib.md5(checkpoint.encode()).hexdigest()[:12]
+    from crypto_data_ingestion_module_spark.streaming.identity import (
+        stream_qid,
+    )
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        # the ledger id is (stream, batch) — Delta's txnAppId
+        # discipline; resolved inside the sink so the checkpoint's
+        # creation marker is folded in (see streaming/identity.py)
+        qid = stream_qid(checkpoint)
         # batch_seq defaults to lake-max+1: monotone regardless of what
         # seq domain earlier writers used (a raw batch_id like 0,1,2
         # could never supersede epoch-scale seqs already in the lake);

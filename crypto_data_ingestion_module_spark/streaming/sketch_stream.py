@@ -18,10 +18,12 @@ the fact.  Both sketch families tolerate arbitrary re-batching:
   (pinned bit-for-bit in tests).
 
 foreachBatch per micro-batch: one ``snapshot_append`` with a
-stream-scoped ``applied_id`` (checkpoint-hash qid + batch id — the same
-idempotence discipline as streaming/ann_stream.py), so an at-least-once
-re-delivered micro-batch appends NOTHING and the partial lake never
-double-counts.
+stream-scoped ``applied_id`` (``streaming.identity.stream_qid`` + batch
+id — the same idempotence discipline as streaming/ann_stream.py), so an
+at-least-once re-delivered micro-batch appends NOTHING and the partial
+lake never double-counts, while a deleted-and-recreated checkpoint path
+gets a FRESH identity so its batch 0 cannot collide with the previous
+incarnation's ledger entries (ADVICE r8).
 
 The reference has no sketch or streaming surface (crypto_collector.py
 is a single-process pandas loop); SURVEY §2.5 / A2 / T2-lane capability
@@ -30,7 +32,6 @@ extension.
 
 from __future__ import annotations
 
-import hashlib
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame
@@ -40,12 +41,7 @@ from crypto_data_ingestion_module_spark.operators.sketch_store import (
     store_hll_partials,
     store_mg_partials,
 )
-
-
-def _qid(checkpoint: str) -> str:
-    # stream-scoped batch identity: a fresh checkpoint restarts batch
-    # ids at 0 with different data (same discipline as streaming/live.py)
-    return hashlib.md5(checkpoint.encode()).hexdigest()[:12]
+from crypto_data_ingestion_module_spark.streaming.identity import stream_qid
 
 
 def stream_mg_partials(
@@ -60,11 +56,11 @@ def stream_mg_partials(
     """Maintain the MG heavy-hitter partial lake from a stream: each
     micro-batch appends its own bounded ``(stratum, item, count_lower)``
     partial, replay-immune per batch id."""
-    qid = _qid(checkpoint)
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        qid = stream_qid(checkpoint)
         store_mg_partials(
             batch_df.sparkSession,
             batch_df,
@@ -96,11 +92,11 @@ def stream_hll_partials(
     micro-batch appends one sketch row per (stratum, groups) it touched;
     range readers union registers across ALL stored rows, so per-batch
     splitting is invisible to the merged estimate."""
-    qid = _qid(checkpoint)
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        qid = stream_qid(checkpoint)
         store_hll_partials(
             batch_df.sparkSession,
             batch_df,

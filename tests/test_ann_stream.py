@@ -55,10 +55,13 @@ def test_streamed_index_equals_batch(spark, tmp_path):
     assert len(got) == emb.count()
 
     # replaying one batch changes nothing — the manifest ledger skips a
-    # re-delivered batch identity (stream-scoped: qid = checkpoint hash)
-    import hashlib
+    # re-delivered batch identity (stream-scoped: streaming/identity.py
+    # folds the checkpoint's creation marker, still present on disk)
+    from crypto_data_ingestion_module_spark.streaming.identity import (
+        stream_qid,
+    )
 
-    qid = hashlib.md5(str(tmp_path / "ck").encode()).hexdigest()[:12]
+    qid = stream_qid(str(tmp_path / "ck"))
     one = emb.filter(F.col("vec_id") % 3 == 1)
     index_batch(one, ref, lake, f"{qid}-0")  # batch 0 carried %3==1
     assert _state(read_index(spark, lake)) == got

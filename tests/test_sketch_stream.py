@@ -149,3 +149,147 @@ def test_streamed_hll_partials_equal_from_scratch_sketch(spark, tmp_path):
     # register-wise max union is lossless: streamed == from-scratch,
     # bit-for-bit, regardless of the micro-batch split
     assert merged == want
+
+
+def test_recreated_checkpoint_path_gets_fresh_stream_identity(
+    spark, tmp_path
+):
+    """ADVICE r8: deleting and recreating the SAME checkpoint path used
+    to restart batch ids at 0 under the same path-hashed qid, so the new
+    stream's first micro-batches collided with the old incarnation's
+    ledger entries and were silently dropped.  With the creation marker
+    folded into the identity (streaming/identity.py) the second
+    incarnation commits ALL its batches."""
+    import shutil
+
+    # split/batch keys must be independent hashes: batching the
+    # parity-filtered half by the same key would leave empty batches
+    toks = (
+        _tokens(spark)
+        .withColumn("split_key", F.abs(F.xxhash64("tok")))
+        .withColumn("batch_key", F.abs(F.xxhash64("tok", F.lit(7))))
+    )
+    first = toks.filter(F.col("split_key") % 2 == 0)
+    second = toks.filter(F.col("split_key") % 2 == 1)
+    root = str(tmp_path / "mg")
+    ck = str(tmp_path / "ck")
+
+    in1 = str(tmp_path / "in1")
+    _write_batches(first, tmp_path / "w1", in1, "batch_key", n=2)
+    q = stream_mg_partials(
+        spark.readStream.schema(toks.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in1),
+        root,
+        ck,
+        "tok",
+        stratum="lang",
+        k=K,
+    )
+    q.awaitTermination(120)
+    v1 = current_version(spark, root)
+    assert v1 == 2
+
+    # recycle the checkpoint path against the SAME partial lake
+    shutil.rmtree(ck)
+    in2 = str(tmp_path / "in2")
+    _write_batches(second, tmp_path / "w2", in2, "batch_key", n=2)
+    q2 = stream_mg_partials(
+        spark.readStream.schema(toks.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in2),
+        root,
+        ck,
+        "tok",
+        stratum="lang",
+        k=K,
+    )
+    q2.awaitTermination(120)
+
+    # every batch of the second incarnation must have committed: the
+    # old path-only qid dropped them here (version stayed at 2)
+    assert current_version(spark, root) == v1 + 2
+
+    fact = _tokens(spark)
+    got = [
+        tuple(r)
+        for r in frequent_items_exact_from_partials(
+            fact, read_snapshot(spark, root), "tok", k=K
+        ).collect()
+    ]
+    want = [
+        (r["item"], r["cnt"])
+        for r in frequent_items_exact(fact, "tok", k=K).collect()
+    ]
+    assert got == want and got
+
+
+def test_checkpoint_restart_resumes_without_double_append(spark, tmp_path):
+    """VERDICT r8 item 7: stop the stream after its first batches,
+    restart from the same checkpoint, and verify (a) already-committed
+    batches are not re-appended (applied_id ledger), (b) the remaining
+    batches land exactly once, (c) the final answer equals the one-shot
+    operator over everything."""
+    import time as _time
+
+    toks = _tokens(spark).withColumn(
+        "split_key", F.abs(F.xxhash64("tok"))
+    )
+    in_dir = str(tmp_path / "in")
+    _write_batches(toks, tmp_path, in_dir, "split_key", n=3)
+    root = str(tmp_path / "mg")
+    ck = str(tmp_path / "ck")
+
+    src = (
+        spark.readStream.schema(toks.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    # continuous trigger (not availableNow): run until >=1 batch has
+    # committed, then kill the query mid-stream
+    q = stream_mg_partials(
+        src, root, ck, "tok", stratum="lang", k=K, available_now=False
+    )
+    deadline = _time.time() + 120
+    while _time.time() < deadline:
+        v = current_version(spark, root)
+        if v is not None and v >= 1:
+            break
+        _time.sleep(0.2)
+    q.stop()
+    v_killed = current_version(spark, root)
+    assert v_killed is not None and v_killed >= 1
+
+    # restart from the same checkpoint; availableNow drains the rest
+    q2 = stream_mg_partials(
+        spark.readStream.schema(toks.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir),
+        root,
+        ck,
+        "tok",
+        stratum="lang",
+        k=K,
+    )
+    q2.awaitTermination(120)
+
+    # exactly one commit per micro-batch overall: a re-delivered batch
+    # (sink committed, offset log did not) is deduped by its applied_id,
+    # so the ledger holds 3 distinct ids and the version is exactly 3
+    v_final = current_version(spark, root)
+    assert v_final == 3
+    ids = read_manifest(spark, root, v_final)["applied_ids"]
+    assert len(set(ids)) == len(ids) == 3
+
+    fact = _tokens(spark)
+    got = [
+        tuple(r)
+        for r in frequent_items_exact_from_partials(
+            fact, read_snapshot(spark, root), "tok", k=K
+        ).collect()
+    ]
+    want = [
+        (r["item"], r["cnt"])
+        for r in frequent_items_exact(fact, "tok", k=K).collect()
+    ]
+    assert got == want and got
