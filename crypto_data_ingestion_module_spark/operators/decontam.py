@@ -87,6 +87,76 @@ def contamination_flags(
     )
 
 
+def contamination_flags_bloom(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 4,
+    min_common: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str | None = None,
+    num_bits: int | None = None,
+    seeds: tuple[int, ...] | None = None,
+) -> DataFrame:
+    """:func:`contamination_flags`, Bloom-prefiltered — same answer.
+
+    Builds a Bloom filter over the benchmark's distinct shingles
+    (operators/bloom.py) and tests every corpus shingle JVM-side BEFORE
+    the exact confirm join: at 100 TB the corpus-side shingle stream is
+    the dominant cost, and with FPR p only (true hits + p·rest) shingles
+    ever reach the broadcast hash join — the rest die inside the scan
+    stage's codegen.  No false negatives means every true collision
+    still takes the exact join, so the output is row-for-row identical
+    to the exact operator (the property the paired oracle checks).
+
+    The per-doc shingle count must see ALL shingles, so the prefilter is
+    folded into the JOIN CONDITION (``bloom_pass AND shingle match``)
+    rather than a WHERE: one scan, one aggregate, same as the exact
+    plan, just with a near-empty join probe side.
+    """
+    from crypto_data_ingestion_module_spark.operators import bloom as bl
+
+    kw: dict = {}
+    if num_bits is not None:
+        kw["num_bits"] = num_bits
+    if seeds is not None:
+        kw["seeds"] = seeds
+
+    def _nn(df: DataFrame, col: str) -> DataFrame:
+        return df.withColumn(col, F.coalesce(F.col(col), F.lit("")))
+
+    bench_sh = (
+        _shingle_rows(
+            _nn(benchmark, bench_text_col or text_col),
+            n,
+            bench_text_col or text_col,
+            id_col,
+        )
+        .select(F.col("shingle").alias("_bsh"))
+        .distinct()
+    )
+    bitset = bl.bloom_bitset(bench_sh, "_bsh", **kw)
+    doc_sh = bl.with_bloom_flag(
+        _shingle_rows(_nn(docs, text_col), n, text_col, id_col),
+        "shingle",
+        bitset,
+        flag="_cand",
+        **kw,
+    )
+    hit = F.broadcast(bench_sh.withColumn("_hit", F.lit(1)))
+    return (
+        doc_sh.join(
+            hit, F.col("_cand") & (F.col("shingle") == F.col("_bsh")), "left"
+        )
+        .groupBy(F.col("id").alias(id_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count("_hit").alias("n_hits"),
+        )
+        .withColumn("contaminated", F.col("n_hits") >= min_common)
+    )
+
+
 def decontaminate(
     docs: DataFrame,
     benchmark: DataFrame,

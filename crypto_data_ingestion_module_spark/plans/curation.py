@@ -74,6 +74,66 @@ GROUP BY t.id
 
 
 # --------------------------------------------------------------------------
+# Bloom-prefiltered decontamination (same family, different physical path)
+# --------------------------------------------------------------------------
+#
+# Same benchmark split; 3-grams with min_common=2 so the answer surface is
+# distinct from decontaminate_docs.  The Spark side routes through the
+# broadcast Bloom bitset (operators/bloom.py): corpus shingles are
+# membership-tested by a pure-JVM codegen expression BEFORE the exact
+# confirm join, so at 100 TB ~(1 - FPR) of the corpus-side join probe
+# disappears inside the scan stage.  Bloom filters have no false
+# negatives and survivors are exactly re-verified, so the result is
+# row-for-row the plain SQL answer — which is precisely what this
+# oracle pins.
+
+def _decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crypto_data_ingestion_module_spark.operators.decontam import (
+        contamination_flags_bloom,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    train = d.filter(F.col("doc_id") % 97 != 0)
+    return contamination_flags_bloom(train, bench, n=3, min_common=2)
+
+
+_register(
+    QuerySpec(
+        name="decontaminate_docs_bloom",
+        survey_ids=("X1", "X4"),
+        description="Bloom-prefiltered benchmark decontamination: corpus "
+        "3-gram shingles are tested against a broadcast 128Ki-bit Bloom "
+        "bitset (pure-JVM codegen expression, no false negatives) before "
+        "the exact confirm join; flags docs sharing >=2 distinct 3-grams "
+        "with the doc_id%97==0 eval slice — answer identical to the "
+        "exact semi-join by construction",
+        spark=_decontaminate_bloom,
+        oracle="""
+WITH w AS (
+  SELECT doc_id, regexp_extract_all(text, '[A-Za-z0-9]+') AS ws FROM documents
+),
+sh AS (
+  SELECT doc_id AS id, unnest(list_distinct(
+    CASE WHEN len(ws) >= 3
+         THEN list_transform(range(1, len(ws) - 1), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+         ELSE [array_to_string(ws, ' ')] END)) AS shingle
+  FROM w
+),
+bench AS (SELECT DISTINCT shingle FROM sh WHERE id % 97 = 0),
+train AS (SELECT id, shingle FROM sh WHERE id % 97 <> 0)
+SELECT t.id AS doc_id,
+       count(*) AS n_shingles,
+       count(b.shingle) AS n_hits,
+       count(b.shingle) >= 2 AS contaminated
+FROM train t LEFT JOIN bench b ON t.shingle = b.shingle
+GROUP BY t.id
+""",
+    )
+)
+
+
+# --------------------------------------------------------------------------
 # Corpus-mixture composition (per-source absolute caps)
 # --------------------------------------------------------------------------
 
