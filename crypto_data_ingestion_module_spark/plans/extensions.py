@@ -2720,3 +2720,97 @@ _register(
         oracle=None,
     )
 )
+
+
+# --------------------------------------------------------------------------
+# Iterative graph analytics: fixed-point PageRank (X2-adjacent, §2.5).
+#
+# The trade graph links suppliers and customers through orders (edge iff
+# the supplier shipped a line item on the customer's order; both
+# directions, so rank circulates).  Node encoding 2*custkey /
+# 2*suppkey+1 keeps the two key spaces disjoint in one BIGINT column.
+# All rank arithmetic is integer floor math in ppm units (see
+# operators/graph.py:pagerank_fixed_point), so three unrolled chained
+# CTEs in DuckDB reproduce the Spark loop bit-for-bit — an
+# oracle-paired ITERATIVE algorithm, which float damping would forbid.
+# --------------------------------------------------------------------------
+
+
+def _pagerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crypto_data_ingestion_module_spark.operators.graph import (
+        pagerank_fixed_point,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pair = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            (F.lit(2) * F.col("l_suppkey") + F.lit(1)).alias("s"),
+            (F.lit(2) * F.col("o_custkey")).alias("c"),
+        )
+        .distinct()
+    )
+    edges = pair.select(F.col("s").alias("src"), F.col("c").alias("dst")).union(
+        pair.select(F.col("c").alias("src"), F.col("s").alias("dst"))
+    )
+    r = pagerank_fixed_point(edges, iterations=3, scale=10**6)
+    return r.select("node", F.col("rank").alias("rank_micro"))
+
+
+_register(
+    QuerySpec(
+        name="trade_graph_pagerank",
+        survey_ids=("X2", "§2.5"),
+        description="fixed-point PageRank (3 iterations, ppm integer "
+        "arithmetic, damping 85/100) over the supplier<->customer trade "
+        "graph from lineitem x orders; exact integer math makes the "
+        "iterative recurrence engine-order-free and oracle-pairable",
+        spark=_pagerank_q,
+        oracle="""
+WITH pair AS (
+  SELECT DISTINCT 2*l_suppkey + 1 AS s, 2*o_custkey AS c
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+e AS (
+  SELECT s AS src, c AS dst FROM pair
+  UNION ALL
+  SELECT c AS src, s AS dst FROM pair
+),
+n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank FROM n),
+i1 AS (
+  SELECT e.dst AS node, sum(r0.rank // deg.deg) AS inflow
+  FROM e JOIN deg ON e.src = deg.src JOIN r0 ON e.src = r0.node
+  GROUP BY e.dst
+),
+r1 AS (
+  SELECT n.node,
+         CAST(150000 + (85 * coalesce(i1.inflow, 0)) // 100 AS BIGINT) AS rank
+  FROM n LEFT JOIN i1 ON n.node = i1.node
+),
+i2 AS (
+  SELECT e.dst AS node, sum(r1.rank // deg.deg) AS inflow
+  FROM e JOIN deg ON e.src = deg.src JOIN r1 ON e.src = r1.node
+  GROUP BY e.dst
+),
+r2 AS (
+  SELECT n.node,
+         CAST(150000 + (85 * coalesce(i2.inflow, 0)) // 100 AS BIGINT) AS rank
+  FROM n LEFT JOIN i2 ON n.node = i2.node
+),
+i3 AS (
+  SELECT e.dst AS node, sum(r2.rank // deg.deg) AS inflow
+  FROM e JOIN deg ON e.src = deg.src JOIN r2 ON e.src = r2.node
+  GROUP BY e.dst
+),
+r3 AS (
+  SELECT n.node,
+         CAST(150000 + (85 * coalesce(i3.inflow, 0)) // 100 AS BIGINT) AS rank
+  FROM n LEFT JOIN i3 ON n.node = i3.node
+)
+SELECT node, rank AS rank_micro FROM r3
+""",
+    )
+)
