@@ -1663,6 +1663,19 @@ _register(
 # embedding_outliers, corpus_mixture, value_histogram_1h.
 # After this round every one of the 128 oracle-paired registry queries
 # holds at least one driver receipt (see COVERAGE.md).
+# Mid-round r9 addendum: two NEW capabilities registered this round enter
+# the window immediately so the paired never-checked backlog stays ZERO:
+#   decontaminate_docs_bloom — Bloom-prefiltered decontamination (exact
+#                              twin decontaminate_docs stays in-window)
+#   trade_graph_pagerank     — fixed-point integer PageRank (graph family
+#                              twin dedup_clusters stays in-window)
+# Out (both driver-green, families keep in-window twins):
+#   daily_volume_anomalies   — receipts r7+r8; distribution family keeps
+#                              value_outliers_3sigma + value_deciles
+#   rsi_14                   — receipt r8; indicator family keeps vwap_1h
+#                              + amihud/bollinger/mean_shift/order_flow
+# Both new queries validated green at sf0.001 AND sf0.01 AND sf0.1
+# before entering (scripts/validate.py + per-SF oracle checks).
 # --------------------------------------------------------------------------
 
 CHECKED_QUERIES: tuple[str, ...] = (
@@ -1698,18 +1711,17 @@ CHECKED_QUERIES: tuple[str, ...] = (
     "frequent_tokens_exact",
     "frequent_tokens_from_partials",
     "pattern_topk_windows",
-    "daily_volume_anomalies",
     "hourly_seasonality",
     "interval_completeness",
     # technical indicators (round-4: the candle lake's downstream analytics)
     "vwap_1h",
-    "rsi_14",
     "amihud_illiquidity",
     "bollinger_breakouts_20",
     "mean_shift_points",
     "order_flow_1h",
     # LLM-data-pipeline operators (X1–X5)
     "dedup_clusters",
+    "trade_graph_pagerank",
     "doc_rarity_score",
     "embedding_kmeans",
     "ann_ivfpq_topk",
@@ -1719,6 +1731,7 @@ CHECKED_QUERIES: tuple[str, ...] = (
     "curated_corpus",
     "label_centroids",
     "decontaminate_docs",
+    "decontaminate_docs_bloom",
     "bpe_vocab",
     "bpe_encode_docs",
 )
