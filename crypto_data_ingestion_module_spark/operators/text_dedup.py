@@ -717,3 +717,90 @@ def simhash_hamming_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def remove_duplicate_passages(
+    docs: DataFrame,
+    tile_words: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact duplicate-PASSAGE removal: keep the globally-first
+    occurrence of every repeated span, drop the rest, reassemble.
+
+    Whole-document dedup (exact_duplicates / the MinHash stack) can't
+    touch boilerplate — a license header or navigation block pasted
+    into thousands of otherwise-distinct pages survives every doc-level
+    pass and is exactly what a pretraining corpus must shed ("the
+    deduplicated-spans" half of Lee et al.'s Deduplicating Training
+    Data; suffix-array byte-exact spans there, fixed word tiles here so
+    the operation stays relational and oracle-checkable).
+
+    Semantics: documents tile into consecutive non-overlapping
+    ``tile_words``-word spans (tail tile short); a tile's FIRST
+    occurrence — min (doc_id, tile_idx) lexicographically over every
+    occurrence of identical tile text — is kept, all others removed;
+    per doc the kept tiles re-join in order.  Output one row per input
+    doc: (doc_id, n_tiles, n_removed, clean_text); empty/NULL docs get
+    (0, 0, '').
+
+    100 TB shape: one explode pass over the corpus, then the
+    first-occurrence rule as a map-side-combinable ``min(struct)`` hash
+    aggregate on tile text (NOT a window over the tile partition — a
+    boilerplate tile repeated 10^8 times would make one sort partition
+    pathological, while min-combines collapse it to one row per
+    partition before the shuffle), an equi-join back on the same key,
+    and one per-doc aggregate whose collect_list is bounded by document
+    length, not corpus size.
+    """
+    nn = F.coalesce(F.col(text_col), F.lit(""))
+    toks = docs.select(F.col(id_col).alias("_id"), words(nn).alias("_w"))
+    n_tiles = F.expr(f"(size(_w) + {tile_words - 1}) DIV {tile_words}")
+    idx = F.when(F.size("_w") > 0, F.sequence(F.lit(0), (n_tiles - 1).cast("int"))
+    ).otherwise(F.array().cast("array<int>"))
+    tiles = toks.select(
+        "_id",
+        F.explode(
+            F.transform(
+                idx,
+                lambda t: F.struct(
+                    t.alias("tile_idx"),
+                    F.array_join(
+                        F.slice("_w", t * tile_words + 1, tile_words), " "
+                    ).alias("tile"),
+                ),
+            )
+        ).alias("_s"),
+    ).select("_id", F.col("_s.tile_idx").alias("_idx"), F.col("_s.tile").alias("_t"))
+    first = tiles.groupBy("_t").agg(
+        F.min(F.struct(F.col("_id"), F.col("_idx"))).alias("_first")
+    )
+    flagged = tiles.join(first, "_t").withColumn(
+        "_keep",
+        (F.col("_id") == F.col("_first._id")) & (F.col("_idx") == F.col("_first._idx")),
+    )
+    per_doc = flagged.groupBy("_id").agg(
+        F.count(F.lit(1)).alias("n_tiles"),
+        F.sum((~F.col("_keep")).cast("long")).alias("n_removed"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("_keep"), F.struct("_idx", "_t"))
+                    )
+                ),
+                lambda s: s["_t"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    return (
+        docs.select(F.col(id_col))
+        .join(per_doc, F.col(id_col) == F.col("_id"), "left")
+        .select(
+            id_col,
+            F.coalesce("n_tiles", F.lit(0).cast("long")).alias("n_tiles"),
+            F.coalesce("n_removed", F.lit(0).cast("long")).alias("n_removed"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
+    )

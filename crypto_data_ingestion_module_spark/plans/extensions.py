@@ -2814,3 +2814,71 @@ SELECT node, rank AS rank_micro FROM r3
 """,
     )
 )
+
+
+# --------------------------------------------------------------------------
+# X1/X4: exact duplicate-passage removal (sub-document dedup).  Doc-level
+# dedup can't shed boilerplate spans shared by otherwise-distinct pages;
+# this keeps the globally-first occurrence of every repeated 8-word tile
+# and reassembles the survivors (operators/text_dedup.py:
+# remove_duplicate_passages — min-struct first-occurrence agg, never a
+# window over the tile partition).
+# --------------------------------------------------------------------------
+
+
+def _dedup_passages_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crypto_data_ingestion_module_spark.operators.text_dedup import (
+        remove_duplicate_passages,
+    )
+
+    return remove_duplicate_passages(_t(spark, sf_dir, "documents"), 8)
+
+
+_register(
+    QuerySpec(
+        name="dedup_passages",
+        survey_ids=("X1", "X4"),
+        description="exact duplicate-passage removal: non-overlapping "
+        "8-word tiles, globally-first occurrence kept (min (doc_id, "
+        "tile_idx) per identical tile), per-doc reassembly + removal "
+        "audit — the sub-document boilerplate-shedding pass doc-level "
+        "dedup cannot do",
+        spark=_dedup_passages_q,
+        oracle="""
+WITH w AS (
+  SELECT doc_id, regexp_extract_all(text, '[A-Za-z0-9]+') AS ws FROM documents
+),
+st AS (
+  SELECT doc_id, ws,
+         unnest(generate_series(0, CAST((len(ws) + 7) // 8 AS BIGINT) - 1))
+           AS t
+  FROM w WHERE len(ws) > 0
+),
+tiles AS (
+  SELECT doc_id, t AS tile_idx,
+         array_to_string(list_slice(ws, t*8 + 1, t*8 + 8), ' ') AS tile
+  FROM st
+),
+flagged AS (
+  SELECT doc_id, tile_idx, tile,
+         row_number() OVER (PARTITION BY tile ORDER BY doc_id, tile_idx) = 1
+           AS keep
+  FROM tiles
+),
+per AS (
+  SELECT doc_id,
+         count(*) AS n_tiles,
+         CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_removed,
+         coalesce(
+           string_agg(CASE WHEN keep THEN tile END, ' ' ORDER BY tile_idx),
+           '') AS clean_text
+  FROM flagged GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(per.n_tiles, 0) AS n_tiles,
+       coalesce(per.n_removed, 0) AS n_removed,
+       coalesce(per.clean_text, '') AS clean_text
+FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+""",
+    )
+)

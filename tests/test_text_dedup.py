@@ -1,0 +1,49 @@
+
+
+# ---------------------------------------------------------------------------
+# remove_duplicate_passages (sub-document exact span dedup)
+# ---------------------------------------------------------------------------
+
+
+def _passages(spark, rows, tile_words=3):
+    from crypto_data_ingestion_module_spark.operators.text_dedup import (
+        remove_duplicate_passages,
+    )
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    return {
+        r["doc_id"]: (r["n_tiles"], r["n_removed"], r["clean_text"])
+        for r in remove_duplicate_passages(df, tile_words).collect()
+    }
+
+
+def test_passages_first_occurrence_kept_later_removed(spark):
+    # tile size 3: doc 1 = [a b c][d e f]; doc 2 repeats [a b c] then
+    # unique tail [x y z] -> doc 2 loses its first tile only.
+    got = _passages(
+        spark,
+        [(1, "a b c d e f"), (2, "a b c x y z")],
+    )
+    assert got[1] == (2, 0, "a b c d e f")
+    assert got[2] == (2, 1, "x y z")
+
+
+def test_passages_intra_doc_repeat_and_short_tail(spark):
+    # [p q r][p q r][s] -> second tile removed, short tail tile kept.
+    got = _passages(spark, [(7, "p q r p q r s")])
+    assert got[7] == (3, 1, "p q r s")
+
+
+def test_passages_empty_and_null_docs_survive_with_audit_zeros(spark):
+    got = _passages(spark, [(1, ""), (2, None), (3, "k l m")])
+    assert got[1] == (0, 0, "")
+    assert got[2] == (0, 0, "")
+    assert got[3] == (1, 0, "k l m")
+
+
+def test_passages_first_is_global_min_doc_then_idx(spark):
+    # the shared tile appears at idx 1 of doc 1 and idx 0 of doc 2:
+    # doc order wins over tile position (min struct (doc_id, idx)).
+    got = _passages(spark, [(1, "u v w a b c"), (2, "a b c")])
+    assert got[1] == (2, 0, "u v w a b c")
+    assert got[2] == (1, 1, "")
