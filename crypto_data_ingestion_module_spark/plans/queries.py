@@ -1674,7 +1674,10 @@ _register(
 #                              value_outliers_3sigma + value_deciles
 #   rsi_14                   — receipt r8; indicator family keeps vwap_1h
 #                              + amihud/bollinger/mean_shift/order_flow
-# Both new queries validated green at sf0.001 AND sf0.01 AND sf0.1
+# Plus dedup_passages (exact duplicate-passage removal, also new r9) for
+# pack_sequences (receipts r2-r8; X4 keeps doc_rarity_score + bpe_vocab +
+# bpe_encode_docs + frequent_tokens_* as in-window twins).
+# All three new queries validated green at sf0.001 AND sf0.01 AND sf0.1
 # before entering (scripts/validate.py + per-SF oracle checks).
 # --------------------------------------------------------------------------
 
@@ -1726,7 +1729,7 @@ CHECKED_QUERIES: tuple[str, ...] = (
     "embedding_kmeans",
     "ann_ivfpq_topk",
     "pq_adc_topk",
-    "pack_sequences",
+    "dedup_passages",
     "length_weighted_sample",
     "curated_corpus",
     "label_centroids",
