@@ -97,6 +97,7 @@ def contamination_flags_bloom(
     bench_text_col: str | None = None,
     num_bits: int | None = None,
     seeds: tuple[int, ...] | None = None,
+    broadcast_benchmark: bool = True,
 ) -> DataFrame:
     """:func:`contamination_flags`, Bloom-prefiltered — same answer.
 
@@ -109,10 +110,19 @@ def contamination_flags_bloom(
     still takes the exact join, so the output is row-for-row identical
     to the exact operator (the property the paired oracle checks).
 
-    The per-doc shingle count must see ALL shingles, so the prefilter is
-    folded into the JOIN CONDITION (``bloom_pass AND shingle match``)
-    rather than a WHERE: one scan, one aggregate, same as the exact
-    plan, just with a near-empty join probe side.
+    The per-doc shingle count must see ALL shingles, so in the
+    broadcast regime the prefilter is folded into the JOIN CONDITION
+    (``bloom_pass AND shingle match``) rather than a WHERE: one scan,
+    one aggregate, same as the exact plan, just with a near-empty join
+    probe side.  With ``broadcast_benchmark=False`` (benchmark too big
+    to broadcast — decontaminating against another corpus) the plan
+    splits instead: totals aggregate by doc id, and ONLY the
+    bloom-candidate shingles shuffle into the confirm join — this is
+    the regime where the prefilter pays directly, because the corpus-
+    side SHUFFLE shrinks by the probe-reduction factor.  Size
+    ``num_bits`` to the benchmark's shingle count there (m ≈ 20–30 bits
+    per key keeps FPR under 1%; a saturated bitset silently degrades to
+    pass-everything, still exact but pruning nothing).
     """
     from crypto_data_ingestion_module_spark.operators import bloom as bl
 
@@ -143,16 +153,34 @@ def contamination_flags_bloom(
         flag="_cand",
         **kw,
     )
-    hit = F.broadcast(bench_sh.withColumn("_hit", F.lit(1)))
-    return (
-        doc_sh.join(
-            hit, F.col("_cand") & (F.col("shingle") == F.col("_bsh")), "left"
+    if broadcast_benchmark:
+        hit = F.broadcast(bench_sh.withColumn("_hit", F.lit(1)))
+        return (
+            doc_sh.join(
+                hit, F.col("_cand") & (F.col("shingle") == F.col("_bsh")), "left"
+            )
+            .groupBy(F.col("id").alias(id_col))
+            .agg(
+                F.count(F.lit(1)).alias("n_shingles"),
+                F.count("_hit").alias("n_hits"),
+            )
+            .withColumn("contaminated", F.col("n_hits") >= min_common)
         )
+    # Shuffle-confirm regime: only candidates shuffle by shingle (both
+    # shingle sets are per-side distinct, so the inner join emits one
+    # row per true per-doc collision).
+    totals = doc_sh.groupBy(F.col("id").alias(id_col)).agg(
+        F.count(F.lit(1)).alias("n_shingles")
+    )
+    hits = (
+        doc_sh.filter(F.col("_cand"))
+        .join(bench_sh, F.col("shingle") == F.col("_bsh"))
         .groupBy(F.col("id").alias(id_col))
-        .agg(
-            F.count(F.lit(1)).alias("n_shingles"),
-            F.count("_hit").alias("n_hits"),
-        )
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        totals.join(hits, id_col, "left")
+        .withColumn("n_hits", F.coalesce("n_hits", F.lit(0).cast("long")))
         .withColumn("contaminated", F.col("n_hits") >= min_common)
     )
 

@@ -103,3 +103,25 @@ def test_no_python_in_plan(spark):
     )
     assert "BatchEvalPython" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_shuffle_confirm_regime_still_exact(spark):
+    # broadcast_benchmark=False splits the plan (totals agg + candidate-
+    # only shuffle join); the answer must stay row-for-row the exact
+    # operator's in the same regime, including zero-hit docs.
+    d = _docs(spark)
+    bench = d.filter(F.col("doc_id") % 7 == 0)
+    train = d.filter(F.col("doc_id") % 7 != 0)
+    exact = (
+        contamination_flags(train, bench, n=4, broadcast_benchmark=False)
+        .orderBy("doc_id")
+        .collect()
+    )
+    fast = (
+        contamination_flags_bloom(
+            train, bench, n=4, broadcast_benchmark=False, num_bits=1 << 20
+        )
+        .orderBy("doc_id")
+        .collect()
+    )
+    assert exact == fast
