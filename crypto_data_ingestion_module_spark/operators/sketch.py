@@ -132,3 +132,90 @@ def frequent_items_exact(df: DataFrame, col: str, k: int = 49) -> DataFrame:
         .select("item", "cnt")
         .orderBy(F.desc("cnt"), F.asc("item"))
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values / bottom-k θ-sketch): mergeable uniform sample
+# + distinct-count estimate — with EXACT integer arithmetic, so unlike
+# HLL it is oracle-pairable end to end.
+# ---------------------------------------------------------------------------
+
+#: Hash-space width.  48 bits: (k-1) * 2^48 stays far inside int64 for
+#: any sane k, and md5-prefix collisions among realistic cardinalities
+#: are ~n²/2^49 — and even a collision is computed IDENTICALLY by both
+#: engines, so cross-engine parity is unaffected either way.
+KMV_BITS = 48
+KMV_SPACE = 1 << KMV_BITS
+
+
+def kmv_hash(col: F.Column) -> F.Column:
+    """Deterministic 48-bit uniform hash: md5-prefix as an integer —
+    the same construction as the repo's seeded samplers/planes, exact
+    in both engines (DuckDB: ``from_hex``/``conv`` on the same prefix).
+    """
+    return F.conv(
+        F.substring(F.md5(col.cast("string")), 1, KMV_BITS // 4),
+        16,
+        10,
+    ).cast("long")
+
+
+def kmv_bottom_k(
+    df: DataFrame,
+    col: str,
+    k: int,
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """The k smallest distinct hash values (with their items) per group.
+
+    This IS the sketch: a bottom-k set is trivially mergeable (bottom-k
+    of a union = bottom-k of concatenated bottom-k partials — pinned in
+    tests), doubles as a uniform without-replacement sample of the
+    DISTINCT items (md5 rank is independent of frequency), and carries
+    the θ estimator below.  Rank r is 1-based by (hash, item) — the
+    item tie-break only matters under a hash collision and is
+    deterministic in both engines.
+
+    100 TB shape: the distinct-ing aggregate and the per-group sort
+    shuffle only (group, item) pairs; at extreme scale substitute a
+    per-partition bottom-k partial before the global one (same merge
+    law the test pins) — the window form here keeps the plan
+    oracle-identical.
+    """
+    from pyspark.sql import Window
+
+    dist = df.select(*group_cols, F.col(col).alias("item")).distinct()
+    w = Window.partitionBy(
+        *[F.col(c) for c in group_cols] if group_cols else [F.lit(1)]
+    ).orderBy("h", "item")
+    return (
+        dist.select(*group_cols, "item", kmv_hash(F.col("item")).alias("h"))
+        .withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= k)
+    )
+
+
+def kmv_distinct_estimate(
+    df: DataFrame,
+    col: str,
+    k: int,
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Per-group distinct-count estimate from the bottom-k sketch.
+
+    Estimator: if fewer than k distinct hashes exist the count is exact
+    (the sketch holds everything); otherwise the classic KMV estimate
+    (k-1) * SPACE / h_(k), here as EXACT integer floor division so the
+    oracle reproduces it bit-for-bit.  Standard error ≈ 1/sqrt(k-2).
+    """
+    bk = kmv_bottom_k(df, col, k, group_cols)
+    gb = [F.col(c) for c in group_cols] if group_cols else [F.lit(1).alias("_g")]
+    agg = bk.groupBy(*gb).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.max(F.when(F.col("r") == k, F.col("h"))).alias("h_k"),
+    )
+    est = F.when(F.col("n_kept") < k, F.col("n_kept")).otherwise(
+        F.expr(f"({k} - 1) * {KMV_SPACE}L DIV h_k")
+    )
+    out = agg.withColumn("distinct_est", est.cast("long")).drop("h_k")
+    return out.drop("_g") if not group_cols else out

@@ -2882,3 +2882,58 @@ FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
 """,
     )
 )
+
+
+# --------------------------------------------------------------------------
+# A2 sketch family: KMV (bottom-k θ-sketch) distinct-count estimation —
+# the ORACLE-PAIRED sketch (HLL's estimate is engine-internal, hence
+# rows-only; KMV's estimator is md5 order statistics + exact integer
+# floor division, reproducible bit-for-bit in plain SQL).
+# --------------------------------------------------------------------------
+
+_KMV_K = 64
+
+
+def _distinct_users_kmv_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crypto_data_ingestion_module_spark.operators.sketch import (
+        kmv_distinct_estimate,
+    )
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "user_id")
+    return kmv_distinct_estimate(ev, "user_id", _KMV_K, ("event_type",))
+
+
+_register(
+    QuerySpec(
+        name="distinct_users_kmv",
+        survey_ids=("A2", "A3"),
+        description=f"KMV/theta-sketch distinct users per event type "
+        f"(bottom-{_KMV_K} md5 order statistics, exact-below-k, "
+        f"(k-1)*2^48 DIV h_k estimator in exact integer math) — the "
+        "mergeable count-distinct sketch that IS oracle-pairable",
+        spark=_distinct_users_kmv_q,
+        oracle=f"""
+WITH dist AS (SELECT DISTINCT event_type, user_id AS item FROM events),
+hashed AS (
+  SELECT event_type, item,
+         ('0x' || substring(md5(CAST(item AS VARCHAR)), 1, 12))::BIGINT AS h
+  FROM dist
+),
+rk AS (
+  SELECT event_type, item, h,
+         row_number() OVER (PARTITION BY event_type ORDER BY h, item) AS r
+  FROM hashed
+),
+agg AS (
+  SELECT event_type, count(*) AS n_kept,
+         max(CASE WHEN r = {_KMV_K} THEN h END) AS h_k
+  FROM rk WHERE r <= {_KMV_K} GROUP BY event_type
+)
+SELECT event_type, n_kept,
+       CAST(CASE WHEN n_kept < {_KMV_K} THEN n_kept
+                 ELSE ({_KMV_K - 1} * {1 << 48}) // h_k END AS BIGINT)
+         AS distinct_est
+FROM agg
+""",
+    )
+)

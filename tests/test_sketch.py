@@ -90,3 +90,74 @@ def test_hll_distinct_bound_vs_exact(spark):
     assert approx.keys() == exact.keys()
     for key, e in exact.items():
         assert abs(approx[key] - e) <= max(1, 0.06 * e), (key, approx[key], e)
+
+
+# ---------------------------------------------------------------------------
+# KMV (bottom-k theta-sketch)
+# ---------------------------------------------------------------------------
+
+
+def test_kmv_bottom_k_is_mergeable(spark):
+    # bottom-k of a union == bottom-k of concatenated per-split
+    # bottom-k partials: the law that makes KMV a sketch.
+    from crypto_data_ingestion_module_spark.operators.sketch import (
+        kmv_bottom_k,
+    )
+
+    df = spark.range(1000).select(F.col("id").alias("v"))
+    whole = kmv_bottom_k(df, "v", 32).select("h", "item")
+    parts = [
+        kmv_bottom_k(df.filter(F.col("v") % 3 == i), "v", 32).select(
+            "h", "item"
+        )
+        for i in range(3)
+    ]
+    u = parts[0].unionByName(parts[1]).unionByName(parts[2]).distinct()
+    from crypto_data_ingestion_module_spark.operators.sketch import kmv_hash
+
+    merged = (
+        u.orderBy("h", "item").limit(32).select("h", "item")
+    )
+    assert sorted(map(tuple, whole.collect())) == sorted(
+        map(tuple, merged.collect())
+    )
+
+
+def test_kmv_exact_below_k(spark):
+    from crypto_data_ingestion_module_spark.operators.sketch import (
+        kmv_distinct_estimate,
+    )
+
+    df = spark.range(40).select(F.col("id").alias("v"))
+    row = kmv_distinct_estimate(df, "v", 64).collect()[0]
+    assert row["n_kept"] == 40
+    assert row["distinct_est"] == 40  # sketch holds everything: exact
+
+
+def test_kmv_estimate_within_theoretical_error(spark):
+    # SE ~ 1/sqrt(k-2); allow 3 sigma.  10_000 true distinct, k=256.
+    from crypto_data_ingestion_module_spark.operators.sketch import (
+        kmv_distinct_estimate,
+    )
+
+    k = 256
+    df = spark.range(10_000).select(F.col("id").alias("v"))
+    est = kmv_distinct_estimate(df, "v", k).collect()[0]["distinct_est"]
+    assert abs(est - 10_000) / 10_000 < 3.0 / (k - 2) ** 0.5
+
+
+def test_kmv_sample_is_frequency_blind(spark):
+    # The kept ITEMS form a uniform sample of the DISTINCT values: an
+    # item appearing 1000x must have the same md5 rank as one appearing
+    # once — feeding duplicates must not change the sketch at all.
+    from crypto_data_ingestion_module_spark.operators.sketch import (
+        kmv_bottom_k,
+    )
+
+    base = spark.range(500).select(F.col("id").alias("v"))
+    skewed = base.unionByName(
+        spark.range(10).select(F.lit(7).alias("v"))
+    )  # value 7 now appears 11x
+    a = sorted(map(tuple, kmv_bottom_k(base, "v", 50).collect()))
+    b = sorted(map(tuple, kmv_bottom_k(skewed, "v", 50).collect()))
+    assert a == b
