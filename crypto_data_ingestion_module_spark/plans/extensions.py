@@ -2937,3 +2937,56 @@ FROM agg
 """,
     )
 )
+
+
+# --------------------------------------------------------------------------
+# X3: Johnson–Lindenstrauss Rademacher projection (64 → 16 dims).  Same
+# seeded-md5-sign construction as the LSH planes; micro-rounded inputs
+# make every output coordinate an exact integer sum, so the projection
+# is oracle-paired end to end (operators/projection.py).
+# --------------------------------------------------------------------------
+
+
+def _random_projection_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crypto_data_ingestion_module_spark.operators.projection import (
+        rademacher_project,
+    )
+
+    return rademacher_project(
+        _t(spark, sf_dir, "embeddings"), d=64, out_dim=16, seed=7
+    )
+
+
+_register(
+    QuerySpec(
+        name="embedding_random_projection",
+        survey_ids=("X3", "X5"),
+        description="Johnson-Lindenstrauss Rademacher projection 64->16 "
+        "dims (seeded md5-parity signs, exact integer micro-unit sums, "
+        "map-only/shuffle-free) - the dimensionality-reduction front end "
+        "of the similarity stack",
+        spark=_random_projection_q,
+        oracle="""
+WITH sgn AS (
+  SELECT i, j,
+         CASE WHEN ('0x' || substr(md5(i || ':' || j || ':7'), 1, 1))::BIGINT % 2 = 0
+              THEN 1 ELSE -1 END AS s
+  FROM generate_series(0, 63) g1(i), generate_series(0, 15) g2(j)
+),
+el AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+         CAST(round(unnest(embedding) * 1e6) AS BIGINT) AS xm
+  FROM embeddings
+),
+y AS (
+  SELECT el.vec_id, sgn.j, sum(el.xm * sgn.s) AS p
+  FROM el JOIN sgn ON el.i = sgn.i
+  GROUP BY el.vec_id, sgn.j
+)
+SELECT vec_id,
+       string_agg(CAST(CAST(p AS BIGINT) AS VARCHAR), ',' ORDER BY j)
+         AS proj_csv
+FROM y GROUP BY vec_id
+""",
+    )
+)

@@ -1680,11 +1680,13 @@ _register(
 # All three new queries validated green at sf0.001 AND sf0.01 AND sf0.1
 # before entering (scripts/validate.py + per-SF oracle checks).
 # Round-10 rotation plan (pre-committed): rotate IN distinct_users_kmv
-# (new r9, the oracle-paired count-distinct sketch; validated at all
-# three SFs) — suggested out: label_centroids (receipts r1–r8; X3/X5
-# keep embedding_kmeans + ann_ivfpq_topk + pq_adc_topk in-window) or
-# interval_boundary_gate (receipts r1–r8; F3's boundary math also rides
-# inside ohlcv_resample_1h).  Keep every family's twin as usual.
+# (the oracle-paired count-distinct sketch) and
+# embedding_random_projection (JL Rademacher 64→16, exact integer sums)
+# — both new r9, both validated at all three SFs.  Suggested outs:
+# label_centroids (receipts r1–r8; X3/X5 keep embedding_kmeans +
+# ann_ivfpq_topk + pq_adc_topk in-window) and interval_boundary_gate
+# (receipts r1–r8; F3's boundary math also rides inside
+# ohlcv_resample_1h).  Keep every family's twin as usual.
 # --------------------------------------------------------------------------
 
 CHECKED_QUERIES: tuple[str, ...] = (

@@ -1,0 +1,98 @@
+"""JL Rademacher projection (operators/projection.py).
+
+The oracle pairing pins cross-engine exactness; these pin the
+PROPERTIES that make the projection useful: linearity, sign-matrix
+determinism, and the JL distance-preservation behavior on real
+embeddings (statistical, with a generous bound — it's a property of
+the construction, not a tight concentration test).
+"""
+
+import math
+
+from pyspark.sql import functions as F
+
+from crypto_data_ingestion_module_spark.operators.projection import (
+    rademacher_project,
+    rademacher_sign,
+)
+from tests.conftest import SF_SMALL
+
+
+def _emb(spark):
+    return spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+
+
+def _projs(spark, out_dim=16):
+    rows = rademacher_project(
+        _emb(spark).limit(60), d=64, out_dim=out_dim
+    ).collect()
+    return {
+        r["vec_id"]: [int(v) for v in r["proj_csv"].split(",")]
+        for r in rows
+    }
+
+
+def test_signs_are_deterministic_and_balanced():
+    signs = [rademacher_sign(i, j, 7) for i in range(64) for j in range(16)]
+    assert set(signs) == {1, -1}
+    # md5 parity should be near-balanced; 1024 draws, allow wide margin
+    assert 380 < signs.count(1) < 644
+    assert rademacher_sign(3, 5, 7) == rademacher_sign(3, 5, 7)
+    assert any(
+        rademacher_sign(i, 0, 7) != rademacher_sign(i, 1, 7)
+        for i in range(64)
+    )
+
+
+def test_projection_is_linear(spark):
+    # proj(2x) == 2*proj(x) exactly (integer arithmetic: micro-units of
+    # 2x are exactly twice the micro-units of x only when x*1e6 rounds
+    # cleanly — use synthetic micro-exact vectors).
+    base = [i / 1000.0 for i in range(64)]
+    df = spark.createDataFrame(
+        [(1, base), (2, [2 * v for v in base])],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r["vec_id"]: [int(v) for v in r["proj_csv"].split(",")]
+        for r in rademacher_project(df, d=64).collect()
+    }
+    assert got[2] == [2 * v for v in got[1]]
+
+
+def test_jl_distance_preservation_on_real_embeddings(spark):
+    # Pairwise squared distances in the projected space, rescaled by
+    # 1/out_dim, should track the original squared distances.  With
+    # out_dim=16 the JL distortion is loose; assert the ratio stays
+    # within a generous [0.2, 5] band for 95% of pairs — enough to
+    # catch a broken sign matrix or a lost coordinate, which send
+    # ratios to 0 or 10+.
+    emb = {
+        r["vec_id"]: r["embedding"]
+        for r in _emb(spark).limit(60).collect()
+    }
+    proj = _projs(spark)
+    ids = sorted(emb)[:40]
+    ok = total = 0
+    for a in range(len(ids)):
+        for b in range(a + 1, len(ids)):
+            x, y = emb[ids[a]], emb[ids[b]]
+            d2 = sum((xi - yi) ** 2 for xi, yi in zip(x, y)) * 1e12
+            p, q = proj[ids[a]], proj[ids[b]]
+            pd2 = sum((pi - qi) ** 2 for pi, qi in zip(p, q)) / 16.0
+            if d2 > 0:
+                total += 1
+                ok += 0.2 < pd2 / d2 < 5.0
+    assert total > 500
+    assert ok / total > 0.95
+
+
+def test_plan_is_map_only(spark):
+    plan = (
+        rademacher_project(_emb(spark), d=64)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan  # shuffle-free
+    assert "BatchEvalPython" not in plan
