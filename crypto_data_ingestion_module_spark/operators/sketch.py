@@ -208,7 +208,19 @@ def kmv_distinct_estimate(
     (k-1) * SPACE / h_(k), here as EXACT integer floor division so the
     oracle reproduces it bit-for-bit.  Standard error ≈ 1/sqrt(k-2).
     """
-    bk = kmv_bottom_k(df, col, k, group_cols)
+    return kmv_estimate_from_bottom_k(
+        kmv_bottom_k(df, col, k, group_cols), k, group_cols
+    )
+
+
+def kmv_estimate_from_bottom_k(
+    bk: DataFrame,
+    k: int,
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """The estimator step alone, over an existing ranked bottom-k frame
+    (columns ``h``/``item``/``r`` + groups) — shared by the one-shot
+    path and the stored-partials path (operators/sketch_store.py)."""
     gb = [F.col(c) for c in group_cols] if group_cols else [F.lit(1).alias("_g")]
     agg = bk.groupBy(*gb).agg(
         F.count(F.lit(1)).alias("n_kept"),
@@ -219,3 +231,25 @@ def kmv_distinct_estimate(
     )
     out = agg.withColumn("distinct_est", est.cast("long")).drop("h_k")
     return out.drop("_g") if not group_cols else out
+
+
+def kmv_rerank(
+    rows: DataFrame,
+    k: int,
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Re-rank a bag of (group, item, h) rows — e.g. the union of stored
+    bottom-k partials — back into a ranked bottom-k frame.  Bottom-k of
+    a union equals bottom-k of concatenated bottom-k partials (the merge
+    law pinned in tests), so this IS the KMV merge."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(
+        *[F.col(c) for c in group_cols] if group_cols else [F.lit(1)]
+    ).orderBy("h", "item")
+    return (
+        rows.select(*group_cols, "item", "h")
+        .distinct()
+        .withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= k)
+    )

@@ -348,3 +348,76 @@ def quantiles_from_histogram(
         )
         out = pick if out is None else out.unionAll(pick)
     return out
+
+
+# ---------------------------------------------------------------------------
+# KMV (bottom-k θ-sketch) partials — the third stored sketch family.
+# Unlike the HLL rows above, the merged KMV estimate is oracle-pairable
+# (md5 order statistics + exact integer division, operators/sketch.py).
+# ---------------------------------------------------------------------------
+
+
+def kmv_partials(
+    df: DataFrame, col: str, stratum: str, k: int = 64
+) -> DataFrame:
+    """Bounded ``(stratum, item, h)`` bottom-k rows per stratum: at most
+    strata × k rows per stored batch."""
+    from crypto_data_ingestion_module_spark.operators.sketch import (
+        kmv_bottom_k,
+    )
+
+    src = df.select(
+        F.col(stratum).cast("string").alias(stratum),
+        F.col(col).cast("string").alias(col),
+    )
+    return kmv_bottom_k(src, col, k, (stratum,)).select(
+        stratum, "item", "h"
+    )
+
+
+def store_kmv_partials(
+    spark: SparkSession,
+    df: DataFrame,
+    col: str,
+    root: str,
+    stratum: str = "day",
+    k: int = 64,
+    applied_id: str | None = None,
+) -> int:
+    """Append a batch's bottom-k partials to the KMV lake (replay-immune
+    via ``applied_id``).  Batches may cover overlapping strata: the
+    range reader below re-ranks the union, and bottom-k of a union of
+    bottom-k partials equals bottom-k of the full data."""
+    return snapshot_append(
+        spark,
+        root,
+        kmv_partials(df, col, stratum, k=k),
+        partition_cols=(stratum,),
+        applied_id=applied_id,
+    )
+
+
+def kmv_distinct_over_range(
+    spark: SparkSession,
+    root: str,
+    k: int = 64,
+    strata: Sequence[str] | None = None,
+    stratum: str = "day",
+    per_stratum: bool = False,
+) -> DataFrame:
+    """Distinct-count estimate over any stored stratum range — never
+    re-reads the fact.  With ``per_stratum=False`` the partials of the
+    whole range merge into ONE estimate (distinct items across the
+    range); ``per_stratum=True`` keeps one estimate per stratum.
+    Equals the from-scratch estimate over the same fact rows exactly
+    (merge law; pinned in tests)."""
+    from crypto_data_ingestion_module_spark.operators.sketch import (
+        kmv_estimate_from_bottom_k,
+        kmv_rerank,
+    )
+
+    p = read_snapshot(spark, root)
+    if strata is not None:
+        p = p.where(F.col(stratum).isin(list(strata)))
+    groups = (stratum,) if per_stratum else ()
+    return kmv_estimate_from_bottom_k(kmv_rerank(p, k, groups), k, groups)

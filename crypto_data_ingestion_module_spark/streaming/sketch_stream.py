@@ -113,3 +113,44 @@ def stream_hll_partials(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_kmv_partials(
+    source: DataFrame,
+    root: str,
+    checkpoint: str,
+    col: str,
+    stratum: str = "day",
+    k: int = 64,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Maintain the KMV bottom-k partial lake from a stream: each
+    micro-batch appends its own ≤ strata×k partial rows; the range
+    reader re-ranks the union, and bottom-k merging is batching-
+    independent, so streamed estimates equal one-shot estimates
+    (pinned in tests) — and, uniquely among the streamed sketches,
+    remain oracle-pairable."""
+    from crypto_data_ingestion_module_spark.operators.sketch_store import (
+        store_kmv_partials,
+    )
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        qid = stream_qid(checkpoint)
+        store_kmv_partials(
+            batch_df.sparkSession,
+            batch_df,
+            col,
+            root,
+            stratum=stratum,
+            k=k,
+            applied_id=f"kmv-{qid}-{batch_id}",
+        )
+
+    writer = source.writeStream.foreachBatch(_sink).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

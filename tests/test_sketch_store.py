@@ -250,3 +250,76 @@ def test_histogram_quantiles_merge_equals_scratch_and_bounds_error(
     truth = ev.approxQuantile("value", qs, 0.0)  # exact at relErr=0
     for q, t in zip(qs, truth):
         assert abs(merged[q] - t) <= width + 1e-9
+
+
+# ---------------------------------------------------------------------------
+# KMV partial lake
+# ---------------------------------------------------------------------------
+
+
+def test_kmv_partials_merge_equals_one_shot(spark, tmp_path):
+    # Store three overlapping batches; the range estimate must equal
+    # the one-shot estimate over the union of the fact rows.
+    from crypto_data_ingestion_module_spark.operators.sketch import (
+        kmv_distinct_estimate,
+    )
+    from crypto_data_ingestion_module_spark.operators.sketch_store import (
+        kmv_distinct_over_range,
+        store_kmv_partials,
+    )
+
+    root = str(tmp_path / "kmv")
+    full = spark.range(3000).select(
+        (F.col("id") % 3).cast("string").alias("day"),
+        (F.col("id") % 997).cast("string").alias("u"),
+    )
+    for i in range(3):
+        store_kmv_partials(
+            spark,
+            full.filter(F.col("id") % 3 == i),
+            "u",
+            root,
+            stratum="day",
+            k=64,
+            applied_id=f"b{i}",
+        )
+    got = kmv_distinct_over_range(spark, root, k=64).collect()[0]
+    want = kmv_distinct_estimate(full, "u", 64).collect()[0]
+    assert got["distinct_est"] == want["distinct_est"]
+    assert got["n_kept"] == want["n_kept"]
+
+    # per-stratum merge equals per-stratum one-shot
+    got_s = {
+        r["day"]: r["distinct_est"]
+        for r in kmv_distinct_over_range(
+            spark, root, k=64, per_stratum=True
+        ).collect()
+    }
+    want_s = {
+        r["day"]: r["distinct_est"]
+        for r in kmv_distinct_estimate(
+            full, "u", 64, ("day",)
+        ).collect()
+    }
+    assert got_s == want_s
+
+
+def test_kmv_store_replay_immune(spark, tmp_path):
+    from crypto_data_ingestion_module_spark.operators.sketch_store import (
+        kmv_distinct_over_range,
+        store_kmv_partials,
+    )
+    from crypto_data_ingestion_module_spark.sinks.snapshot import (
+        current_version,
+    )
+
+    root = str(tmp_path / "kmvr")
+    df = spark.range(500).select(
+        F.lit("d0").alias("day"), F.col("id").cast("string").alias("u")
+    )
+    store_kmv_partials(spark, df, "u", root, applied_id="batch-1")
+    v = current_version(spark, root)
+    est = kmv_distinct_over_range(spark, root).collect()
+    store_kmv_partials(spark, df, "u", root, applied_id="batch-1")  # replay
+    assert current_version(spark, root) == v
+    assert kmv_distinct_over_range(spark, root).collect() == est

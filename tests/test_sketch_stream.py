@@ -293,3 +293,45 @@ def test_checkpoint_restart_resumes_without_double_append(spark, tmp_path):
         for r in frequent_items_exact(fact, "tok", k=K).collect()
     ]
     assert got == want and got
+
+
+def test_streamed_kmv_estimate_equals_one_shot(spark, tmp_path):
+    from crypto_data_ingestion_module_spark.operators.sketch import (
+        kmv_distinct_estimate,
+    )
+    from crypto_data_ingestion_module_spark.operators.sketch_store import (
+        kmv_distinct_over_range,
+    )
+    from crypto_data_ingestion_module_spark.streaming.sketch_stream import (
+        stream_kmv_partials,
+    )
+
+    ev = load_table(spark, SF_SMALL, "events").select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        F.col("user_id").cast("string").alias("u"),
+    ).withColumn("split_key", F.abs(F.xxhash64("u", "day")))
+    in_dir = str(tmp_path / "kin")
+    _write_batches(ev, tmp_path, in_dir, "split_key")
+
+    src = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    root = str(tmp_path / "kmvlake")
+    q = stream_kmv_partials(src, root, str(tmp_path / "kck"), "u", k=32)
+    q.awaitTermination(120)
+
+    streamed = kmv_distinct_over_range(spark, root, k=32).collect()[0]
+    oneshot = kmv_distinct_estimate(ev, "u", 32).collect()[0]
+    assert streamed["distinct_est"] == oneshot["distinct_est"]
+
+    # restart from the same checkpoint: nothing new, nothing appended
+    from crypto_data_ingestion_module_spark.sinks.snapshot import (
+        current_version,
+    )
+
+    v = current_version(spark, root)
+    q2 = stream_kmv_partials(src, root, str(tmp_path / "kck"), "u", k=32)
+    q2.awaitTermination(120)
+    assert current_version(spark, root) == v
