@@ -47,6 +47,29 @@ def _project_dim(vec_micro: Column, d: int, j: int, seed: int) -> Column:
     )
 
 
+def rademacher_project_arr(
+    df: DataFrame,
+    d: int,
+    out_dim: int = 16,
+    seed: int = 7,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, proj) with ``proj`` an ``array<long>`` of exact-integer
+    micro-unit coordinates — the composable form the projected-ANN
+    prune consumes."""
+    micro = F.transform(
+        F.col(vec_col), lambda x: F.round(x.cast("double") * 1e6).cast("long")
+    )
+    tmp = df.select(F.col(id_col), micro.alias("_m"))
+    return tmp.select(
+        id_col,
+        F.array(
+            *[_project_dim(F.col("_m"), d, j, seed) for j in range(out_dim)]
+        ).alias("proj"),
+    )
+
+
 def rademacher_project(
     df: DataFrame,
     d: int,
@@ -59,18 +82,92 @@ def rademacher_project(
     as a CSV string (array stringification differs across engines in
     the compare harness; a CSV of integers is exact in both, same trick
     as quantize_embeddings)."""
-    micro = F.transform(
-        F.col(vec_col), lambda x: F.round(x.cast("double") * 1e6).cast("long")
-    )
-    tmp = df.select(F.col(id_col), micro.alias("_m"))
-    cols = [
-        _project_dim(F.col("_m"), d, j, seed).alias(f"p{j}")
-        for j in range(out_dim)
-    ]
-    out = tmp.select(id_col, *cols)
-    return out.select(
+    arr = rademacher_project_arr(df, d, out_dim, seed, vec_col, id_col)
+    return arr.select(
         id_col,
-        F.concat_ws(",", *[F.col(f"p{j}").cast("string") for j in range(out_dim)]).alias(
+        F.array_join(F.transform("proj", lambda p: p.cast("string")), ",").alias(
             "proj_csv"
         ),
+    )
+
+
+def projected_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    d: int,
+    out_dim: int = 16,
+    seed: int = 7,
+    m: int = 24,
+    k: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Two-stage ANN: JL-projected L2 prune to ``m`` candidates per
+    query, exact fixed-point cosine rerank to top ``k``.
+
+    Stage 1 ranks corpus vectors by squared L2 distance in the
+    ``out_dim``-dim projected space (exact integer micro² units — the
+    JL guarantee is distance preservation, so L2-close in projection ≈
+    L2-close in the original); stage 2 computes the exact cosine ONLY
+    for the m candidates.  Both stages are deterministic integer math
+    with (distance, id) tie-breaks, so the whole approximate search is
+    oracle-pairable — recall vs brute force is a measured property
+    (pytest), not a parity risk.
+
+    100 TB shape: the prune compares 16 longs instead of d floats per
+    (query, corpus) pair — the broadcast-queries corpus scan streams
+    16/d of the bytes — and the exact rerank touches m rows per query
+    instead of the corpus.
+    """
+    from crypto_data_ingestion_module_spark.operators.similarity import (
+        FP_SCALE,
+        _dot_fp,
+        with_norm,
+    )
+    from pyspark.sql import Window
+
+    qp = rademacher_project_arr(queries, d, out_dim, seed, vec_col, id_col).select(
+        F.col(id_col).alias("qid"), F.col("proj").alias("_qp")
+    )
+    cp = rademacher_project_arr(corpus, d, out_dim, seed, vec_col, id_col).select(
+        F.col(id_col).alias("nid"), F.col("proj").alias("_cp")
+    )
+    d2 = F.aggregate(
+        F.zip_with("_qp", "_cp", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    pw = Window.partitionBy("qid").orderBy("d2p", "nid")
+    cand = (
+        F.broadcast(qp)
+        .crossJoin(cp)
+        .filter(F.col("qid") != F.col("nid"))
+        .withColumn("d2p", d2)
+        .withColumn("prank", F.row_number().over(pw))
+        .filter(F.col("prank") <= m)
+        .select("qid", "nid")
+    )
+    q = with_norm(
+        queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")),
+        "qv",
+        exact=True,
+        long_safe=True,
+    ).withColumnRenamed("_norm", "qnorm")
+    c = with_norm(
+        corpus.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nv")),
+        "nv",
+        exact=True,
+        long_safe=True,
+    ).withColumnRenamed("_norm", "nnorm")
+    dot = _dot_fp(F.col("qv"), F.col("nv"), FP_SCALE, True).cast("double") / F.lit(
+        FP_SCALE
+    )
+    rw = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nid"))
+    return (
+        cand.join(F.broadcast(q), "qid")
+        .join(c, "nid")
+        .withColumn("cosine", dot / (F.col("qnorm") * F.col("nnorm")))
+        .withColumn("rank", F.row_number().over(rw))
+        .filter(F.col("rank") <= k)
+        .select("qid", "nid", "rank", "cosine")
     )

@@ -2990,3 +2990,98 @@ FROM y GROUP BY vec_id
 """,
     )
 )
+
+
+# --------------------------------------------------------------------------
+# X3: projected-ANN composition — JL prune (32-dim integer L2) + exact
+# fixed-point cosine rerank of the m=64 survivors.  Both stages are
+# deterministic integer math with (distance, id) tie-breaks, so the
+# APPROXIMATE search is oracle-paired end to end; recall vs brute force
+# is a measured pytest property, not a parity risk.  (These embeddings
+# are isotropic random unit vectors — JL's hardest ranking case, since
+# neighbors are barely closer than the bulk; real embedding manifolds
+# cluster and prune far better.  m/out_dim are therefore set generous.)
+# --------------------------------------------------------------------------
+
+
+def _ann_projected_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crypto_data_ingestion_module_spark.operators.projection import (
+        projected_ann_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    return projected_ann_topk(emb, queries, d=64, out_dim=32, seed=7, m=64, k=8)
+
+
+_register(
+    QuerySpec(
+        name="ann_projected_topk",
+        survey_ids=("X3",),
+        description="two-stage ANN: Johnson-Lindenstrauss 32-dim integer "
+        "L2 prune to 64 candidates per query (vec_id%100==0), exact "
+        "fixed-point cosine rerank to top-8 - the projection-accelerated "
+        "member of the ANN family (LSH/IVF/PQ/JL)",
+        spark=_ann_projected_q,
+        oracle=f"""
+WITH sgn AS (
+  SELECT i, j,
+         CASE WHEN ('0x' || substr(md5(i || ':' || j || ':7'), 1, 1))::BIGINT % 2 = 0
+              THEN 1 ELSE -1 END AS s
+  FROM generate_series(0, 63) g1(i), generate_series(0, 31) g2(j)
+),
+el AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+         CAST(round(unnest(embedding) * 1e6) AS BIGINT) AS xm
+  FROM embeddings
+),
+y AS (
+  SELECT el.vec_id, sgn.j, sum(el.xm * sgn.s) AS p
+  FROM el JOIN sgn ON el.i = sgn.i
+  GROUP BY el.vec_id, sgn.j
+),
+d2 AS (
+  SELECT yq.vec_id AS qid, yc.vec_id AS nid,
+         sum((yq.p - yc.p) * (yq.p - yc.p)) AS d2p
+  FROM y yq JOIN y yc ON yq.j = yc.j AND yq.vec_id <> yc.vec_id
+  WHERE yq.vec_id % 100 = 0
+  GROUP BY qid, nid
+),
+cand AS (
+  SELECT qid, nid FROM (
+    SELECT qid, nid,
+           row_number() OVER (PARTITION BY qid ORDER BY d2p, nid) AS pr
+    FROM d2
+  ) WHERE pr <= 64
+),
+qn AS (
+  SELECT qid, sqrt({_COS_DOT.format(a='x', b='x')}) AS qnorm
+  FROM (SELECT vec_id AS qid, unnest(embedding) AS x FROM embeddings
+        WHERE vec_id % 100 = 0)
+  GROUP BY qid
+),
+cn AS (
+  SELECT nid, sqrt({_COS_DOT.format(a='x', b='x')}) AS nnorm
+  FROM (SELECT vec_id AS nid, unnest(embedding) AS x FROM embeddings)
+  GROUP BY nid
+),
+dots AS (
+  SELECT qid, nid, {_COS_DOT.format(a='xq', b='xn')} AS dot
+  FROM (
+    SELECT c.qid, c.nid, unnest(eq.embedding) AS xq, unnest(en.embedding) AS xn
+    FROM cand c
+    JOIN embeddings eq ON c.qid = eq.vec_id
+    JOIN embeddings en ON c.nid = en.vec_id
+  ) GROUP BY qid, nid
+),
+ranked AS (
+  SELECT d.qid, d.nid, d.dot / (qn.qnorm * cn.nnorm) AS cosine,
+         row_number() OVER (PARTITION BY d.qid
+                            ORDER BY d.dot / (qn.qnorm * cn.nnorm) DESC, d.nid)
+           AS rank
+  FROM dots d JOIN qn ON d.qid = qn.qid JOIN cn ON d.nid = cn.nid
+)
+SELECT qid, nid, CAST(rank AS INT) AS rank, cosine FROM ranked WHERE rank <= 8
+""",
+    )
+)

@@ -96,3 +96,54 @@ def test_plan_is_map_only(spark):
     )
     assert "Exchange" not in plan  # shuffle-free
     assert "BatchEvalPython" not in plan
+
+
+def test_projected_ann_recall_vs_brute_force(spark):
+    # Isotropic random unit vectors are JL's hardest ranking case
+    # (neighbors barely closer than the bulk), so the bar is recall
+    # >= 0.5 at out_dim=32/m=64 — far above the ~0.13 a broken prune
+    # (random 64 of 499) would score, loose enough not to flake.
+    from crypto_data_ingestion_module_spark.operators.projection import (
+        projected_ann_topk,
+    )
+    from crypto_data_ingestion_module_spark.operators.similarity import (
+        cosine_topk,
+    )
+
+    emb = _emb(spark)
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    approx = projected_ann_topk(emb, queries, d=64, out_dim=32, m=64, k=8).collect()
+    exact = cosine_topk(emb, queries, k=8).collect()
+    a = {}
+    for r in approx:
+        a.setdefault(r["qid"], set()).add(r["nid"])
+    e = {}
+    for r in exact:
+        e.setdefault(r["qid"], set()).add(r["nid"])
+    recalls = [len(a[q] & e[q]) / len(e[q]) for q in e]
+    assert sum(recalls) / len(recalls) >= 0.5
+
+
+def test_projected_ann_rerank_scores_are_exact(spark):
+    # Whatever survives the prune carries the EXACT cosine: every
+    # (qid, nid) pair in the approx result must match the brute-force
+    # cosine for that pair bit-for-bit.
+    from crypto_data_ingestion_module_spark.operators.projection import (
+        projected_ann_topk,
+    )
+    from crypto_data_ingestion_module_spark.operators.similarity import (
+        cosine_topk,
+    )
+
+    emb = _emb(spark)
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    approx = {
+        (r["qid"], r["nid"]): r["cosine"]
+        for r in projected_ann_topk(emb, queries, d=64, out_dim=32, m=64, k=8).collect()
+    }
+    exact = {
+        (r["qid"], r["nid"]): r["cosine"]
+        for r in cosine_topk(emb, queries, k=499).collect()
+    }
+    for pair, cos in approx.items():
+        assert exact[pair] == cos, pair
