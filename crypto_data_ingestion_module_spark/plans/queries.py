@@ -1680,9 +1680,12 @@ _register(
 # All three new queries validated green at sf0.001 AND sf0.01 AND sf0.1
 # before entering (scripts/validate.py + per-SF oracle checks).
 # Round-10 rotation plan (pre-committed): rotate IN distinct_users_kmv
-# (the oracle-paired count-distinct sketch) and
-# embedding_random_projection (JL Rademacher 64→16, exact integer sums)
-# — both new r9, both validated at all three SFs.  Suggested outs:
+# (the oracle-paired count-distinct sketch), embedding_random_projection
+# (JL Rademacher 64→16, exact integer sums), and ann_projected_topk
+# (JL prune + exact cosine rerank) — all new r9, all validated at all
+# three SFs.  A third out if needed: epoch_conversions (receipts
+# r1,r3–r8; P3/P4/P11 conversions also exercise inside
+# normalize_candles + time_range_filter).  Other suggested outs:
 # label_centroids (receipts r1–r8; X3/X5 keep embedding_kmeans +
 # ann_ivfpq_topk + pq_adc_topk in-window) and interval_boundary_gate
 # (receipts r1–r8; F3's boundary math also rides inside

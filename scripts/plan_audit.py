@@ -47,7 +47,6 @@ NL_ALLOW = {
     "frequent_tokens_exact": "single-row scalar (total n) threshold crossJoin",
     "frequent_tokens_from_partials": "single-row scalar (total n) threshold crossJoin",
     "decontaminate_docs_bloom": "single-row Bloom-bitset broadcast (value-not-literal ship)",
-    "ann_projected_topk": "bounded query-set broadcast over projected corpus (cosine_topk shape)",
 }
 
 # Full-width scans that are legitimately full-width (all columns used).

@@ -147,3 +147,20 @@ def test_projected_ann_rerank_scores_are_exact(spark):
     }
     for pair, cos in approx.items():
         assert exact[pair] == cos, pair
+
+
+def test_kernel_projection_bit_identical_to_column_twin(spark):
+    from crypto_data_ingestion_module_spark.operators.projection import (
+        rademacher_project_arr,
+    )
+
+    emb = _emb(spark).limit(100)
+    fast = {
+        r["vec_id"]: list(r["proj"])
+        for r in rademacher_project_arr(emb, 64, 32, vectorized=True).collect()
+    }
+    slow = {
+        r["vec_id"]: list(r["proj"])
+        for r in rademacher_project_arr(emb, 64, 32, vectorized=False).collect()
+    }
+    assert fast == slow
