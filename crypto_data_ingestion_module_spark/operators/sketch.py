@@ -253,3 +253,75 @@ def kmv_rerank(
         .withColumn("r", F.row_number().over(w))
         .filter(F.col("r") <= k)
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch: the point-frequency companion (4th sketch family:
+# MG heavy hitters, HLL distinct, KMV distinct/sample, CM point counts).
+# Built on the portable md5 hash, so — like KMV — the whole sketch is
+# oracle-pairable: counters are exact integer sums, estimates are exact
+# MINs over them.
+# ---------------------------------------------------------------------------
+
+
+def cm_hash(seed_col: F.Column, item: F.Column, width: int) -> F.Column:
+    """Portable bucket hash: the 48-bit md5 prefix of "seed:item" mod
+    width — nonnegative, so Spark ``%`` == DuckDB ``%``."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(seed_col.cast("string"), F.lit(":"), item)),
+                1,
+                KMV_BITS // 4,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % width
+    )
+
+
+def cm_counters(
+    df: DataFrame, col: str, depth: int = 4, width: int = 512
+) -> DataFrame:
+    """The CM table: ``(s, b, c)`` exact counter sums — at most
+    depth × width rows regardless of input size.  One hash aggregate
+    with map-side combine (the explode multiplies rows by depth, but
+    the combine collapses each partition to ≤ depth·width rows before
+    the shuffle).  Mergeable: counters of a union = summed counters
+    (pinned in tests)."""
+    seeds = F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("s")
+    rows = df.select(F.col(col).cast("string").alias("_it")).where(
+        F.col("_it").isNotNull()
+    ).select("_it", seeds)
+    return (
+        rows.select("s", cm_hash(F.col("s"), F.col("_it"), width).alias("b"))
+        .groupBy("s", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def cm_point_estimates(
+    counters: DataFrame,
+    items: DataFrame,
+    item_col: str,
+    depth: int = 4,
+    width: int = 512,
+) -> DataFrame:
+    """(item, cm_est): min over the depth counters an item hashes to —
+    the classic overestimate-only point query (est ≥ true count always;
+    E[est − true] ≤ n/width per row).  The items side fans out to
+    depth (item, s, b) probes and equi-joins the bounded counter table
+    (broadcastable at any realistic depth × width)."""
+    seeds = F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("s")
+    probes = items.select(F.col(item_col).alias("item")).select(
+        "item", seeds
+    )
+    probes = probes.select(
+        "item", "s", cm_hash(F.col("s"), F.col("item"), width).alias("b")
+    )
+    return (
+        probes.join(F.broadcast(counters), ["s", "b"])
+        .groupBy("item")
+        .agg(F.min("c").alias("cm_est"))
+    )

@@ -3085,3 +3085,87 @@ SELECT qid, nid, CAST(rank AS INT) AS rank, cosine FROM ranked WHERE rank <= 8
 """,
     )
 )
+
+
+# --------------------------------------------------------------------------
+# A2 sketch family: Count-Min point-frequency estimates — like KMV,
+# built on the portable md5 hash so counters (exact integer sums) and
+# estimates (exact MINs) are oracle-pairable.  Query set: a seeded
+# md5-rank sample of 20 distinct tokens; output carries the exact count
+# alongside so the overestimate-only property is visible in the answer.
+# --------------------------------------------------------------------------
+
+_CM_D, _CM_W = 4, 512
+
+
+def _token_cm_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crypto_data_ingestion_module_spark.operators.sketch import (
+        cm_counters,
+        cm_point_estimates,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    toks = (
+        d.where(F.col("text").isNotNull())
+        .select(F.explode(F.split(F.lower("text"), " ")).alias("tok"))
+        .where(F.col("tok") != "")
+    )
+    counters = cm_counters(toks, "tok", _CM_D, _CM_W)
+    # seeded 20-token sample via orderBy+limit = TakeOrdered (distributed
+    # per-partition top-k, no single-partition window sort of the vocab)
+    qtok = (
+        toks.select("tok")
+        .distinct()
+        .orderBy(F.md5(F.concat(F.lit("q#"), F.col("tok"))), F.col("tok"))
+        .limit(20)
+    )
+    est = cm_point_estimates(counters, qtok, "tok", _CM_D, _CM_W)
+    exact = toks.groupBy(F.col("tok").alias("item")).agg(
+        F.count(F.lit(1)).alias("exact_cnt")
+    )
+    return est.join(exact, "item").select("item", "cm_est", "exact_cnt")
+
+
+_register(
+    QuerySpec(
+        name="token_freq_cm",
+        survey_ids=("A2", "X4"),
+        description="Count-Min point-frequency estimates (depth 4 x "
+        "width 512, portable md5 buckets) for a seeded sample of 20 "
+        "tokens, exact counts alongside - the 4th sketch family "
+        "(MG/HLL/KMV/CM), oracle-paired because counters are exact "
+        "integer sums and estimates exact MINs",
+        spark=_token_cm_q,
+        oracle=f"""
+WITH toks AS (
+  SELECT unnest(string_split(lower(text), ' ')) AS tok
+  FROM documents WHERE text IS NOT NULL
+),
+tk AS (SELECT tok FROM toks WHERE tok <> ''),
+counters AS (
+  SELECT s, ('0x' || substr(md5(s || ':' || tok), 1, 12))::BIGINT % {_CM_W} AS b,
+         count(*) AS c
+  FROM tk, generate_series(0, {_CM_D - 1}) g(s)
+  GROUP BY s, b
+),
+qtok AS (
+  SELECT tok FROM (
+    SELECT tok, row_number() OVER (ORDER BY md5('q#' || tok), tok) AS r
+    FROM (SELECT DISTINCT tok FROM tk)
+  ) WHERE r <= 20
+),
+qb AS (
+  SELECT tok, s, ('0x' || substr(md5(s || ':' || tok), 1, 12))::BIGINT % {_CM_W} AS b
+  FROM qtok, generate_series(0, {_CM_D - 1}) g(s)
+),
+est AS (
+  SELECT qb.tok AS item, min(c.c) AS cm_est
+  FROM qb JOIN counters c ON qb.s = c.s AND qb.b = c.b
+  GROUP BY qb.tok
+),
+ex AS (SELECT tok AS item, count(*) AS exact_cnt FROM tk GROUP BY tok)
+SELECT e.item, CAST(e.cm_est AS BIGINT) AS cm_est, ex.exact_cnt
+FROM est e JOIN ex ON e.item = ex.item
+""",
+    )
+)

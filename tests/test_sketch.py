@@ -161,3 +161,71 @@ def test_kmv_sample_is_frequency_blind(spark):
     a = sorted(map(tuple, kmv_bottom_k(base, "v", 50).collect()))
     b = sorted(map(tuple, kmv_bottom_k(skewed, "v", 50).collect()))
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch
+# ---------------------------------------------------------------------------
+
+
+def _cm_tokens(spark):
+    from crypto_data_ingestion_module_spark.session import load_table
+    from tests.conftest import SF_SMALL
+
+    return (
+        load_table(spark, SF_SMALL, "documents")
+        .where(F.col("text").isNotNull())
+        .select(F.explode(F.split(F.lower("text"), " ")).alias("tok"))
+        .where(F.col("tok") != "")
+    )
+
+
+def test_cm_never_underestimates_and_respects_error_bound(spark):
+    from crypto_data_ingestion_module_spark.operators.sketch import (
+        cm_counters,
+        cm_point_estimates,
+    )
+
+    toks = _cm_tokens(spark)
+    n = toks.count()
+    counters = cm_counters(toks, "tok", depth=4, width=512)
+    items = toks.select("tok").distinct()
+    est = {
+        r["item"]: r["cm_est"]
+        for r in cm_point_estimates(counters, items, "tok", 4, 512).collect()
+    }
+    exact = {
+        r["tok"]: r["cnt"]
+        for r in toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    overs = []
+    for it, ex in exact.items():
+        assert est[it] >= ex, it  # overestimate-only, no exceptions
+        overs.append(est[it] - ex)
+    # E[over] <= n/width; allow 3x slack on the mean
+    assert sum(overs) / len(overs) <= 3 * n / 512
+
+
+def test_cm_counters_are_bounded_and_mergeable(spark):
+    from crypto_data_ingestion_module_spark.operators.sketch import (
+        cm_counters,
+    )
+
+    toks = _cm_tokens(spark)
+    whole = cm_counters(toks, "tok", depth=4, width=128)
+    assert whole.count() <= 4 * 128
+    # merge law: counters of a union = summed per-(s,b) counters
+    parts = [
+        cm_counters(
+            toks.where(F.crc32(F.col("tok")) % 2 == i), "tok", 4, 128
+        )
+        for i in range(2)
+    ]
+    merged = (
+        parts[0].unionByName(parts[1]).groupBy("s", "b").agg(
+            F.sum("c").alias("c")
+        )
+    )
+    assert sorted(map(tuple, whole.collect())) == sorted(
+        map(tuple, merged.collect())
+    )
