@@ -1681,9 +1681,9 @@ _register(
 # before entering (scripts/validate.py + per-SF oracle checks).
 # Round-10 rotation plan (pre-committed): rotate IN distinct_users_kmv
 # (the oracle-paired count-distinct sketch), embedding_random_projection
-# (JL Rademacher 64→16, exact integer sums), and ann_projected_topk
-# (JL prune + exact cosine rerank) — all new r9, all validated at all
-# three SFs.  A third out if needed: epoch_conversions (receipts
+# (JL Rademacher projection, exact integer sums), ann_projected_topk
+# (JL prune + exact cosine rerank), and token_freq_cm (Count-Min point
+# frequencies) — all new r9, all validated at all three SFs.  A third out if needed: epoch_conversions (receipts
 # r1,r3–r8; P3/P4/P11 conversions also exercise inside
 # normalize_candles + time_range_filter).  Other suggested outs:
 # label_centroids (receipts r1–r8; X3/X5 keep embedding_kmeans +
