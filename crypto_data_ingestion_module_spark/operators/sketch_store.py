@@ -421,3 +421,79 @@ def kmv_distinct_over_range(
         p = p.where(F.col(stratum).isin(list(strata)))
     groups = (stratum,) if per_stratum else ()
     return kmv_estimate_from_bottom_k(kmv_rerank(p, k, groups), k, groups)
+
+
+# ---------------------------------------------------------------------------
+# Count-Min partials — the fourth stored sketch family.  CM counters
+# merge by per-(s, b) summation, so per-batch partials are just more
+# counter rows and range reads are one hash aggregate.
+# ---------------------------------------------------------------------------
+
+
+def cm_sketch_partials(
+    df: DataFrame, col: str, stratum: str, depth: int = 4, width: int = 512
+) -> DataFrame:
+    """Bounded ``(stratum, s, b, c)`` counter rows: ≤ strata × depth ×
+    width per stored batch."""
+    from crypto_data_ingestion_module_spark.operators.sketch import cm_hash
+
+    src = df.select(
+        F.col(stratum).cast("string").alias(stratum),
+        F.col(col).cast("string").alias(col),
+    )
+    # per-stratum counters in ONE pass: the stratum folds into the
+    # group-by instead of looping strata
+    seeds = F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("s")
+    rows = src.where(F.col(col).isNotNull()).select(stratum, col, seeds)
+    return (
+        rows.select(
+            stratum, "s", cm_hash(F.col("s"), F.col(col), width).alias("b")
+        )
+        .groupBy(stratum, "s", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def store_cm_partials(
+    spark: SparkSession,
+    df: DataFrame,
+    col: str,
+    root: str,
+    stratum: str = "day",
+    depth: int = 4,
+    width: int = 512,
+    applied_id: str | None = None,
+) -> int:
+    """Append a batch's CM counter partials (replay-immune)."""
+    return snapshot_append(
+        spark,
+        root,
+        cm_sketch_partials(df, col, stratum, depth, width),
+        partition_cols=(stratum,),
+        applied_id=applied_id,
+    )
+
+
+def cm_estimates_over_range(
+    spark: SparkSession,
+    root: str,
+    items: DataFrame,
+    item_col: str,
+    depth: int = 4,
+    width: int = 512,
+    strata: Sequence[str] | None = None,
+    stratum: str = "day",
+) -> DataFrame:
+    """Point-frequency estimates over any stored stratum range: sum the
+    range's counters per (s, b) — the CM merge — then answer MINs.
+    Equals the from-scratch sketch of the range's fact rows exactly
+    (pinned in tests); never re-reads the fact."""
+    from crypto_data_ingestion_module_spark.operators.sketch import (
+        cm_point_estimates,
+    )
+
+    p = read_snapshot(spark, root)
+    if strata is not None:
+        p = p.where(F.col(stratum).isin(list(strata)))
+    merged = p.groupBy("s", "b").agg(F.sum("c").alias("c"))
+    return cm_point_estimates(merged, items, item_col, depth, width)

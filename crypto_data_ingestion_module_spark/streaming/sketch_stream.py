@@ -154,3 +154,44 @@ def stream_kmv_partials(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_cm_partials(
+    source: DataFrame,
+    root: str,
+    checkpoint: str,
+    col: str,
+    stratum: str = "day",
+    depth: int = 4,
+    width: int = 512,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Maintain the Count-Min partial lake from a stream: each
+    micro-batch appends its own bounded counter rows; range readers sum
+    per (s, b) — CM merge is plain addition, so batching is invisible
+    to the merged estimates (pinned in tests)."""
+    from crypto_data_ingestion_module_spark.operators.sketch_store import (
+        store_cm_partials,
+    )
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        qid = stream_qid(checkpoint)
+        store_cm_partials(
+            batch_df.sparkSession,
+            batch_df,
+            col,
+            root,
+            stratum=stratum,
+            depth=depth,
+            width=width,
+            applied_id=f"cm-{qid}-{batch_id}",
+        )
+
+    writer = source.writeStream.foreachBatch(_sink).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

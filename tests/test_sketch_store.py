@@ -323,3 +323,68 @@ def test_kmv_store_replay_immune(spark, tmp_path):
     store_kmv_partials(spark, df, "u", root, applied_id="batch-1")  # replay
     assert current_version(spark, root) == v
     assert kmv_distinct_over_range(spark, root).collect() == est
+
+
+# ---------------------------------------------------------------------------
+# Count-Min partial lake
+# ---------------------------------------------------------------------------
+
+
+def test_cm_partials_range_estimates_equal_from_scratch(spark, tmp_path):
+    from crypto_data_ingestion_module_spark.operators.sketch import (
+        cm_counters,
+        cm_point_estimates,
+    )
+    from crypto_data_ingestion_module_spark.operators.sketch_store import (
+        cm_estimates_over_range,
+        store_cm_partials,
+    )
+
+    root = str(tmp_path / "cm")
+    full = spark.range(4000).select(
+        (F.col("id") % 4).cast("string").alias("day"),
+        (F.col("id") % 311).cast("string").alias("u"),
+    )
+    for i in range(3):
+        store_cm_partials(
+            spark,
+            full.filter(F.col("id") % 3 == i),
+            "u",
+            root,
+            stratum="day",
+            width=128,
+            applied_id=f"b{i}",
+        )
+    items = full.select("u").distinct()
+    got = {
+        r["item"]: r["cm_est"]
+        for r in cm_estimates_over_range(
+            spark, root, items, "u", width=128
+        ).collect()
+    }
+    want = {
+        r["item"]: r["cm_est"]
+        for r in cm_point_estimates(
+            cm_counters(full, "u", width=128), items, "u", width=128
+        ).collect()
+    }
+    assert got == want
+
+    # stratum-restricted range equals from-scratch over that slice
+    got_d0 = {
+        r["item"]: r["cm_est"]
+        for r in cm_estimates_over_range(
+            spark, root, items, "u", width=128, strata=["0"]
+        ).collect()
+    }
+    d0 = full.filter(F.col("day") == "0")
+    want_d0 = {
+        r["item"]: r["cm_est"]
+        for r in cm_point_estimates(
+            cm_counters(d0, "u", width=128),
+            d0.select("u").distinct(),
+            "u",
+            width=128,
+        ).collect()
+    }
+    assert got_d0 == want_d0

@@ -335,3 +335,47 @@ def test_streamed_kmv_estimate_equals_one_shot(spark, tmp_path):
     q2 = stream_kmv_partials(src, root, str(tmp_path / "kck"), "u", k=32)
     q2.awaitTermination(120)
     assert current_version(spark, root) == v
+
+
+def test_streamed_cm_estimates_equal_one_shot(spark, tmp_path):
+    from crypto_data_ingestion_module_spark.operators.sketch import (
+        cm_counters,
+        cm_point_estimates,
+    )
+    from crypto_data_ingestion_module_spark.operators.sketch_store import (
+        cm_estimates_over_range,
+    )
+    from crypto_data_ingestion_module_spark.streaming.sketch_stream import (
+        stream_cm_partials,
+    )
+
+    ev = load_table(spark, SF_SMALL, "events").select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        F.col("event_type").alias("u"),
+    ).withColumn("split_key", F.abs(F.xxhash64("u", "day")))
+    in_dir = str(tmp_path / "cmin")
+    _write_batches(ev, tmp_path, in_dir, "split_key")
+
+    src = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    root = str(tmp_path / "cmlake")
+    q = stream_cm_partials(src, root, str(tmp_path / "cmck"), "u", width=64)
+    q.awaitTermination(120)
+
+    items = ev.select("u").distinct()
+    streamed = {
+        r["item"]: r["cm_est"]
+        for r in cm_estimates_over_range(
+            spark, root, items, "u", width=64
+        ).collect()
+    }
+    oneshot = {
+        r["item"]: r["cm_est"]
+        for r in cm_point_estimates(
+            cm_counters(ev, "u", width=64), items, "u", width=64
+        ).collect()
+    }
+    assert streamed == oneshot
