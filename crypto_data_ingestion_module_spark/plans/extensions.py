@@ -3169,3 +3169,83 @@ FROM est e JOIN ex ON e.item = ex.item
 """,
     )
 )
+
+
+# --------------------------------------------------------------------------
+# A2/K2: KMV distinct count served from PERSISTED bottom-k partials —
+# the KMV twin of frequent_tokens_from_partials.  Per-day partials live
+# in the snapshot lake; the answer re-ranks the stored union (KMV merge
+# law: any globally-bottom-k hash is bottom-k within its own day, so
+# the union always contains the global bottom-k).  Unlike the MG path
+# there is no exact second pass to absorb staleness, so the refresh is
+# a snapshot_overwrite keyed by the events fingerprint: a regenerated
+# corpus REPLACES the partials atomically; a replayed build commits
+# nothing.
+# --------------------------------------------------------------------------
+
+
+def _events_fingerprint(sf_dir: str) -> str:
+    import os
+
+    p = os.path.join(sf_dir, "events.parquet")
+    try:
+        st = os.stat(p)
+        return f"{st.st_size}-{st.st_mtime_ns}"
+    except OSError:
+        return "nostat"
+
+
+def _kmv_from_partials_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crypto_data_ingestion_module_spark.operators.sketch_store import (
+        kmv_distinct_over_range,
+        kmv_partials,
+    )
+    from crypto_data_ingestion_module_spark.sinks.snapshot import (
+        snapshot_overwrite,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        F.col("user_id").alias("u"),
+    )
+    root = _artifact_lake_root(sf_dir, "kmv_partials", "v1-k64-day")
+    snapshot_overwrite(
+        spark,
+        root,
+        kmv_partials(ev, "u", "day", k=64),
+        partition_cols=("day",),
+        applied_id=f"kmv-{_events_fingerprint(sf_dir)}",
+        ts_col="_none_",
+    )
+    return kmv_distinct_over_range(spark, root, k=64)
+
+
+_register(
+    QuerySpec(
+        name="distinct_users_kmv_from_partials",
+        survey_ids=("A2", "A3", "K2"),
+        description="global distinct-user KMV estimate served from "
+        "PERSISTED per-day bottom-64 partials in the snapshot lake "
+        "(fingerprint-keyed overwrite refresh, replay-immune): stored "
+        "union re-ranked by the KMV merge law, never re-reading the "
+        "fact - equals the one-shot sketch and the plain-SQL oracle "
+        "bit-for-bit",
+        spark=_kmv_from_partials_q,
+        oracle=f"""
+WITH dist AS (SELECT DISTINCT user_id AS item FROM events),
+hashed AS (
+  SELECT item,
+         ('0x' || substring(md5(CAST(item AS VARCHAR)), 1, 12))::BIGINT AS h
+  FROM dist
+),
+rk AS (
+  SELECT h, row_number() OVER (ORDER BY h, item) AS r FROM hashed
+)
+SELECT count(*) AS n_kept,
+       CAST(CASE WHEN count(*) < 64 THEN count(*)
+                 ELSE (63 * {1 << 48}) // max(CASE WHEN r = 64 THEN h END)
+            END AS BIGINT) AS distinct_est
+FROM rk WHERE r <= 64
+""",
+    )
+)

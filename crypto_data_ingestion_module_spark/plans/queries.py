@@ -1682,8 +1682,11 @@ _register(
 # Round-10 rotation plan (pre-committed): rotate IN distinct_users_kmv
 # (the oracle-paired count-distinct sketch), embedding_random_projection
 # (JL Rademacher projection, exact integer sums), ann_projected_topk
-# (JL prune + exact cosine rerank), and token_freq_cm (Count-Min point
-# frequencies) — all new r9, all validated at all three SFs.  A third out if needed: epoch_conversions (receipts
+# (JL prune + exact cosine rerank), token_freq_cm (Count-Min point
+# frequencies), and distinct_users_kmv_from_partials (the KMV twin of
+# frequent_tokens_from_partials: stored per-day bottom-k partials,
+# fingerprint-keyed overwrite refresh) — all new r9, all validated at
+# all three SFs.  A third out if needed: epoch_conversions (receipts
 # r1,r3–r8; P3/P4/P11 conversions also exercise inside
 # normalize_candles + time_range_filter).  Other suggested outs:
 # label_centroids (receipts r1–r8; X3/X5 keep embedding_kmeans +

@@ -388,3 +388,46 @@ def test_cm_partials_range_estimates_equal_from_scratch(spark, tmp_path):
         ).collect()
     }
     assert got_d0 == want_d0
+
+
+def test_kmv_overwrite_refresh_replaces_stale_partials(spark, tmp_path):
+    # The KMV lake has no exact second pass to absorb staleness, so a
+    # corpus regeneration must REPLACE the stored partials (overwrite
+    # keyed by data fingerprint), never merge with them.
+    from crypto_data_ingestion_module_spark.operators.sketch import (
+        kmv_distinct_estimate,
+    )
+    from crypto_data_ingestion_module_spark.operators.sketch_store import (
+        kmv_distinct_over_range,
+        kmv_partials,
+    )
+    from crypto_data_ingestion_module_spark.sinks.snapshot import (
+        snapshot_overwrite,
+    )
+
+    root = str(tmp_path / "kmv_ow")
+    old = spark.range(500).select(
+        F.lit("d0").alias("day"), F.col("id").cast("string").alias("u")
+    )
+    new = spark.range(2000, 2300).select(
+        F.lit("d0").alias("day"), F.col("id").cast("string").alias("u")
+    )
+    for fp, df in (("fpA", old), ("fpB", new)):
+        snapshot_overwrite(
+            spark, root, kmv_partials(df, "u", "day", k=32),
+            partition_cols=("day",), applied_id=f"kmv-{fp}", ts_col="_none_",
+        )
+    got = kmv_distinct_over_range(spark, root, k=32).collect()[0]
+    want = kmv_distinct_estimate(new, "u", 32).collect()[0]
+    assert got["distinct_est"] == want["distinct_est"]  # old corpus gone
+    # replayed refresh (same fingerprint) commits nothing
+    from crypto_data_ingestion_module_spark.sinks.snapshot import (
+        current_version,
+    )
+
+    v = current_version(spark, root)
+    snapshot_overwrite(
+        spark, root, kmv_partials(new, "u", "day", k=32),
+        partition_cols=("day",), applied_id="kmv-fpB", ts_col="_none_",
+    )
+    assert current_version(spark, root) == v
