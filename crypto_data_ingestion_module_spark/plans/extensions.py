@@ -3249,3 +3249,90 @@ FROM rk WHERE r <= 64
 """,
     )
 )
+
+
+# --------------------------------------------------------------------------
+# A2/K2: Count-Min point frequencies served from PERSISTED per-source
+# counter partials — same fingerprint-keyed overwrite refresh as the
+# KMV lake (CM also lacks an exact second pass, so staleness must be
+# replaced, not absorbed); the range reader sums counters per (s, b)
+# and answers exact MINs, never re-reading the fact.
+# --------------------------------------------------------------------------
+
+
+def _token_cm_from_partials_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crypto_data_ingestion_module_spark.operators.sketch_store import (
+        cm_estimates_over_range,
+        cm_sketch_partials,
+    )
+    from crypto_data_ingestion_module_spark.sinks.snapshot import (
+        snapshot_overwrite,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    toks = (
+        d.where(F.col("text").isNotNull())
+        .select(
+            F.col("source").alias("stratum"),
+            F.explode(F.split(F.lower("text"), " ")).alias("tok"),
+        )
+        .where(F.col("tok") != "")
+    )
+    root = _artifact_lake_root(sf_dir, "cm_partials", f"v1-d{_CM_D}w{_CM_W}-source")
+    snapshot_overwrite(
+        spark,
+        root,
+        cm_sketch_partials(toks, "tok", "stratum", _CM_D, _CM_W),
+        partition_cols=("stratum",),
+        applied_id=f"cm-{_data_fingerprint(sf_dir)}",
+        ts_col="_none_",
+    )
+    qtok = (
+        toks.select("tok")
+        .distinct()
+        .orderBy(F.md5(F.concat(F.lit("q#"), F.col("tok"))), F.col("tok"))
+        .limit(20)
+    )
+    return cm_estimates_over_range(
+        spark, root, qtok, "tok", _CM_D, _CM_W
+    ).select("item", "cm_est")
+
+
+_register(
+    QuerySpec(
+        name="token_freq_cm_from_partials",
+        survey_ids=("A2", "X4", "K2"),
+        description="Count-Min point frequencies served from PERSISTED "
+        "per-source counter partials in the snapshot lake (fingerprint-"
+        "keyed overwrite refresh): range reader sums counters per (s,b) "
+        "- the CM merge - and answers exact MINs without re-reading the "
+        "fact; equals the one-shot sketch and plain SQL bit-for-bit",
+        spark=_token_cm_from_partials_q,
+        oracle=f"""
+WITH toks AS (
+  SELECT unnest(string_split(lower(text), ' ')) AS tok
+  FROM documents WHERE text IS NOT NULL
+),
+tk AS (SELECT tok FROM toks WHERE tok <> ''),
+counters AS (
+  SELECT s, ('0x' || substr(md5(s || ':' || tok), 1, 12))::BIGINT % {_CM_W} AS b,
+         count(*) AS c
+  FROM tk, generate_series(0, {_CM_D - 1}) g(s)
+  GROUP BY s, b
+),
+qtok AS (
+  SELECT tok FROM (
+    SELECT tok, row_number() OVER (ORDER BY md5('q#' || tok), tok) AS r
+    FROM (SELECT DISTINCT tok FROM tk)
+  ) WHERE r <= 20
+),
+qb AS (
+  SELECT tok, s, ('0x' || substr(md5(s || ':' || tok), 1, 12))::BIGINT % {_CM_W} AS b
+  FROM qtok, generate_series(0, {_CM_D - 1}) g(s)
+)
+SELECT qb.tok AS item, CAST(min(c.c) AS BIGINT) AS cm_est
+FROM qb JOIN counters c ON qb.s = c.s AND qb.b = c.b
+GROUP BY qb.tok
+""",
+    )
+)

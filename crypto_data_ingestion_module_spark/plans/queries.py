@@ -1683,8 +1683,9 @@ _register(
 # (the oracle-paired count-distinct sketch), embedding_random_projection
 # (JL Rademacher projection, exact integer sums), ann_projected_topk
 # (JL prune + exact cosine rerank), token_freq_cm (Count-Min point
-# frequencies), and distinct_users_kmv_from_partials (the KMV twin of
-# frequent_tokens_from_partials: stored per-day bottom-k partials,
+# frequencies), distinct_users_kmv_from_partials, and
+# token_freq_cm_from_partials (both stored-partials twins of
+# frequent_tokens_from_partials: per-stratum partial lakes,
 # fingerprint-keyed overwrite refresh) — all new r9, all validated at
 # all three SFs.  A third out if needed: epoch_conversions (receipts
 # r1,r3–r8; P3/P4/P11 conversions also exercise inside
