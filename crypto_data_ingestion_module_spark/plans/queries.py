@@ -1694,6 +1694,34 @@ _register(
 # ann_ivfpq_topk + pq_adc_topk in-window) and interval_boundary_gate
 # (receipts r1–r8; F3's boundary math also rides inside
 # ohlcv_resample_1h).  Keep every family's twin as usual.
+# Round-10 rotation (EXECUTED — the pre-committed plan above, verbatim).
+# In (the 6 late-r9 paired queries; paired never-driver-checked backlog
+# returns to ZERO):
+#   distinct_users_kmv               — KMV θ-sketch distinct count
+#   distinct_users_kmv_from_partials — served from per-day partial lake
+#   token_freq_cm                    — Count-Min point frequencies
+#   token_freq_cm_from_partials      — served from per-source partial lake
+#   embedding_random_projection      — JL Rademacher projection
+#   ann_projected_topk               — JL prune + exact cosine rerank
+# Out (all 8–9× driver-green; every family keeps an in-window twin):
+#   epoch_conversions       — receipts r1,r3–r9; P3/P4/P11 conversions
+#                             also ride inside normalize_candles
+#   label_centroids         — receipts r1–r9; X3/X5 keep embedding_kmeans
+#                             + ann_ivfpq_topk + pq_adc_topk
+#   interval_boundary_gate  — receipts r1–r9; F3 boundary math rides
+#                             inside ohlcv_resample_1h
+#   time_range_filter       — receipts r1–r9; F1 pushdown stays in-window
+#                             via forecast_revenue_change (and is
+#                             plan-pinned by pytest)
+#   watermark_progress      — receipts r1–r9; D4 max-agg semantics ride
+#                             inside dedup_keep_last's max(struct) and
+#                             pricing_summary; watermark-incremental
+#                             backfill is pytest-pinned
+#   topk_latest_per_type    — receipts r1–r9; D1/D6 order+limit semantics
+#                             stay in-window via pattern_topk_windows,
+#                             ann_ivfpq_topk, pq_adc_topk
+# All six ins were validated green at sf0.001 AND sf0.01 AND sf0.1 in r9
+# before pre-commitment (scripts/validate.py + per-SF oracle checks).
 # --------------------------------------------------------------------------
 
 CHECKED_QUERIES: tuple[str, ...] = (
@@ -1701,12 +1729,7 @@ CHECKED_QUERIES: tuple[str, ...] = (
     "ohlcv_resample_1h",
     "dedup_keep_last",
     "merge_upsert_keep_last",
-    "watermark_progress",
     "partition_date_counts",
-    "topk_latest_per_type",
-    "time_range_filter",
-    "interval_boundary_gate",
-    "epoch_conversions",
     "symbol_dialects",
     "interval_parse_ms",
     "availability_filter",
@@ -1728,6 +1751,10 @@ CHECKED_QUERIES: tuple[str, ...] = (
     "cross_stream_spread_1h",
     "frequent_tokens_exact",
     "frequent_tokens_from_partials",
+    "distinct_users_kmv",
+    "distinct_users_kmv_from_partials",
+    "token_freq_cm",
+    "token_freq_cm_from_partials",
     "pattern_topk_windows",
     "hourly_seasonality",
     "interval_completeness",
@@ -1744,10 +1771,11 @@ CHECKED_QUERIES: tuple[str, ...] = (
     "embedding_kmeans",
     "ann_ivfpq_topk",
     "pq_adc_topk",
+    "embedding_random_projection",
+    "ann_projected_topk",
     "dedup_passages",
     "length_weighted_sample",
     "curated_corpus",
-    "label_centroids",
     "decontaminate_docs",
     "decontaminate_docs_bloom",
     "bpe_vocab",
