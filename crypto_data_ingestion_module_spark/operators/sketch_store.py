@@ -497,3 +497,69 @@ def cm_estimates_over_range(
         p = p.where(F.col(stratum).isin(list(strata)))
     merged = p.groupBy("s", "b").agg(F.sum("c").alias("c"))
     return cm_point_estimates(merged, items, item_col, depth, width)
+
+
+# ---------------------------------------------------------------------------
+# Overwrite-refresh gate for the no-second-pass families (KMV, Count-Min)
+# ---------------------------------------------------------------------------
+
+
+def refresh_partials_overwrite(
+    spark: SparkSession,
+    root: str,
+    fingerprint: str,
+    build_fn,
+    partition_cols: Sequence[str],
+) -> None:
+    """Fingerprint-gated ``snapshot_overwrite`` refresh for sketch-partial
+    lakes that have NO exact second pass (KMV bottom-k, Count-Min
+    counters): stale partials must be REPLACED, never absorbed.
+
+    The gate mirrors ``_serve_artifact`` (ADVICE r7/r9): only the NEWEST
+    ledger entry's fingerprint says "the live snapshot was built from
+    this data".  Bare membership of ``fingerprint`` in the whole
+    carried-forward replay ledger would also match a STALE fingerprint —
+    a source REVERT to a previously-seen size+mtime (e.g. a backup
+    restore) would be treated as a replay and the lake would serve
+    partials built from different data forever.  The committed
+    ``applied_id`` is salted with the version about to be written
+    (``{fp}#v{v+1}``), so a reverted fingerprint commits a FRESH
+    overwrite while concurrent builders that read the same head still
+    collapse onto one commit (same computed id -> one CommitConflict
+    winner, the loser's retry no-ops on ledger membership).
+
+    Legacy lakes whose ledger suffix was frozen SORTED (missing
+    ``applied_ids_evicted``) have no trustworthy newest entry: skip the
+    gate once and rebuild — the salted commit appends the first
+    arrival-ordered entry (same transition rule as ``_serve_artifact``).
+    """
+    from crypto_data_ingestion_module_spark.sinks.snapshot import (
+        current_version,
+        read_manifest,
+        snapshot_overwrite,
+    )
+
+    v = current_version(spark, root)
+    if v is not None:
+        man = read_manifest(spark, root, v)
+        ids = man.get("applied_ids", [])
+        frozen = man.get("applied_ids_frozen_n")
+        if frozen is None:
+            frozen = (
+                len(ids) if ids and "applied_ids_evicted" not in man else 0
+            )
+        all_frozen = bool(ids) and int(frozen) >= len(ids)
+        if (
+            ids
+            and not all_frozen
+            and ids[-1].split("#", 1)[0] == fingerprint
+        ):
+            return  # live snapshot already built from exactly this data
+    snapshot_overwrite(
+        spark,
+        root,
+        build_fn(),
+        partition_cols=partition_cols,
+        applied_id=f"{fingerprint}#v{(v or 0) + 1}",
+        ts_col="_none_",
+    )

@@ -3199,9 +3199,7 @@ def _kmv_from_partials_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from crypto_data_ingestion_module_spark.operators.sketch_store import (
         kmv_distinct_over_range,
         kmv_partials,
-    )
-    from crypto_data_ingestion_module_spark.sinks.snapshot import (
-        snapshot_overwrite,
+        refresh_partials_overwrite,
     )
 
     ev = _t(spark, sf_dir, "events").select(
@@ -3209,13 +3207,15 @@ def _kmv_from_partials_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("user_id").alias("u"),
     )
     root = _artifact_lake_root(sf_dir, "kmv_partials", "v1-k64-day")
-    snapshot_overwrite(
+    # version-salted, newest-entry-gated refresh (ADVICE r9): a source
+    # REVERT to a previously-seen fingerprint commits a fresh overwrite
+    # instead of serving stale partials off ledger membership.
+    refresh_partials_overwrite(
         spark,
         root,
-        kmv_partials(ev, "u", "day", k=64),
+        f"kmv-{_events_fingerprint(sf_dir)}",
+        lambda: kmv_partials(ev, "u", "day", k=64),
         partition_cols=("day",),
-        applied_id=f"kmv-{_events_fingerprint(sf_dir)}",
-        ts_col="_none_",
     )
     return kmv_distinct_over_range(spark, root, k=64)
 
@@ -3264,9 +3264,7 @@ def _token_cm_from_partials_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from crypto_data_ingestion_module_spark.operators.sketch_store import (
         cm_estimates_over_range,
         cm_sketch_partials,
-    )
-    from crypto_data_ingestion_module_spark.sinks.snapshot import (
-        snapshot_overwrite,
+        refresh_partials_overwrite,
     )
 
     d = _t(spark, sf_dir, "documents")
@@ -3279,13 +3277,15 @@ def _token_cm_from_partials_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("tok") != "")
     )
     root = _artifact_lake_root(sf_dir, "cm_partials", f"v1-d{_CM_D}w{_CM_W}-source")
-    snapshot_overwrite(
+    # version-salted, newest-entry-gated refresh (ADVICE r9): CM
+    # counters are sums with no exact second pass, so a fingerprint
+    # revert must REPLACE the lake, not no-op on ledger membership.
+    refresh_partials_overwrite(
         spark,
         root,
-        cm_sketch_partials(toks, "tok", "stratum", _CM_D, _CM_W),
+        f"cm-{_data_fingerprint(sf_dir)}",
+        lambda: cm_sketch_partials(toks, "tok", "stratum", _CM_D, _CM_W),
         partition_cols=("stratum",),
-        applied_id=f"cm-{_data_fingerprint(sf_dir)}",
-        ts_col="_none_",
     )
     qtok = (
         toks.select("tok")

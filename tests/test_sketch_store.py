@@ -431,3 +431,85 @@ def test_kmv_overwrite_refresh_replaces_stale_partials(spark, tmp_path):
         partition_cols=("day",), applied_id="kmv-fpB", ts_col="_none_",
     )
     assert current_version(spark, root) == v
+
+
+def test_refresh_gate_rebuilds_on_fingerprint_revert(spark, tmp_path):
+    # ADVICE r9 (medium): the overwrite refresh used a bare-fingerprint
+    # applied_id, so a source REVERT to a previously-seen fingerprint
+    # (e.g. backup restore) was a ledger-membership no-op and the lake
+    # served partials built from DIFFERENT data forever.  The gated
+    # helper salts the applied_id with the version about to be written
+    # and gates the skip on the NEWEST ledger entry's fingerprint.
+    from crypto_data_ingestion_module_spark.operators.sketch import (
+        kmv_distinct_estimate,
+    )
+    from crypto_data_ingestion_module_spark.operators.sketch_store import (
+        kmv_distinct_over_range,
+        kmv_partials,
+        refresh_partials_overwrite,
+    )
+    from crypto_data_ingestion_module_spark.sinks.snapshot import (
+        current_version,
+    )
+
+    root = str(tmp_path / "kmv_revert")
+    corpus_a = spark.range(500).select(
+        F.lit("d0").alias("day"), F.col("id").cast("string").alias("u")
+    )
+    corpus_b = spark.range(2000, 2300).select(
+        F.lit("d0").alias("day"), F.col("id").cast("string").alias("u")
+    )
+
+    def build(df):
+        return lambda: kmv_partials(df, "u", "day", k=32)
+
+    # fpA -> fpB -> revert to fpA (same fingerprint as the first build)
+    refresh_partials_overwrite(spark, root, "kmv-fpA", build(corpus_a), ("day",))
+    refresh_partials_overwrite(spark, root, "kmv-fpB", build(corpus_b), ("day",))
+    refresh_partials_overwrite(spark, root, "kmv-fpA", build(corpus_a), ("day",))
+    got = kmv_distinct_over_range(spark, root, k=32).collect()[0]
+    want = kmv_distinct_estimate(corpus_a, "u", 32).collect()[0]
+    # the revert REPLACED fpB's partials (bare-fp ids would have no-op'd)
+    assert got["distinct_est"] == want["distinct_est"]
+    # a replayed refresh of the live fingerprint commits nothing (the
+    # newest-entry gate short-circuits before any write)
+    v = current_version(spark, root)
+    refresh_partials_overwrite(spark, root, "kmv-fpA", build(corpus_a), ("day",))
+    assert current_version(spark, root) == v
+
+
+def test_refresh_gate_concurrent_builders_collapse(spark, tmp_path):
+    # Two builders that read the same head compute the SAME salted id:
+    # one commit wins, the second run's overwrite no-ops on ledger
+    # membership — the lake advances exactly one version.
+    from crypto_data_ingestion_module_spark.operators.sketch_store import (
+        kmv_partials,
+        refresh_partials_overwrite,
+    )
+    from crypto_data_ingestion_module_spark.sinks.snapshot import (
+        current_version,
+        read_manifest,
+        snapshot_overwrite,
+    )
+
+    root = str(tmp_path / "kmv_race")
+    df = spark.range(100).select(
+        F.lit("d0").alias("day"), F.col("id").cast("string").alias("u")
+    )
+    refresh_partials_overwrite(
+        spark, root, "kmv-fp1", lambda: kmv_partials(df, "u", "day", k=16), ("day",)
+    )
+    v = current_version(spark, root)
+    # simulate the loser of the race: same head version read, same
+    # computed salted id, commits after the winner
+    snapshot_overwrite(
+        spark,
+        root,
+        kmv_partials(df, "u", "day", k=16),
+        partition_cols=("day",),
+        applied_id=f"kmv-fp1#v{v}",
+        ts_col="_none_",
+    )
+    assert current_version(spark, root) == v
+    ids = read_manifest(spark, root, v)["applied_ids"]
+    assert ids[-1] == f"kmv-fp1#v{v}"
