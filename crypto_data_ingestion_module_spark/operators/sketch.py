@@ -312,7 +312,14 @@ def cm_point_estimates(
     the classic overestimate-only point query (est ≥ true count always;
     E[est − true] ≤ n/width per row).  The items side fans out to
     depth (item, s, b) probes and equi-joins the bounded counter table
-    (broadcastable at any realistic depth × width)."""
+    (broadcastable at any realistic depth × width).
+
+    The counter table is SPARSE (only non-zero ``(s, b)`` rows exist),
+    so the join is a LEFT join with empty buckets coalesced to 0: an
+    item absent from the sketched data hits at least one empty bucket
+    with high probability and correctly estimates 0 (standard CM
+    semantics).  An inner join would instead drop the item entirely —
+    or min over only its non-empty buckets (ADVICE r9)."""
     seeds = F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("s")
     probes = items.select(F.col(item_col).alias("item")).select(
         "item", seeds
@@ -321,7 +328,7 @@ def cm_point_estimates(
         "item", "s", cm_hash(F.col("s"), F.col("item"), width).alias("b")
     )
     return (
-        probes.join(F.broadcast(counters), ["s", "b"])
+        probes.join(F.broadcast(counters), ["s", "b"], "left")
         .groupBy("item")
-        .agg(F.min("c").alias("cm_est"))
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0).cast("long"))).alias("cm_est"))
     )

@@ -21,34 +21,69 @@ plan-build time a brand-new checkpoint has no metadata file yet, so
 the marker would read empty there and restarts would change identity.
 
 Transition note: lakes written before this change carry path-only ids.
-A stream restarted across the upgrade re-scopes its ids, so one
-batch replayed exactly across the upgrade boundary can append twice.
-Every downstream consumer absorbs that by construction (keep-last
-upsert is idempotent by key; MG partials only widen the pass-1
-candidate set of the exact two-pass recipe; HLL register-max union is
-idempotent), but the window exists and is documented here rather than
-hidden.
+A stream restarted across the upgrade re-scopes its ids, so one batch
+replayed exactly across the upgrade boundary can append twice.  Whether
+a consumer absorbs that depends on its merge algebra:
+
+* keep-last upsert — idempotent by key: absorbed.
+* MG partials — a duplicate partial only WIDENS the pass-1 candidate
+  set; the exact second pass keeps the answer correct: absorbed.
+* HLL partials — register-wise max is idempotent: absorbed.
+* KMV partials — bottom-k min-rank is idempotent (re-appending the
+  same hashes changes no order statistic): absorbed.
+* **Count-Min partials are NOT double-append-safe**: counters are
+  sums, so a double-appended CM partial inflates every estimate built
+  from it, and CM has no exact second pass to absorb the error.  No
+  live exposure exists (every CM lake postdates this fix, so no
+  path-only CM ledger ids were ever written), and the documented
+  recovery is the family's fingerprint-keyed OVERWRITE refresh
+  (``operators/sketch_store.refresh_partials_overwrite``): the next
+  refresh REPLACES the lake's entire content, healing any inflated
+  partials — pinned by ``tests/test_sketch_stream.py``
+  (``test_cm_double_append_inflates_and_overwrite_refresh_heals``).
 """
 
 from __future__ import annotations
 
 import hashlib
 import json
+import logging
 import os
+
+_log = logging.getLogger(__name__)
+_warned_fallback: set[str] = set()
 
 
 def stream_qid(checkpoint: str) -> str:
     """12-hex stream identity: md5(checkpoint path + creation marker).
 
-    Falls back to the path-only hash when the metadata file is
-    unreadable (e.g. a non-posix checkpoint URI) — that keeps the old
-    behavior, including its recycled-path caveat, instead of failing
-    the sink.
+    The metadata file is read through a plain ``open()``, so a
+    ``file:`` scheme prefix (Spark's default on a local FS) is stripped
+    first — without that, every ``file:/...`` checkpoint would silently
+    fall back to the path-only hash and reinstate the recycled-path
+    collision this module exists to fix (ADVICE r9).  Genuinely remote
+    checkpoints (hdfs:, s3a:, ...) still fall back to path-only
+    identity, but now emit a one-time warning per path instead of
+    degrading invisibly.
     """
+    local = checkpoint
+    if local.startswith("file:"):
+        # file:///p, file:/p and file://host/p all normalize to /p
+        local = local[5:]
+        while local.startswith("//"):
+            local = local[1:]
     marker = ""
     try:
-        with open(os.path.join(checkpoint, "metadata")) as fh:
+        with open(os.path.join(local, "metadata")) as fh:
             marker = json.load(fh).get("id", "")
     except (OSError, ValueError):
         marker = ""
+    if not marker and checkpoint not in _warned_fallback:
+        _warned_fallback.add(checkpoint)
+        _log.warning(
+            "stream_qid: no readable metadata at %s; falling back to "
+            "path-only identity (recycled-checkpoint-path ledger "
+            "collisions are possible on this stream)",
+            checkpoint,
+        )
     return hashlib.md5(f"{checkpoint}|{marker}".encode()).hexdigest()[:12]

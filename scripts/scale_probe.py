@@ -49,7 +49,6 @@ SF_BIG = "/tmp/spark_graft_sf1"
 def main() -> int:
     argv = sys.argv[1:]
     runs, out_path, queries = 3, "/tmp/scale_probe.json", []
-    it = iter(range(len(argv)))
     skip = -1
     for i, tok in enumerate(argv):
         if i == skip:

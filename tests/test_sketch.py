@@ -229,3 +229,34 @@ def test_cm_counters_are_bounded_and_mergeable(spark):
     assert sorted(map(tuple, whole.collect())) == sorted(
         map(tuple, merged.collect())
     )
+
+
+def test_cm_absent_item_estimates_zero(spark):
+    # The counter table is sparse (only non-zero buckets stored), so an
+    # item absent from the sketched data must coalesce empty buckets to
+    # 0 and estimate 0 — an inner join would drop it from the output or
+    # min over only its non-empty buckets (ADVICE r9).
+    from crypto_data_ingestion_module_spark.operators.sketch import (
+        cm_counters,
+        cm_point_estimates,
+    )
+
+    data = spark.createDataFrame(
+        [("a",)] * 5 + [("b",)] * 3, ["tok"]
+    )
+    counters = cm_counters(data, "tok", depth=4, width=512)
+    probes = spark.createDataFrame(
+        [("a",), ("never-seen-item",)], ["tok"]
+    )
+    got = {
+        r["item"]: r["cm_est"]
+        for r in cm_point_estimates(
+            counters, probes, "tok", depth=4, width=512
+        ).collect()
+    }
+    assert got["a"] == 5  # present item unchanged by the left join
+    # at width=512 with 2 distinct items, all 4 probed buckets of the
+    # absent item are empty with overwhelming probability; even in a
+    # collision the estimate stays an overestimate of 0's true count
+    assert "never-seen-item" in got
+    assert got["never-seen-item"] == 0

@@ -379,3 +379,141 @@ def test_streamed_cm_estimates_equal_one_shot(spark, tmp_path):
         ).collect()
     }
     assert streamed == oneshot
+
+
+def test_cm_double_append_inflates_and_overwrite_refresh_heals(
+    spark, tmp_path
+):
+    """Pin the CM upgrade-boundary contract (VERDICT r9 item 2):
+    Count-Min counters are SUMS, so a batch double-appended across a
+    stream-identity upgrade (same rows, two different applied_ids)
+    inflates every estimate built from the lake — unlike KMV's min /
+    HLL's max / MG's exact second pass, nothing absorbs it.  The
+    documented recovery is the family's fingerprint-keyed OVERWRITE
+    refresh, which replaces the lake's entire content and heals the
+    inflation."""
+    from crypto_data_ingestion_module_spark.operators.sketch import (
+        cm_counters,
+        cm_point_estimates,
+    )
+    from crypto_data_ingestion_module_spark.operators.sketch_store import (
+        cm_estimates_over_range,
+        cm_sketch_partials,
+        refresh_partials_overwrite,
+        store_cm_partials,
+    )
+
+    ev = load_table(spark, SF_SMALL, "events").select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        F.col("event_type").alias("u"),
+    )
+    root = str(tmp_path / "cm_double")
+    # the same batch lands twice under two stream identities — exactly
+    # what one replayed batch across the qid upgrade boundary does
+    store_cm_partials(
+        spark, ev, "u", root, stratum="day", width=64,
+        applied_id="cm-oldqid-0",
+    )
+    store_cm_partials(
+        spark, ev, "u", root, stratum="day", width=64,
+        applied_id="cm-newqid-0",
+    )
+    items = ev.select("u").distinct()
+    want = {
+        r["item"]: r["cm_est"]
+        for r in cm_point_estimates(
+            cm_counters(ev, "u", width=64), items, "u", width=64
+        ).collect()
+    }
+    doubled = {
+        r["item"]: r["cm_est"]
+        for r in cm_estimates_over_range(
+            spark, root, items, "u", width=64
+        ).collect()
+    }
+    # the unguarded double-append IS wrong: every count doubles
+    assert doubled == {k: 2 * v for k, v in want.items()}
+    assert doubled != want
+
+    # the overwrite refresh replaces the whole lake content and heals
+    refresh_partials_overwrite(
+        spark,
+        root,
+        "cm-freshfp",
+        lambda: cm_sketch_partials(ev, "u", "day", 4, 64),
+        partition_cols=("day",),
+    )
+    healed = {
+        r["item"]: r["cm_est"]
+        for r in cm_estimates_over_range(
+            spark, root, items, "u", width=64
+        ).collect()
+    }
+    assert healed == want
+
+
+def test_kmv_checkpoint_restart_resumes_without_double_append(
+    spark, tmp_path
+):
+    """VERDICT r9 item 7: kill-mid-stream restart parity for an
+    overwrite-refresh family — stop the KMV stream after >=1 committed
+    batch, restart from the same checkpoint, and verify the ledger
+    holds exactly one commit per micro-batch and the served estimate
+    equals the one-shot sketch."""
+    import time as _time
+
+    from crypto_data_ingestion_module_spark.operators.sketch import (
+        kmv_distinct_estimate,
+    )
+    from crypto_data_ingestion_module_spark.operators.sketch_store import (
+        kmv_distinct_over_range,
+    )
+    from crypto_data_ingestion_module_spark.streaming.sketch_stream import (
+        stream_kmv_partials,
+    )
+
+    ev = load_table(spark, SF_SMALL, "events").select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        F.col("user_id").alias("u"),
+    ).withColumn("split_key", F.abs(F.xxhash64("u")))
+    in_dir = str(tmp_path / "in")
+    _write_batches(ev, tmp_path, in_dir, "split_key", n=3)
+    root = str(tmp_path / "kmv")
+    ck = str(tmp_path / "ck")
+
+    src = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = stream_kmv_partials(
+        src, root, ck, "u", stratum="day", k=32, available_now=False
+    )
+    deadline = _time.time() + 120
+    while _time.time() < deadline:
+        v = current_version(spark, root)
+        if v is not None and v >= 1:
+            break
+        _time.sleep(0.2)
+    q.stop()
+    assert current_version(spark, root) >= 1
+
+    q2 = stream_kmv_partials(
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir),
+        root,
+        ck,
+        "u",
+        stratum="day",
+        k=32,
+    )
+    q2.awaitTermination(120)
+
+    v_final = current_version(spark, root)
+    assert v_final == 3
+    ids = read_manifest(spark, root, v_final)["applied_ids"]
+    assert len(set(ids)) == len(ids) == 3
+    got = kmv_distinct_over_range(spark, root, k=32).collect()[0]
+    want = kmv_distinct_estimate(ev, "u", 32).collect()[0]
+    assert got["distinct_est"] == want["distinct_est"]
