@@ -176,3 +176,121 @@ def hybrid_rerank(
         .filter(F.col("rank") <= k)
         .select("doc_id", "bm25", "cosine", "rank")
     )
+
+
+def positional_postings(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Positional posting list (doc_id, pos, term): the index layout
+    that makes PHRASE queries an adjacency test instead of a post-hoc
+    document rescan.  ``pos`` is the 0-based token ordinal within the
+    document (tokenization = ``functions.text.words``, shared with the
+    tf index so the two indexes agree on positions)."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(TX.words(text_col)).alias("pos", "term"),
+    )
+
+
+def phrase_topk_docs(
+    docs: DataFrame,
+    n_phrases: int = 5,
+    topk: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Positional-index phrase search, self-contained: take the corpus's
+    ``n_phrases`` most frequent bigram phrases (ties by phrase text) and
+    return each phrase's top ``topk`` documents by occurrence count
+    (ties by doc_id).
+
+    Plan shape: bigrams come from ONE window pass over the positional
+    postings (``lead(term)`` within doc — one shuffle by doc_id, no
+    positional self-join); the phrase shortlist is a bounded
+    ``n_phrases``-row broadcast, so the hit count re-joins the bigram
+    stream shuffle-free on the broadcast side.  At 100 TB the postings
+    table is the at-rest artifact (bucketed by doc_id) and this is one
+    window + one hash-agg over it — documents are never rescanned.
+
+    Returns (w1, w2, doc_id, hits, rank).
+    """
+    from pyspark.sql import Window
+
+    p = positional_postings(docs, text_col, id_col)
+    big = (
+        p.withColumn(
+            "w2",
+            F.lead("term").over(
+                Window.partitionBy("doc_id").orderBy("pos")
+            ),
+        )
+        .where(F.col("w2").isNotNull())
+        .select("doc_id", F.col("term").alias("w1"), "w2")
+    )
+    top = (
+        big.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn(
+            "r",
+            F.row_number().over(
+                Window.orderBy(F.desc("n"), F.asc("w1"), F.asc("w2"))
+            ),
+        )
+        .filter(F.col("r") <= n_phrases)
+        .select("w1", "w2")
+    )
+    hits = (
+        big.join(F.broadcast(top), ["w1", "w2"])
+        .groupBy("w1", "w2", "doc_id")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    rw = Window.partitionBy("w1", "w2").orderBy(
+        F.desc("hits"), F.asc("doc_id")
+    )
+    return (
+        hits.withColumn("rank", F.row_number().over(rw))
+        .filter(F.col("rank") <= topk)
+        .select("w1", "w2", "doc_id", "hits", "rank")
+    )
+
+
+def rrf_fuse(
+    ranked_a: DataFrame,
+    ranked_b: DataFrame,
+    id_col: str = "doc_id",
+    k: int = 10,
+    c: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion of two rankers — the industry-standard
+    hybrid-retrieval combiner (Cormack et al.: score = Σ 1/(c + rank)).
+
+    Expects (id, rank) frames with ranks 1..n; candidates absent from
+    one ranker contribute only the other's term (standard RRF).  The
+    score is computed in EXACT integer parts-per-million —
+    ``1_000_000 DIV (c + rank)`` — so the fusion is oracle-pairable
+    bit-for-bit (Spark ``DIV`` == DuckDB ``//`` on nonnegative ints;
+    a float 1/(c+r) sum would be order-sensitive).  Returns
+    (id, rrf_ppm, rank) for the fused top ``k`` by (score desc, id).
+    """
+    from pyspark.sql import Window
+
+    a = ranked_a.select(F.col(id_col), F.col("rank").alias("_ra"))
+    b = ranked_b.select(F.col(id_col), F.col("rank").alias("_rb"))
+    fused = (
+        a.join(b, id_col, "full")
+        .withColumn(
+            "rrf_ppm",
+            F.coalesce(
+                F.expr(f"1000000 DIV ({c} + _ra)"), F.lit(0).cast("long")
+            )
+            + F.coalesce(
+                F.expr(f"1000000 DIV ({c} + _rb)"), F.lit(0).cast("long")
+            ),
+        )
+    )
+    w = Window.orderBy(F.desc("rrf_ppm"), F.asc(id_col))
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "rrf_ppm", "rank")
+    )

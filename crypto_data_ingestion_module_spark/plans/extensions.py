@@ -3340,3 +3340,187 @@ GROUP BY qb.tok
 """,
     )
 )
+
+
+# --------------------------------------------------------------------------
+# X4: positional-index phrase search — the adjacency query the tf-only
+# inverted index cannot answer.  Bigrams come from ONE lead() window
+# over the positional postings (no positional self-join); the phrase
+# shortlist is a bounded broadcast.
+# --------------------------------------------------------------------------
+
+
+def _phrase_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crypto_data_ingestion_module_spark.operators.search import (
+        phrase_topk_docs,
+    )
+
+    return phrase_topk_docs(
+        _t(spark, sf_dir, "documents"), n_phrases=5, topk=10
+    )
+
+
+_register(
+    QuerySpec(
+        name="phrase_topk_docs",
+        survey_ids=("X4",),
+        description="positional-index phrase search: the corpus's 5 most "
+        "frequent bigram phrases (ties by text) and each phrase's top-10 "
+        "documents by occurrence count - one lead() window over the "
+        "positional postings, no document rescans",
+        spark=_phrase_q,
+        oracle="""
+WITH toks AS (
+  SELECT doc_id, generate_subscripts(ws, 1) - 1 AS pos, unnest(ws) AS term
+  FROM (SELECT doc_id, regexp_extract_all(text, '[A-Za-z0-9]+') AS ws
+        FROM documents)
+),
+bg AS (
+  SELECT doc_id, w1, w2 FROM (
+    SELECT doc_id, term AS w1,
+           lead(term) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+    FROM toks
+  ) WHERE w2 IS NOT NULL
+),
+top AS (
+  SELECT w1, w2 FROM (
+    SELECT w1, w2,
+           row_number() OVER (ORDER BY count(*) DESC, w1, w2) AS r
+    FROM bg GROUP BY w1, w2
+  ) WHERE r <= 5
+),
+hits AS (
+  SELECT bg.w1, bg.w2, bg.doc_id, count(*) AS hits
+  FROM bg JOIN top USING (w1, w2)
+  GROUP BY bg.w1, bg.w2, bg.doc_id
+)
+SELECT w1, w2, doc_id, CAST(hits AS BIGINT) AS hits, CAST(rank AS INT) AS rank
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY w1, w2 ORDER BY hits DESC, doc_id
+  ) AS rank FROM hits
+) WHERE rank <= 10
+""",
+    )
+)
+
+
+# --------------------------------------------------------------------------
+# X3/X4: reciprocal-rank fusion of the lexical (BM25) and dense (cosine)
+# rankers over the shared conjunctive candidate set — the standard
+# hybrid-retrieval combiner, in exact integer parts-per-million
+# (1000000 DIV (60 + rank)) so the fusion is oracle-paired bit-for-bit.
+# --------------------------------------------------------------------------
+
+
+def _rrf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from crypto_data_ingestion_module_spark.operators.search import (
+        hybrid_rerank,
+        rrf_fuse,
+    )
+
+    h = hybrid_rerank(
+        _t(spark, sf_dir, "documents"),
+        _t(spark, sf_dir, "embeddings"),
+        _SEARCH_TERMS,
+        query_vec_id=0,
+        k=1_000_000_000,
+    )
+    ra = h.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("bm25"), F.asc("doc_id")))
+        .alias("rank"),
+    )
+    rb = h.select("doc_id", "rank")
+    return rrf_fuse(ra, rb, id_col="doc_id", k=10, c=60)
+
+
+def _rrf_oracle() -> str:
+    from crypto_data_ingestion_module_spark.operators.search import (
+        BM25_LITE_EXPR,
+    )
+
+    terms_sql = ", ".join(f"'{t}'" for t in _SEARCH_TERMS)
+    return f"""
+WITH postings AS (
+  SELECT doc_id, t AS term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(regexp_extract_all(text, '[A-Za-z0-9]+')) AS t
+        FROM documents)
+  WHERE t IN ({terms_sql})
+  GROUP BY doc_id, t
+),
+dfreq AS (SELECT term, count(*) AS df FROM postings GROUP BY term),
+dl AS (SELECT doc_id, len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS dl
+       FROM documents),
+stats AS (SELECT count(*) AS n_docs,
+                 CAST(SUM(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+          FROM dl),
+bm25 AS (
+  SELECT doc_id,
+         (CAST(SUM(CAST(round(t_score * 1000000.0) AS DECIMAL(38,0))) AS DOUBLE)
+          / 1000000.0) AS bm25
+  FROM (
+    SELECT p.doc_id, {BM25_LITE_EXPR} AS t_score
+    FROM postings p
+    JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+  ) GROUP BY doc_id HAVING count(*) = {len(_SEARCH_TERMS)}
+),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+cand AS (
+  SELECT b.doc_id, b.bm25, e.embedding AS nv
+  FROM bm25 b JOIN embeddings e ON e.vec_id = b.doc_id
+),
+qn AS (SELECT sqrt({_COS_DOT.format(a='x', b='x')}) AS qnorm
+       FROM (SELECT unnest(qv) AS x FROM q)),
+cn AS (SELECT doc_id, sqrt({_COS_DOT.format(a='x', b='x')}) AS nnorm
+       FROM (SELECT doc_id, unnest(nv) AS x FROM cand) GROUP BY doc_id),
+dots AS (
+  SELECT doc_id, {_COS_DOT.format(a='xq', b='xn')} AS dot
+  FROM (SELECT c.doc_id, unnest(q.qv) AS xq, unnest(c.nv) AS xn
+        FROM cand c CROSS JOIN q)
+  GROUP BY doc_id
+),
+rb AS (
+  SELECT c2.doc_id,
+         row_number() OVER (
+           ORDER BY d.dot / (qn.qnorm * cn.nnorm) DESC, c2.doc_id
+         ) AS rank_cos
+  FROM cand c2
+  JOIN dots d ON d.doc_id = c2.doc_id
+  JOIN cn ON cn.doc_id = c2.doc_id
+  CROSS JOIN qn
+),
+ra AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank_bm25
+  FROM cand
+),
+fused AS (
+  SELECT ra.doc_id,
+         (1000000 // (60 + ra.rank_bm25)) + (1000000 // (60 + rb.rank_cos))
+           AS rrf_ppm
+  FROM ra JOIN rb ON ra.doc_id = rb.doc_id
+)
+SELECT doc_id, CAST(rrf_ppm AS BIGINT) AS rrf_ppm, CAST(rank AS INT) AS rank
+FROM (
+  SELECT doc_id, rrf_ppm,
+         row_number() OVER (ORDER BY rrf_ppm DESC, doc_id) AS rank
+  FROM fused
+) WHERE rank <= 10
+"""
+
+
+_register(
+    QuerySpec(
+        name="hybrid_rrf_topk",
+        survey_ids=("X3", "X4"),
+        description="reciprocal-rank fusion of BM25 and cosine rankers "
+        "over the conjunctive candidate set: rrf_ppm = 1000000 DIV "
+        "(60 + rank_bm25) + 1000000 DIV (60 + rank_cosine), fused top-10",
+        spark=_rrf_q,
+        oracle=_rrf_oracle(),
+    )
+)

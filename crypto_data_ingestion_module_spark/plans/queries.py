@@ -1722,6 +1722,21 @@ _register(
 #                             ann_ivfpq_topk, pq_adc_topk
 # All six ins were validated green at sf0.001 AND sf0.01 AND sf0.1 in r9
 # before pre-commitment (scripts/validate.py + per-SF oracle checks).
+# Mid-round r10 addendum: three NEW capabilities registered this round
+# enter the window immediately so the paired never-checked backlog stays
+# ZERO (all three oracle-checked at sf0.001/0.01/0.1 before admission):
+#   revenue_cube       — CUBE grouping sets via partial-rollup (the
+#                        relational surface SURVEY §2.6 notes is absent)
+#   phrase_topk_docs   — positional-index phrase search (X4; search
+#                        family twin conjunctive/hybrid stays registered)
+#   hybrid_rrf_topk    — integer-ppm reciprocal-rank fusion (X3/X4)
+# Out (all 4-5× driver-green, families keep in-window twins):
+#   funnel_conversions     — receipts r5–r9; funnel/session family keeps
+#                            activity_streaks in-window
+#   type_cooccurrence_lift — receipts r6–r9; stream-pair family keeps
+#                            cross_stream_spread_1h in-window
+#   doc_rarity_score       — receipts r6–r9; X4 keeps bpe_vocab,
+#                            bpe_encode_docs, frequent_tokens_* in-window
 # --------------------------------------------------------------------------
 
 CHECKED_QUERIES: tuple[str, ...] = (
@@ -1742,12 +1757,11 @@ CHECKED_QUERIES: tuple[str, ...] = (
     "forecast_revenue_change",
     "asof_last_view_before_purchase",
     "important_parts",
+    "revenue_cube",
     # windowed / stateful analytics
-    "funnel_conversions",
     "activity_streaks",
     "value_outliers_3sigma",
     "value_deciles",
-    "type_cooccurrence_lift",
     "cross_stream_spread_1h",
     "frequent_tokens_exact",
     "frequent_tokens_from_partials",
@@ -1767,7 +1781,6 @@ CHECKED_QUERIES: tuple[str, ...] = (
     # LLM-data-pipeline operators (X1–X5)
     "dedup_clusters",
     "trade_graph_pagerank",
-    "doc_rarity_score",
     "embedding_kmeans",
     "ann_ivfpq_topk",
     "pq_adc_topk",
@@ -1778,6 +1791,8 @@ CHECKED_QUERIES: tuple[str, ...] = (
     "curated_corpus",
     "decontaminate_docs",
     "decontaminate_docs_bloom",
+    "phrase_topk_docs",
+    "hybrid_rrf_topk",
     "bpe_vocab",
     "bpe_encode_docs",
 )

@@ -47,6 +47,7 @@ NL_ALLOW = {
     "frequent_tokens_exact": "single-row scalar (total n) threshold crossJoin",
     "frequent_tokens_from_partials": "single-row scalar (total n) threshold crossJoin",
     "decontaminate_docs_bloom": "single-row Bloom-bitset broadcast (value-not-literal ship)",
+    "hybrid_rrf_topk": "corpus stats + one query vector broadcast (hybrid_rerank shape)",
 }
 
 # Full-width scans that are legitimately full-width (all columns used).

@@ -1,0 +1,67 @@
+"""Positional phrase search + RRF fusion operators (operators/search.py,
+round 10): literal-DataFrame semantics pins — the registered queries'
+oracle rows check corpus-scale parity; these pin the operator contracts
+on adversarial small inputs."""
+
+from pyspark.sql import functions as F
+
+from crypto_data_ingestion_module_spark.operators.search import (
+    phrase_topk_docs,
+    positional_postings,
+    rrf_fuse,
+)
+
+
+def test_positional_postings_positions_are_token_ordinals(spark):
+    docs = spark.createDataFrame(
+        [(1, "alpha beta,gamma  alpha")], ["doc_id", "text"]
+    )
+    rows = sorted(
+        (r["pos"], r["term"])
+        for r in positional_postings(docs).collect()
+    )
+    # punctuation splits tokens; positions are ordinals in the token
+    # stream, not byte offsets
+    assert rows == [(0, "alpha"), (1, "beta"), (2, "gamma"), (3, "alpha")]
+
+
+def test_phrase_topk_docs_counts_adjacent_occurrences_only(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "x y x y x y"),     # 'x y' 3 times (and 'y x' twice)
+            (2, "x z y x y"),       # 'x y' once — x..y non-adjacent ignored
+            (3, "y x"),             # reverse order is a DIFFERENT phrase
+        ],
+        ["doc_id", "text"],
+    )
+    out = phrase_topk_docs(docs, n_phrases=1, topk=10).collect()
+    # the single most frequent bigram is ('x','y'): 3 + 1 = 4 total
+    assert all((r["w1"], r["w2"]) == ("x", "y") for r in out)
+    hits = {r["doc_id"]: r["hits"] for r in out}
+    assert hits == {1: 3, 2: 1}
+    ranks = {r["doc_id"]: r["rank"] for r in out}
+    assert ranks == {1: 1, 2: 2}  # by (hits desc, doc_id)
+
+
+def test_rrf_fuse_integer_scores_and_one_sided_candidates(spark):
+    ra = spark.createDataFrame([(10, 1), (20, 2)], ["doc_id", "rank"])
+    rb = spark.createDataFrame([(20, 1), (30, 2)], ["doc_id", "rank"])
+    out = {r["doc_id"]: r for r in rrf_fuse(ra, rb, k=10, c=60).collect()}
+    # doc 20: 1000000//62 + 1000000//61 = 16129 + 16393
+    assert out[20]["rrf_ppm"] == 1_000_000 // 62 + 1_000_000 // 61
+    # one-sided candidates contribute only their present ranker
+    assert out[10]["rrf_ppm"] == 1_000_000 // 61
+    assert out[30]["rrf_ppm"] == 1_000_000 // 62
+    # fused order: 20 first, then 10 (ties impossible here), then 30
+    assert [out[i]["rank"] for i in (20, 10, 30)] == [1, 2, 3]
+
+
+def test_rrf_fuse_tie_breaks_by_id(spark):
+    ra = spark.createDataFrame([(5, 1), (3, 2)], ["doc_id", "rank"])
+    rb = spark.createDataFrame([(3, 1), (5, 2)], ["doc_id", "rank"])
+    out = rrf_fuse(ra, rb, k=10).collect()
+    # symmetric ranks -> equal scores -> doc_id ascending wins
+    assert [(r["doc_id"], r["rank"]) for r in sorted(out, key=lambda r: r["rank"])] == [
+        (3, 1),
+        (5, 2),
+    ]
