@@ -8,14 +8,17 @@ envelope come from the actual samples (golden-file pytest).  IMAGE
 decode and resize are REAL for PPM (P6) payloads: header parse, pixel
 grid-luminance features, and integer box-average resampling emitting a
 valid P6 container, all numpy-vectorized (golden-file pytest with an
-independent stdlib oracle).  VIDEO demuxing is REAL for concatenated-P6
-streams (``demux_ppm_stream``: back-to-back binary PPM frames, the
-rawvideo analogue of Y4M; each emitted frame is a standalone valid P6
-that feeds the real decode/resize kernels) — compressed containers
-(mp4 & friends) remain the one documented seam (no ffmpeg in this
-environment); the schema, 1→N expansion bookkeeping, and bounded-memory
-batch discipline are identical on both paths, so swapping the stub for
-a PyAV iterator is a one-function change per format.
+independent stdlib oracle).  VIDEO demuxing is REAL for TWO container
+formats: concatenated-P6 streams (``demux_ppm_stream``: back-to-back
+binary PPM frames, nominal 25 fps timing) and YUV4MPEG2
+(``demux_y4m``: true ``F<num>:<den>`` header timing, C420/C444
+colorspaces, BT.601 integer YUV→RGB) — every emitted frame is a
+standalone valid P6 that feeds the real decode/resize kernels.
+Compressed containers (mp4 & friends) remain the one documented seam
+(no ffmpeg in this environment); the schema, 1→N expansion
+bookkeeping, and bounded-memory batch discipline are identical on all
+paths, so swapping the stub for a PyAV iterator is a one-function
+change per format.
 
 Scale design: ``mapInPandas`` streams Arrow record batches, so executor
 memory is bounded by batch size, not partition size; payload bytes stay
@@ -373,6 +376,96 @@ def is_ppm_stream(payload: bytes) -> bool:
     return is_ppm(payload)
 
 
+def is_y4m(payload: bytes) -> bool:
+    """YUV4MPEG2 stream magic sniff."""
+    return payload.startswith(b"YUV4MPEG2 ")
+
+
+def demux_y4m(payload: bytes) -> tuple[int, int, list[bytes]]:
+    """REAL pure-stdlib+numpy Y4M video demux: a YUV4MPEG2 stream →
+    (fps_num, fps_den, [P6 frame payloads]).
+
+    The stream header carries true timing (``F<num>:<den>``) — unlike
+    the raw concatenated-P6 container — so frame timestamps are REAL
+    metadata, not a nominal convention.  Supported colorspaces: C420
+    family (chroma nearest-upsampled 2×2, the Y4M default) and C444;
+    anything else raises rather than decoding wrong colors.  Frames are
+    converted to 8-bit RGB P6 via the BT.601 limited-range integer
+    transform (the classic ``298·C + …  >> 8`` fixed-point form —
+    deterministic, no floats), so every emitted frame feeds the real
+    PPM decode/resize kernels like the P6-stream path.
+    """
+    import numpy as np
+
+    nl = payload.index(b"\n")
+    toks = payload[:nl].split(b" ")
+    if toks[0] != b"YUV4MPEG2":
+        raise ValueError("not a YUV4MPEG2 stream")
+    width = height = None
+    num, den = 25, 1
+    cs = b"420"
+    for t in toks[1:]:
+        if not t:
+            continue
+        tag, val = t[:1], t[1:]
+        if tag == b"W":
+            width = int(val)
+        elif tag == b"H":
+            height = int(val)
+        elif tag == b"F":
+            n, d = val.split(b":")
+            num, den = int(n), int(d)
+        elif tag == b"C":
+            cs = val
+    if width is None or height is None:
+        raise ValueError("Y4M header missing W or H")
+    if cs.startswith(b"420"):
+        if width % 2 or height % 2:
+            raise ValueError("C420 requires even dimensions")
+        chroma_w, chroma_h, upsample = width // 2, height // 2, True
+    elif cs.startswith(b"444"):
+        chroma_w, chroma_h, upsample = width, height, False
+    else:
+        raise ValueError(f"unsupported Y4M colorspace C{cs.decode()}")
+    frame_bytes = width * height + 2 * chroma_w * chroma_h
+
+    frames: list[bytes] = []
+    off = nl + 1
+    n = len(payload)
+    header = f"P6\n{width} {height}\n255\n".encode()
+    while off < n:
+        if not payload.startswith(b"FRAME", off):
+            raise ValueError(f"byte {off}: expected FRAME marker")
+        fe = payload.index(b"\n", off)
+        data0 = fe + 1
+        if data0 + frame_bytes > n:
+            raise ValueError(f"truncated Y4M frame at byte {off}")
+        y = np.frombuffer(payload, np.uint8, width * height, data0)
+        u = np.frombuffer(
+            payload, np.uint8, chroma_w * chroma_h, data0 + width * height
+        )
+        v = np.frombuffer(
+            payload,
+            np.uint8,
+            chroma_w * chroma_h,
+            data0 + width * height + chroma_w * chroma_h,
+        )
+        Y = y.reshape(height, width).astype(np.int32)
+        U = u.reshape(chroma_h, chroma_w).astype(np.int32)
+        V = v.reshape(chroma_h, chroma_w).astype(np.int32)
+        if upsample:
+            U = np.repeat(np.repeat(U, 2, axis=0), 2, axis=1)
+            V = np.repeat(np.repeat(V, 2, axis=0), 2, axis=1)
+        C, D, E = Y - 16, U - 128, V - 128
+        r = np.clip((298 * C + 409 * E + 128) >> 8, 0, 255)
+        g = np.clip((298 * C - 100 * D - 208 * E + 128) >> 8, 0, 255)
+        b = np.clip((298 * C + 516 * D + 128) >> 8, 0, 255)
+        rgb = np.stack([r, g, b], axis=-1).astype(np.uint8)
+        frames.append(header + rgb.tobytes())
+        off = data0 + frame_bytes
+    return num, den, frames
+
+
 def sample_frames_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """mapInPandas kernel: one VIDEO row → N frame rows (row-expanding).
 
@@ -391,6 +484,15 @@ def sample_frames_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
         ids, idxs, tss, frames = [], [], [], []
         for aid, p in zip(pdf["asset_id"], pdf["payload"]):
             raw = bytes(p)
+            if is_y4m(raw):
+                num, den, fr = demux_y4m(raw)
+                for i, frame in enumerate(fr):
+                    ids.append(int(aid))
+                    idxs.append(i)
+                    # true container timing: i / (num/den) seconds
+                    tss.append(i * 1000 * den // num)
+                    frames.append(frame)
+                continue
             if is_ppm_stream(raw):
                 for i, frame in enumerate(demux_ppm_stream(raw)):
                     ids.append(int(aid))

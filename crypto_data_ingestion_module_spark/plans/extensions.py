@@ -3524,3 +3524,76 @@ _register(
         oracle=_rrf_oracle(),
     )
 )
+
+
+# --------------------------------------------------------------------------
+# A2/A3: histogram-sketch quantiles, ORACLE-PAIRED — upgrades the
+# quantile-sketch story from rows-only (value_quantiles_sketch uses
+# Spark's engine-specific approx_percentile) to hash-checked: on a
+# fixed power-of-two grid every step is float-exact in both engines
+# (v/8 is an exact IEEE division, bucket edges are exact doubles,
+# cumulative counts are integers), so the ESTIMATOR itself — not just
+# its error bound — is verified cross-engine.  One-bucket-width error
+# vs true quantiles stays pinned in tests/test_sketch_store.py.
+# --------------------------------------------------------------------------
+
+_HQ_LO, _HQ_HI, _HQ_BINS = 0.0, 1024.0, 128  # width 8.0: exact in IEEE
+_HQ_QS = (0.5, 0.9, 0.99)
+
+
+def _value_quantiles_hist_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crypto_data_ingestion_module_spark.operators.sketch_store import (
+        histogram_partials,
+        quantiles_from_histogram,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"), "value"
+    )
+    hist = histogram_partials(
+        ev, "value", _HQ_LO, _HQ_HI, _HQ_BINS, stratum="day"
+    )
+    return quantiles_from_histogram(
+        hist, _HQ_QS, _HQ_LO, _HQ_HI, _HQ_BINS
+    )
+
+
+_register(
+    QuerySpec(
+        name="value_quantiles_from_histogram",
+        survey_ids=("A2", "A3"),
+        description="quantile estimates (p50/p90/p99 of events.value) "
+        "from fixed-grid histogram partials: per-day bucket counts merge "
+        "by exact summation, estimate = upper edge of the first bucket "
+        "reaching q*n - power-of-two width makes the whole estimator "
+        "hash-exact cross-engine, not just error-bounded",
+        spark=_value_quantiles_hist_q,
+        oracle=f"""
+WITH v AS (SELECT value AS v FROM events WHERE value IS NOT NULL),
+b AS (
+  SELECT CASE WHEN v < {_HQ_LO} THEN -1
+              WHEN v >= {_HQ_HI} THEN {_HQ_BINS}
+              ELSE least(CAST(floor((v - {_HQ_LO}) / 8.0) AS BIGINT),
+                         {_HQ_BINS - 1})
+         END AS bucket,
+         count(*) AS c
+  FROM v GROUP BY 1
+),
+cum AS (
+  SELECT bucket,
+         sum(c) OVER (ORDER BY bucket) AS cum,
+         sum(c) OVER () AS n
+  FROM b
+),
+qs(q) AS (VALUES (0.5), (0.9), (0.99))
+SELECT CAST(qs.q AS DOUBLE) AS q,
+       {_HQ_LO} + (min(cum.bucket) + 1) * 8.0 AS estimate
+FROM qs, cum
+-- CAST to DOUBLE: VALUES(0.5) is DECIMAL in DuckDB; the Spark side
+-- multiplies doubles, and a decimal-vs-double product could flip a
+-- cum == q*n boundary tie between engines
+WHERE cum.cum >= CAST(qs.q AS DOUBLE) * cum.n
+GROUP BY qs.q
+""",
+    )
+)

@@ -1737,6 +1737,12 @@ _register(
 #                            cross_stream_spread_1h in-window
 #   doc_rarity_score       — receipts r6–r9; X4 keeps bpe_vocab,
 #                            bpe_encode_docs, frequent_tokens_* in-window
+# Plus value_quantiles_from_histogram (fixed power-of-two grid makes the
+# histogram-sketch quantile ESTIMATOR hash-exact cross-engine — upgrades
+# the quantile-sketch story from rows-only) for value_outliers_3sigma
+# (receipts r6–r9; distribution family keeps value_deciles + the new
+# quantiles row in-window).  All four r10 ins oracle-checked at
+# sf0.001/0.01/0.1 before admission.
 # --------------------------------------------------------------------------
 
 CHECKED_QUERIES: tuple[str, ...] = (
@@ -1760,8 +1766,8 @@ CHECKED_QUERIES: tuple[str, ...] = (
     "revenue_cube",
     # windowed / stateful analytics
     "activity_streaks",
-    "value_outliers_3sigma",
     "value_deciles",
+    "value_quantiles_from_histogram",
     "cross_stream_spread_1h",
     "frequent_tokens_exact",
     "frequent_tokens_from_partials",
