@@ -195,3 +195,51 @@ def stream_cm_partials(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_histogram_partials(
+    source: DataFrame,
+    root: str,
+    checkpoint: str,
+    col: str,
+    lo: float,
+    hi: float,
+    bins: int,
+    stratum: str = "day",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Maintain the fixed-grid histogram partial lake from a stream —
+    the fifth and last stored sketch family gains its continuous
+    maintainer.  Bucket counts sum exactly, so per-micro-batch
+    splitting is invisible to merged quantile estimates
+    (``quantiles_from_histogram`` over streamed partials EQUALS the
+    one-shot histogram's — pinned in tests), and a double-appended
+    batch is guarded by the stream-scoped applied_id like every other
+    family.  The grid (lo, hi, bins) is part of the lake's semantic
+    version: partials from different grids must never share a root."""
+    from crypto_data_ingestion_module_spark.operators.sketch_store import (
+        store_histogram_partials,
+    )
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        qid = stream_qid(checkpoint)
+        store_histogram_partials(
+            batch_df.sparkSession,
+            batch_df,
+            col,
+            root,
+            lo,
+            hi,
+            bins,
+            stratum=stratum,
+            applied_id=f"hist-{qid}-{batch_id}",
+        )
+
+    writer = source.writeStream.foreachBatch(_sink).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

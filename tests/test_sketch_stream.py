@@ -517,3 +517,72 @@ def test_kmv_checkpoint_restart_resumes_without_double_append(
     got = kmv_distinct_over_range(spark, root, k=32).collect()[0]
     want = kmv_distinct_estimate(ev, "u", 32).collect()[0]
     assert got["distinct_est"] == want["distinct_est"]
+
+
+def test_streamed_histogram_quantiles_equal_one_shot(spark, tmp_path):
+    # The fifth stored family's continuous maintainer: bucket counts
+    # sum exactly, so quantiles served from STREAMED per-micro-batch
+    # partials equal the one-shot histogram's bit-for-bit, and a
+    # replayed batch appends nothing.
+    from crypto_data_ingestion_module_spark.operators.sketch_store import (
+        histogram_partials,
+        quantiles_from_histogram,
+    )
+    from crypto_data_ingestion_module_spark.sinks.snapshot import (
+        read_snapshot,
+    )
+    from crypto_data_ingestion_module_spark.streaming.sketch_stream import (
+        stream_histogram_partials,
+    )
+
+    ev = load_table(spark, SF_SMALL, "events").select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"), "value"
+    ).withColumn("split_key", F.abs(F.xxhash64("value", "day")))
+    in_dir = str(tmp_path / "in")
+    _write_batches(ev, tmp_path, in_dir, "split_key", n=3)
+    root = str(tmp_path / "hist")
+    ck = str(tmp_path / "ck")
+
+    src = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = stream_histogram_partials(
+        src, root, ck, "value", 0.0, 1024.0, 128, stratum="day"
+    )
+    q.awaitTermination(120)
+
+    qs = (0.5, 0.9, 0.99)
+    streamed = {
+        r["q"]: r["estimate"]
+        for r in quantiles_from_histogram(
+            read_snapshot(spark, root), qs, 0.0, 1024.0, 128
+        ).collect()
+    }
+    oneshot = {
+        r["q"]: r["estimate"]
+        for r in quantiles_from_histogram(
+            histogram_partials(ev, "value", 0.0, 1024.0, 128), qs, 0.0, 1024.0, 128
+        ).collect()
+    }
+    assert streamed == oneshot and len(streamed) == 3
+
+    # replayed batch appends nothing (stream-scoped applied_id)
+    from crypto_data_ingestion_module_spark.sinks.snapshot import (
+        current_version,
+    )
+    from crypto_data_ingestion_module_spark.operators.sketch_store import (
+        store_histogram_partials,
+    )
+    from crypto_data_ingestion_module_spark.streaming.identity import (
+        stream_qid,
+    )
+
+    v = current_version(spark, root)
+    qid = stream_qid(ck)
+    store_histogram_partials(
+        spark, ev, "value", root, 0.0, 1024.0, 128, stratum="day",
+        applied_id=f"hist-{qid}-0",
+    )
+    assert current_version(spark, root) == v
