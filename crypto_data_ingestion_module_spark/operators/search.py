@@ -214,11 +214,52 @@ def phrase_topk_docs(
 
     Returns (w1, w2, doc_id, hits, rank).
     """
+    return phrase_topk_from_postings(
+        positional_postings(docs, text_col, id_col), n_phrases, topk
+    )
+
+
+def store_positional_postings(
+    docs: DataFrame,
+    table: str,
+    num_buckets: int = 32,
+    path: str | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Materialize the positional posting list as the AT-REST phrase
+    index: bucketed by ``doc_id`` and sorted by (doc_id, pos), so the
+    adjacency window (``lead(term)`` partitioned by doc, ordered by
+    pos) runs with NO Exchange and NO Sort on the postings side — the
+    write paid the shuffle once; every phrase query after it is
+    shuffle-free up to the bounded phrase-level aggregation (pinned by
+    the plan-shape pytest).  Documents are never stored, never
+    rescanned."""
+    from crypto_data_ingestion_module_spark.sinks.bucketed import (
+        write_bucketed,
+    )
+
+    write_bucketed(
+        positional_postings(docs, text_col, id_col),
+        table,
+        ["doc_id"],
+        num_buckets=num_buckets,
+        sort_cols=["doc_id", "pos"],
+        path=path,
+    )
+
+
+def phrase_topk_from_postings(
+    postings: DataFrame, n_phrases: int = 5, topk: int = 10
+) -> DataFrame:
+    """The phrase query over an existing (doc_id, pos, term) posting
+    frame — inline or read back from the bucketed at-rest index (same
+    answer either way; the stored form skips the tokenize AND the
+    window shuffle)."""
     from pyspark.sql import Window
 
-    p = positional_postings(docs, text_col, id_col)
     big = (
-        p.withColumn(
+        postings.withColumn(
             "w2",
             F.lead("term").over(
                 Window.partitionBy("doc_id").orderBy("pos")

@@ -65,3 +65,48 @@ def test_rrf_fuse_tie_breaks_by_id(spark):
         (3, 1),
         (5, 2),
     ]
+
+
+def test_phrase_query_from_bucketed_postings_lake(spark, tmp_path):
+    """The at-rest phrase index: postings bucketed by doc_id and sorted
+    by (doc_id, pos) serve the SAME answer as the inline query, and the
+    adjacency window runs with NO Exchange and NO Sort on the postings
+    side (the write paid the shuffle once)."""
+    from pyspark.sql import Window
+
+    from crypto_data_ingestion_module_spark.operators.search import (
+        phrase_topk_docs,
+        phrase_topk_from_postings,
+        store_positional_postings,
+    )
+    from crypto_data_ingestion_module_spark.session import load_table
+    from crypto_data_ingestion_module_spark.sinks.bucketed import (
+        physical_plan,
+        read_bucketed,
+    )
+    from tests.conftest import SF_SMALL
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    table = "phrase_postings_t"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    store_positional_postings(
+        docs, table, num_buckets=8, path=str(tmp_path / "postings")
+    )
+    postings = read_bucketed(spark, table)
+
+    served = sorted(
+        map(tuple, phrase_topk_from_postings(postings).collect())
+    )
+    inline = sorted(map(tuple, phrase_topk_docs(docs).collect()))
+    assert served == inline and served
+
+    # plan pin: the window stage over the bucketed read needs neither an
+    # Exchange nor a Sort — bucket spec + in-bucket sort satisfy it
+    windowed = postings.withColumn(
+        "w2",
+        F.lead("term").over(Window.partitionBy("doc_id").orderBy("pos")),
+    )
+    plan = physical_plan(windowed)
+    assert "Exchange" not in plan, plan
+    assert "WindowExec" in plan or "Window" in plan
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
