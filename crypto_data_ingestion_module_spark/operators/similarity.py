@@ -1265,3 +1265,114 @@ def _ann_ivf_seed_kernel(
         .filter(F.col("rank") <= k)
         .select("qid", "nid", "rank", "cosine")
     )
+
+
+def mmr_select(
+    corpus: DataFrame,
+    query_vec_id: int = 0,
+    m: int = 16,
+    k: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Maximal-marginal-relevance diversified top-k (Carbonell &
+    Goldstein): greedily pick ``k`` of the query's top-``m`` cosine
+    candidates maximizing ``0.5·sim(q,d) − 0.5·max_{s∈S} sim(d,s)``
+    — the standard RAG/retrieval diversity re-ranker that stops three
+    near-duplicates crowding the context window.
+
+    Oracle-pairable by construction: λ is fixed at 0.5 (multiplication
+    by 0.5 is EXACT in IEEE doubles — no drift), sims are the engine's
+    exact fixed-point cosines, ``greatest`` over exact doubles is
+    engine-exact, every argmax is (score desc, id)-tie-broken, and the
+    greedy loop is UNROLLED ``k`` times as DataFrame steps (the same
+    quantized-recurrence discipline as the fixed-point PageRank).  The
+    first pick's score is ``0.5·sim(q,d)`` (empty penalty set = 0).
+
+    100 TB shape: the expensive stage is the candidate generation
+    (cosine_topk's streaming kernel); everything after runs on a
+    bounded m-row set — m² pairwise sims, k one-row broadcasts —
+    independent of corpus size.  Returns (rank, nid, mmr_score).
+    """
+    queries = corpus.filter(F.col(id_col) == query_vec_id)
+    cand = (
+        cosine_topk(corpus, queries, k=m, vec_col=vec_col, id_col=id_col)
+        .select("nid", F.col("cosine").alias("simq"))
+    )
+    vecs = corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
+    a = cand.join(vecs, F.col("nid") == F.col("cid")).select(
+        F.col("nid").alias("a"), F.col("cv").alias("av")
+    )
+    b = cand.join(vecs, F.col("nid") == F.col("cid")).select(
+        F.col("nid").alias("b"), F.col("cv").alias("bv")
+    )
+
+    def _norm(v):
+        return F.sqrt(
+            _dot_fp(v, v, FP_SCALE, True).cast("double") / F.lit(FP_SCALE)
+        )
+
+    pair = (
+        a.crossJoin(b)
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            "a",
+            "b",
+            (
+                (
+                    _dot_fp(F.col("av"), F.col("bv"), FP_SCALE, True).cast(
+                        "double"
+                    )
+                    / F.lit(FP_SCALE)
+                )
+                / (_norm(F.col("av")) * _norm(F.col("bv")))
+            ).alias("sim"),
+        )
+    )
+
+    picks = []  # one-row frames (rank, nid, mmr_score)
+    sel_pens = None  # (nid, pen) running max penalty vs the selected set
+    remaining = cand
+    for step in range(1, k + 1):
+        if step == 1:
+            scored = remaining.select(
+                "nid", (F.lit(0.5) * F.col("simq")).alias("mmr_score")
+            )
+        else:
+            scored = remaining.join(sel_pens, "nid").select(
+                "nid",
+                (
+                    F.lit(0.5) * F.col("simq") - F.lit(0.5) * F.col("pen")
+                ).alias("mmr_score"),
+            )
+        pick = (
+            scored.orderBy(F.desc("mmr_score"), F.asc("nid"))
+            .limit(1)
+            .select(
+                F.lit(step).cast("int").alias("rank"), "nid", "mmr_score"
+            )
+        )
+        picks.append(pick)
+        if step == k:
+            break
+        sel = F.broadcast(pick.select(F.col("nid").alias("_sel")))
+        remaining = remaining.join(
+            sel, remaining["nid"] == sel["_sel"], "left_anti"
+        )
+        new_pen = pair.join(sel, pair["b"] == sel["_sel"]).select(
+            F.col("a").alias("nid"), F.col("sim").alias("_p")
+        )
+        if sel_pens is None:
+            sel_pens = new_pen.withColumnRenamed("_p", "pen")
+        else:
+            sel_pens = (
+                sel_pens.join(new_pen, "nid")
+                .select(
+                    "nid",
+                    F.greatest(F.col("pen"), F.col("_p")).alias("pen"),
+                )
+            )
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.unionByName(p)
+    return out

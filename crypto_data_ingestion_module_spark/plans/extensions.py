@@ -3597,3 +3597,97 @@ GROUP BY qs.q
 """,
     )
 )
+
+
+# --------------------------------------------------------------------------
+# X3: MMR diversified top-k — the standard RAG diversity re-ranker,
+# greedy over a bounded candidate set, oracle-paired by unrolling the
+# k=3 greedy steps (the quantized-recurrence discipline: λ=0.5 is an
+# EXACT IEEE multiply, sims are exact fixed-point cosines, greatest()
+# over exact doubles is engine-exact, argmax ties break by id).
+# --------------------------------------------------------------------------
+
+
+def _mmr_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crypto_data_ingestion_module_spark.operators.similarity import (
+        mmr_select,
+    )
+
+    return mmr_select(
+        _t(spark, sf_dir, "embeddings"), query_vec_id=0, m=16, k=3
+    )
+
+
+def _mmr_oracle() -> str:
+    dq = _COS_DOT.format(a="x", b="x")
+    return f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+qn AS (SELECT sqrt({dq}) AS qnorm FROM (SELECT unnest(qv) AS x FROM q)),
+cn AS (SELECT nid, sqrt({dq}) AS nnorm
+       FROM (SELECT vec_id AS nid, unnest(embedding) AS x
+             FROM embeddings WHERE vec_id <> 0) GROUP BY nid),
+dots AS (
+  SELECT nid, {_COS_DOT.format(a='xq', b='xn')} AS dot
+  FROM (SELECT e.vec_id AS nid, unnest(q.qv) AS xq,
+               unnest(e.embedding) AS xn
+        FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0)
+  GROUP BY nid
+),
+cand AS (
+  SELECT d.nid, d.dot / (qn.qnorm * cn.nnorm) AS simq
+  FROM dots d JOIN cn USING (nid) CROSS JOIN qn
+  ORDER BY simq DESC, nid LIMIT 16
+),
+pv AS (SELECT c.nid, e.embedding AS v
+       FROM cand c JOIN embeddings e ON e.vec_id = c.nid),
+pdots AS (
+  SELECT a, b, {_COS_DOT.format(a='xa', b='xb')} AS dot
+  FROM (SELECT p1.nid AS a, p2.nid AS b, unnest(p1.v) AS xa,
+               unnest(p2.v) AS xb
+        FROM pv p1 JOIN pv p2 ON p1.nid <> p2.nid)
+  GROUP BY a, b
+),
+pn AS (SELECT nid, sqrt({dq}) AS nrm
+       FROM (SELECT nid, unnest(v) AS x FROM pv) GROUP BY nid),
+pair AS (
+  SELECT d.a, d.b, d.dot / (na.nrm * nb.nrm) AS sim
+  FROM pdots d JOIN pn na ON na.nid = d.a JOIN pn nb ON nb.nid = d.b
+),
+s1 AS (SELECT nid, 0.5 * simq AS mmr_score
+       FROM cand ORDER BY simq DESC, nid LIMIT 1),
+st2 AS (
+  SELECT c.nid, 0.5 * c.simq - 0.5 * p.sim AS mmr_score
+  FROM cand c
+  JOIN pair p ON p.a = c.nid AND p.b = (SELECT nid FROM s1)
+),
+s2 AS (SELECT nid, mmr_score FROM st2
+       ORDER BY mmr_score DESC, nid LIMIT 1),
+st3 AS (
+  SELECT c.nid, 0.5 * c.simq - 0.5 * greatest(p1.sim, p2.sim) AS mmr_score
+  FROM cand c
+  JOIN pair p1 ON p1.a = c.nid AND p1.b = (SELECT nid FROM s1)
+  JOIN pair p2 ON p2.a = c.nid AND p2.b = (SELECT nid FROM s2)
+),
+s3 AS (SELECT nid, mmr_score FROM st3
+       ORDER BY mmr_score DESC, nid LIMIT 1)
+SELECT CAST(1 AS INT) AS rank, nid, mmr_score FROM s1
+UNION ALL
+SELECT CAST(2 AS INT) AS rank, nid, mmr_score FROM s2
+UNION ALL
+SELECT CAST(3 AS INT) AS rank, nid, mmr_score FROM s3
+"""
+
+
+_register(
+    QuerySpec(
+        name="mmr_diversified_topk",
+        survey_ids=("X3",),
+        description="maximal-marginal-relevance diversified top-3 of the "
+        "query's 16 nearest neighbors (lambda=0.5 exact IEEE multiply, "
+        "exact fixed-point cosines, greedy steps unrolled like the "
+        "fixed-point PageRank) - the RAG diversity re-ranker, "
+        "oracle-paired end to end",
+        spark=_mmr_q,
+        oracle=_mmr_oracle(),
+    )
+)

@@ -1741,8 +1741,12 @@ _register(
 # histogram-sketch quantile ESTIMATOR hash-exact cross-engine — upgrades
 # the quantile-sketch story from rows-only) for value_outliers_3sigma
 # (receipts r6–r9; distribution family keeps value_deciles + the new
-# quantiles row in-window).  All four r10 ins oracle-checked at
-# sf0.001/0.01/0.1 before admission.
+# quantiles row in-window), and mmr_diversified_topk (greedy MMR
+# unrolled like the fixed-point PageRank — the RAG diversity re-ranker)
+# for pattern_topk_windows (receipts r7–r9; X3 keeps embedding_kmeans +
+# ann_ivfpq_topk + pq_adc_topk + embedding_random_projection +
+# ann_projected_topk in-window).  All five r10 mid-round ins
+# oracle-checked at sf0.001/0.01/0.1 before admission.
 # --------------------------------------------------------------------------
 
 CHECKED_QUERIES: tuple[str, ...] = (
@@ -1775,7 +1779,6 @@ CHECKED_QUERIES: tuple[str, ...] = (
     "distinct_users_kmv_from_partials",
     "token_freq_cm",
     "token_freq_cm_from_partials",
-    "pattern_topk_windows",
     "hourly_seasonality",
     "interval_completeness",
     # technical indicators (round-4: the candle lake's downstream analytics)
@@ -1792,6 +1795,7 @@ CHECKED_QUERIES: tuple[str, ...] = (
     "pq_adc_topk",
     "embedding_random_projection",
     "ann_projected_topk",
+    "mmr_diversified_topk",
     "dedup_passages",
     "length_weighted_sample",
     "curated_corpus",

@@ -110,3 +110,24 @@ def test_phrase_query_from_bucketed_postings_lake(spark, tmp_path):
     assert "Exchange" not in plan, plan
     assert "WindowExec" in plan or "Window" in plan
     spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_mmr_skips_the_near_duplicate(spark):
+    """The point of MMR: with two near-identical top candidates, the
+    second pick must be the DIVERSE vector, not the twin."""
+    from crypto_data_ingestion_module_spark.operators.similarity import (
+        mmr_select,
+    )
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),   # query
+        (1, [0.99, 0.1, 0.0, 0.0]),  # best match
+        (2, [0.98, 0.12, 0.0, 0.0]), # near-duplicate of 1
+        (3, [0.6, 0.0, 0.8, 0.0]),   # diverse, decent sim
+        (4, [0.0, 1.0, 0.0, 0.0]),   # diverse, weak sim
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["rank"]: r["nid"] for r in mmr_select(emb, 0, m=4, k=3).collect()}
+    assert out[1] == 1          # pure relevance first
+    assert out[2] == 3          # diversity beats the near-twin
+    assert out[3] in (2, 4)     # twin only admissible afterwards
