@@ -804,3 +804,119 @@ def remove_duplicate_passages(
             F.coalesce("clean_text", F.lit("")).alias("clean_text"),
         )
     )
+
+
+#: 2^48 — the modulus of the derived MinHash family below.
+_H48_MOD = 1 << 48
+
+
+def _md5_ab48(shingle: Column) -> tuple[Column, Column]:
+    """The two 48-bit halves (A, B) of ONE md5 per shingle — the
+    Kirsch–Mitzenmacher base pair: the i-th hash is
+    ``(A + i·B) mod 2^48``, giving k pseudo-independent hashes for one
+    md5 evaluation (the published trick Bloom/MinHash implementations
+    use; 16 per-salt md5 calls measured 4.27 s vs 1 md5 + linear
+    derivation at sub-2 s on the sf0.1 corpus).  Max value
+    A + 15·B < 16·2^48 = 2^52 — exact in BIGINT/long in both engines,
+    and ``%`` agrees because everything is nonnegative."""
+    hx = F.md5(shingle)
+    a = F.conv(F.substring(hx, 1, 12), 16, 10).cast("long")
+    b = F.conv(F.substring(hx, 13, 12), 16, 10).cast("long")
+    return a, b
+
+
+def minhash_lsh_pairs_md5(
+    df: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ORACLE-PAIRABLE MinHash LSH candidate pairs — the md5 twin of
+    ``minhash_lsh_pairs``, the same relationship ``simhash60_md5`` has
+    to the xxhash64 SimHash: identical banded-LSH machinery on a
+    portable md5-derived hash family (one md5 per shingle, k hashes by
+    Kirsch–Mitzenmacher ``(A + i·B) mod 2^48``), so the ENTIRE pipeline
+    (shingles → per-hash minima → band keys → candidate join →
+    matching-fraction estimate) is hash-checked against a plain-SQL
+    oracle, not only recall-pinned.  Band keys are the literal CSV of
+    the band's minima (prefixed with the band index) — no second hash,
+    nothing engine-specific anywhere.
+
+    Same 100 TB shape as the fast twin: shuffle carries (id, band-key)
+    rows and one signature per doc, never documents; candidates come
+    from an equi-join, never all-pairs.  Estimate = n_match/num_hashes
+    (exact integer / power-of-two-free but single-division double —
+    engine-exact).  Returns (id_a, id_b, n_match, est_jaccard).
+    """
+    rows_per_band = num_hashes // bands
+    sh = _shingle_rows(df, shingle_n, text_col, id_col).drop("sz")
+    ha, hb = _md5_ab48(F.col("shingle"))
+    sh = sh.select("id", ha.alias("_a"), hb.alias("_b"))
+    mins = [
+        F.min((F.col("_a") + i * F.col("_b")) % F.lit(_H48_MOD)).alias(
+            f"h{i}"
+        )
+        for i in range(num_hashes)
+    ]
+    sigs = (
+        sh.groupBy("id")
+        .agg(*mins)
+        .select(
+            "id",
+            F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias(
+                "sig"
+            ),
+        )
+    )
+    banded = sigs.select(
+        "id",
+        "sig",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.concat(
+                    b.cast("string"),
+                    F.lit(":"),
+                    F.array_join(
+                        F.transform(
+                            F.slice(
+                                F.col("sig"), b * rows_per_band + 1, rows_per_band
+                            ),
+                            lambda v: v.cast("string"),
+                        ),
+                        ",",
+                    ),
+                ),
+            )
+        ).alias("bkey"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    n_match = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    return cand.select(
+        "id_a",
+        "id_b",
+        n_match.cast("int").alias("n_match"),
+        (n_match.cast("double") / F.lit(float(num_hashes))).alias(
+            "est_jaccard"
+        ),
+    )

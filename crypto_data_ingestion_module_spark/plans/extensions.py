@@ -3691,3 +3691,82 @@ _register(
         oracle=_mmr_oracle(),
     )
 )
+
+
+# --------------------------------------------------------------------------
+# X2: ORACLE-PAIRED MinHash LSH — the md5 twin of the fast xxhash64
+# pipeline (minhash_lsh_pairs stays rows-only BY CONTRACT; this row
+# hash-checks the identical banded machinery end to end, the same
+# twin relationship simhash60_md5 has to the SimHash fingerprints).
+# --------------------------------------------------------------------------
+
+
+def _minhash_md5_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crypto_data_ingestion_module_spark.operators.text_dedup import (
+        minhash_lsh_pairs_md5,
+    )
+
+    return minhash_lsh_pairs_md5(
+        _t(spark, sf_dir, "documents"), num_hashes=16, bands=4, shingle_n=3
+    )
+
+
+_register(
+    QuerySpec(
+        name="minhash_lsh_pairs_md5",
+        survey_ids=("X2",),
+        description="MinHash LSH candidate pairs on a portable md5-derived "
+        "hash family (one md5 per shingle, 16 Kirsch-Mitzenmacher minima, "
+        "4 bands of 4, CSV band keys): the whole "
+        "banded pipeline - shingles, per-hash minima, band join, "
+        "matching-fraction estimate - hash-checked against plain SQL",
+        spark=_minhash_md5_q,
+        oracle="""
+WITH w AS (
+  SELECT doc_id, regexp_extract_all(text, '[A-Za-z0-9]+') AS ws FROM documents
+),
+sh AS (
+  SELECT doc_id AS id, unnest(list_distinct(
+    CASE WHEN len(ws) >= 3
+         THEN list_transform(range(1, len(ws) - 1),
+                             i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+         ELSE [array_to_string(ws, ' ')] END)) AS shingle
+  FROM w
+),
+ab AS (
+  SELECT id,
+         ('0x' || substr(md5(shingle), 1, 12))::BIGINT AS a,
+         ('0x' || substr(md5(shingle), 13, 12))::BIGINT AS b
+  FROM sh
+),
+hs AS (
+  SELECT id, i, min((a + i * b) % 281474976710656) AS h
+  FROM ab, generate_series(0, 15) t(i)
+  GROUP BY id, i
+),
+sig AS (SELECT id, list(h ORDER BY i) AS sig FROM hs GROUP BY id),
+bnd AS (
+  SELECT s.id, t.b || ':' || array_to_string(
+           list_transform(range(1, 5),
+                          r -> CAST(s.sig[t.b * 4 + r] AS VARCHAR)), ',')
+         AS bkey
+  FROM sig s, generate_series(0, 3) t(b)
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b2.id AS id_b
+  FROM bnd a JOIN bnd b2 ON a.bkey = b2.bkey AND a.id < b2.id
+),
+m AS (
+  SELECT c.id_a, c.id_b,
+         sum(CASE WHEN ha.h = hb.h THEN 1 ELSE 0 END) AS n_match
+  FROM cand c
+  JOIN hs ha ON ha.id = c.id_a
+  JOIN hs hb ON hb.id = c.id_b AND hb.i = ha.i
+  GROUP BY c.id_a, c.id_b
+)
+SELECT id_a, id_b, CAST(n_match AS INT) AS n_match,
+       CAST(n_match AS DOUBLE) / 16.0 AS est_jaccard
+FROM m
+""",
+    )
+)

@@ -1745,8 +1745,13 @@ _register(
 # unrolled like the fixed-point PageRank — the RAG diversity re-ranker)
 # for pattern_topk_windows (receipts r7–r9; X3 keeps embedding_kmeans +
 # ann_ivfpq_topk + pq_adc_topk + embedding_random_projection +
-# ann_projected_topk in-window).  All five r10 mid-round ins
-# oracle-checked at sf0.001/0.01/0.1 before admission.
+# ann_projected_topk in-window), and minhash_lsh_pairs_md5 (the md5
+# twin that hash-checks the ENTIRE banded MinHash pipeline — the same
+# paired-twin move as simhash60_md5) for curated_corpus (receipts
+# r2–r9; X1/X2 keeps dedup_clusters + decontaminate_docs(+bloom) +
+# dedup_passages in-window, and the curation-lake mechanics stay
+# pytest-pinned).  All six r10 mid-round ins oracle-checked at
+# sf0.001/0.01/0.1 before admission.
 # --------------------------------------------------------------------------
 
 CHECKED_QUERIES: tuple[str, ...] = (
@@ -1789,6 +1794,7 @@ CHECKED_QUERIES: tuple[str, ...] = (
     "order_flow_1h",
     # LLM-data-pipeline operators (X1–X5)
     "dedup_clusters",
+    "minhash_lsh_pairs_md5",
     "trade_graph_pagerank",
     "embedding_kmeans",
     "ann_ivfpq_topk",
@@ -1798,7 +1804,6 @@ CHECKED_QUERIES: tuple[str, ...] = (
     "mmr_diversified_topk",
     "dedup_passages",
     "length_weighted_sample",
-    "curated_corpus",
     "decontaminate_docs",
     "decontaminate_docs_bloom",
     "phrase_topk_docs",

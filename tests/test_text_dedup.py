@@ -47,3 +47,28 @@ def test_passages_first_is_global_min_doc_then_idx(spark):
     got = _passages(spark, [(1, "u v w a b c"), (2, "a b c")])
     assert got[1] == (2, 0, "u v w a b c")
     assert got[2] == (1, 1, "")
+
+
+def test_minhash_md5_twin_semantics(spark):
+    # The oracle-paired md5 twin: exact duplicates collide in every
+    # band and match on all 16 minima (est 1.0); disjoint docs never
+    # become candidates.  (Probabilistic recall properties live with
+    # the fast xxhash64 twin's tests; this pins the paired machinery.)
+    from crypto_data_ingestion_module_spark.operators.text_dedup import (
+        minhash_lsh_pairs_md5,
+    )
+
+    dup = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [
+            (1, dup),
+            (2, dup),
+            (3, "completely different words about snapshot lake manifests"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = minhash_lsh_pairs_md5(docs).collect()
+    pairs = {(r["id_a"], r["id_b"]): r for r in out}
+    assert set(pairs) == {(1, 2)}
+    assert pairs[(1, 2)]["n_match"] == 16
+    assert pairs[(1, 2)]["est_jaccard"] == 1.0
