@@ -47,6 +47,26 @@ HEADLINE: tuple[str, ...] = (
 )
 
 
+#: Sweep-budget policy (PERF.md header, r10): when the warm-up pass
+#: projects the measured sweep past $SPARK_GRAFT_SWEEP_BUDGET_S
+#: (default 120 s), these FAMILY TWINS are dropped from the measured
+#: pass — each is a pedagogical or serving twin whose cost axis is
+#: carried by a still-measured family head — and listed under
+#: "sampled_out" in the emitted JSON so a sweep is never silently
+#: smaller than the registry.  Correctness never samples: every one of
+#: these still runs in validate.py, pytest, and the driver window.
+SWEEP_SAMPLE_TWINS: tuple[str, ...] = (
+    "frequent_tokens_from_partials",   # serving twin of frequent_tokens_exact
+    "distinct_users_kmv_from_partials",  # serving twin of distinct_users_kmv
+    "token_freq_cm_from_partials",     # serving twin of token_freq_cm
+    "minhash_lsh_pairs_md5",           # paired twin of minhash_lsh_pairs
+    "simhash60_fingerprints",          # paired twin of simhash_fingerprints
+    "bpe_merge_table",                 # trajectory twin inside bpe_vocab
+    "decontaminate_docs_bloom",        # prefilter twin of decontaminate_docs
+    "value_quantiles_from_histogram",  # paired twin of value_quantiles_sketch
+)
+
+
 def _sf_from_dir(path: str) -> float:
     m = re.search(r"sf([0-9.]+)", path)
     return float(m.group(1)) if m else -1.0
@@ -74,9 +94,17 @@ def main() -> None:
 
     # Warm-up pass: JVM, Python workers, parquet footers, codegen caches.
     # Measured numbers are steady-state, as on a long-lived cluster.
-    for name in names:
-        run(name)
+    warm = {name: run(name) for name in names}
     settle()
+
+    # Sweep-budget gate (policy in PERF.md): project the measured pass
+    # from the warm-up times; over budget -> drop the documented family
+    # twins, loudly (sampled_out), never silently.
+    budget = float(os.environ.get("SPARK_GRAFT_SWEEP_BUDGET_S", "120"))
+    sampled_out: list[str] = []
+    if sum(warm.values()) > budget:
+        sampled_out = [n for n in SWEEP_SAMPLE_TWINS if n in QUERY_SPECS]
+        names = [n for n in names if n not in sampled_out]
 
     # Periodic settle during the measured sweep: ~120 accumulated plans'
     # garbage otherwise lands as one major GC on an arbitrary mid-sweep
@@ -109,6 +137,7 @@ def main() -> None:
                     "sweep": timings,
                     "headline": headline,
                     "sweep_total_sec": total,
+                    "sampled_out": sampled_out,
                 },
                 fh,
                 indent=1,
@@ -122,6 +151,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "sampled_out": sampled_out,
                 "sf": _sf_from_dir(SF_DIR),
             }
         )
@@ -140,6 +170,7 @@ def main() -> None:
                 "queries": headline,
                 "sweep_total_sec": total,
                 "sweep_n_queries": len(timings),
+                "n_sampled_out": len(sampled_out),
                 "sf": _sf_from_dir(SF_DIR),
             }
         )
