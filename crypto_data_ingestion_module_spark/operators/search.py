@@ -249,6 +249,34 @@ def store_positional_postings(
     )
 
 
+def append_positional_postings(
+    docs: DataFrame,
+    table: str,
+    num_buckets: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Incremental index maintenance: append a NEW batch of documents'
+    postings into the existing bucketed table (same bucket spec, so the
+    catalog keeps the co-location guarantee and served phrase queries
+    stay shuffle-free).  Correct for APPEND-ONLY corpora — new doc_ids
+    land in their buckets alongside the old; a re-ingested doc_id would
+    duplicate its postings (use the snapshot lake's keyed upsert for
+    corrected documents)."""
+    from crypto_data_ingestion_module_spark.sinks.bucketed import (
+        write_bucketed,
+    )
+
+    write_bucketed(
+        positional_postings(docs, text_col, id_col),
+        table,
+        ["doc_id"],
+        num_buckets=num_buckets,
+        sort_cols=["doc_id", "pos"],
+        mode="append",
+    )
+
+
 def phrase_topk_from_postings(
     postings: DataFrame, n_phrases: int = 5, topk: int = 10
 ) -> DataFrame:

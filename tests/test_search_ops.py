@@ -131,3 +131,45 @@ def test_mmr_skips_the_near_duplicate(spark):
     assert out[1] == 1          # pure relevance first
     assert out[2] == 3          # diversity beats the near-twin
     assert out[3] in (2, 4)     # twin only admissible afterwards
+
+
+def test_incremental_postings_append_serves_the_union(spark, tmp_path):
+    """Append-only index maintenance: postings appended for a new doc
+    batch serve the same phrase answer as a from-scratch index over the
+    union, and the adjacency window stays Exchange-free."""
+    from pyspark.sql import Window
+
+    from crypto_data_ingestion_module_spark.operators.search import (
+        append_positional_postings,
+        phrase_topk_docs,
+        phrase_topk_from_postings,
+        store_positional_postings,
+    )
+    from crypto_data_ingestion_module_spark.session import load_table
+    from crypto_data_ingestion_module_spark.sinks.bucketed import (
+        physical_plan,
+        read_bucketed,
+    )
+    from tests.conftest import SF_SMALL
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    old = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    table = "phrase_postings_incr_t"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    store_positional_postings(
+        old, table, num_buckets=8, path=str(tmp_path / "p")
+    )
+    append_positional_postings(new, table, num_buckets=8)
+
+    postings = read_bucketed(spark, table)
+    served = sorted(map(tuple, phrase_topk_from_postings(postings).collect()))
+    scratch = sorted(map(tuple, phrase_topk_docs(docs).collect()))
+    assert served == scratch and served
+
+    windowed = postings.withColumn(
+        "w2",
+        F.lead("term").over(Window.partitionBy("doc_id").orderBy("pos")),
+    )
+    assert "Exchange" not in physical_plan(windowed)
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
