@@ -363,3 +363,38 @@ def rrf_fuse(
         .filter(F.col("rank") <= k)
         .select(id_col, "rrf_ppm", "rank")
     )
+
+
+def rrf_fuse_per_query(
+    ranked_a: DataFrame,
+    ranked_b: DataFrame,
+    query_col: str = "qid",
+    id_col: str = "doc_id",
+    k: int = 10,
+    c: int = 60,
+) -> DataFrame:
+    """The production multi-query shape of ``rrf_fuse``: both inputs
+    carry (query, id, rank) and the fusion windows per query — one
+    shuffle on the query key, fused lists for every query in a single
+    pass.  Same exact integer-ppm scoring as the single-query form."""
+    from pyspark.sql import Window
+
+    a = ranked_a.select(
+        F.col(query_col), F.col(id_col), F.col("rank").alias("_ra")
+    )
+    b = ranked_b.select(
+        F.col(query_col), F.col(id_col), F.col("rank").alias("_rb")
+    )
+    fused = a.join(b, [query_col, id_col], "full").withColumn(
+        "rrf_ppm",
+        F.coalesce(F.expr(f"1000000 DIV ({c} + _ra)"), F.lit(0).cast("long"))
+        + F.coalesce(
+            F.expr(f"1000000 DIV ({c} + _rb)"), F.lit(0).cast("long")
+        ),
+    )
+    w = Window.partitionBy(query_col).orderBy(F.desc("rrf_ppm"), F.asc(id_col))
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_col, id_col, "rrf_ppm", "rank")
+    )

@@ -3,7 +3,11 @@ round 10): literal-DataFrame semantics pins — the registered queries'
 oracle rows check corpus-scale parity; these pin the operator contracts
 on adversarial small inputs."""
 
+import os
+
 from pyspark.sql import functions as F
+
+DATA_DIR = os.path.join(os.path.dirname(__file__), "data")
 
 from crypto_data_ingestion_module_spark.operators.search import (
     phrase_topk_docs,
@@ -173,3 +177,88 @@ def test_incremental_postings_append_serves_the_union(spark, tmp_path):
     )
     assert "Exchange" not in physical_plan(windowed)
     spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_rrf_fuse_per_query_windows_independently(spark):
+    from crypto_data_ingestion_module_spark.operators.search import (
+        rrf_fuse,
+        rrf_fuse_per_query,
+    )
+
+    ra = spark.createDataFrame(
+        [(1, 10, 1), (1, 20, 2), (2, 30, 1)], ["qid", "doc_id", "rank"]
+    )
+    rb = spark.createDataFrame(
+        [(1, 20, 1), (1, 10, 2), (2, 40, 1)], ["qid", "doc_id", "rank"]
+    )
+    out = rrf_fuse_per_query(ra, rb, k=5).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["qid"], {})[r["doc_id"]] = r
+    # per-query fusion matches the single-query operator on each slice
+    for q in (1, 2):
+        single = {
+            r["doc_id"]: (r["rrf_ppm"], r["rank"])
+            for r in rrf_fuse(
+                ra.filter(F.col("qid") == q).drop("qid"),
+                rb.filter(F.col("qid") == q).drop("qid"),
+                k=5,
+            ).collect()
+        }
+        multi = {
+            d: (r["rrf_ppm"], r["rank"]) for d, r in by_q[q].items()
+        }
+        assert multi == single
+    # one-sided candidate in q=2 (doc 40 only in b, doc 30 only in a)
+    assert set(by_q[2]) == {30, 40}
+
+
+def test_y4m_c444_colorspace(spark):
+    # C444: no chroma subsampling — planes are full-resolution
+    from crypto_data_ingestion_module_spark.operators.multimodal import (
+        decode_ppm_bytes,
+        demux_y4m,
+    )
+
+    w, h = 3, 2
+    yb = bytes(range(100, 100 + w * h))
+    ub = bytes([128] * (w * h))
+    vb = bytes([128] * (w * h))
+    payload = (
+        f"YUV4MPEG2 W{w} H{h} F25:1 C444\n".encode()
+        + b"FRAME\n" + yb + ub + vb
+    )
+    num, den, frames = demux_y4m(payload)
+    assert (num, den) == (25, 1) and len(frames) == 1
+    assert decode_ppm_bytes(frames[0])[:2] == (w, h)
+    # neutral chroma (128) means the BT.601 transform reduces to the
+    # luma ramp: R=G=B per pixel, monotone in Y
+    raster = frames[0][frames[0].index(b"255\n") + 4 :]
+    px = [tuple(raster[i * 3 : i * 3 + 3]) for i in range(w * h)]
+    assert all(r == g == b for (r, g, b) in px)
+    assert [p[0] for p in px] == sorted(p[0] for p in px)
+
+
+def test_mixed_container_batch(spark):
+    # one micro-batch holding a P6 stream, a Y4M, and a fake payload —
+    # each takes its own path, all expansions land in one output
+    from crypto_data_ingestion_module_spark.operators.multimodal import (
+        sample_frames,
+    )
+
+    p6 = open(os.path.join(DATA_DIR, "golden_stream_3f.p6s"), "rb").read()
+    y4m = open(os.path.join(DATA_DIR, "golden_2f_ntsc.y4m"), "rb").read()
+    fake = b"\x00mp4ish" + bytes(range(48))
+    assets = spark.createDataFrame(
+        [
+            (1, "video", bytearray(p6)),
+            (2, "video", bytearray(y4m)),
+            (3, "video", bytearray(fake)),
+        ],
+        "asset_id long, modality string, payload binary",
+    )
+    rows = sample_frames(assets).collect()
+    n = {}
+    for r in rows:
+        n[r["asset_id"]] = n.get(r["asset_id"], 0) + 1
+    assert n[1] == 3 and n[2] == 2 and n[3] >= 1
