@@ -1752,6 +1752,17 @@ _register(
 # dedup_passages in-window, and the curation-lake mechanics stay
 # pytest-pinned).  All six r10 mid-round ins oracle-checked at
 # sf0.001/0.01/0.1 before admission.
+# Round-11 rotation plan (pre-committed): every never-driver-checked
+# PAIRED query sits in THIS window (COVERAGE.md), so a green
+# CORRECTNESS_r10 re-zeroes the paired backlog and r11 starts with no
+# forced ins.  Default r11 move: rotate any NEW r11 capabilities in as
+# registered (same admission bar: validate.py green + per-SF oracle
+# checks at sf0.001/0.01/0.1), taking outs from the 12 r10
+# first-exposure rows once they hold their receipt (each family keeps
+# a twin); if capacity remains, rotate back the longest-absent core
+# rows (epoch_conversions, time_range_filter, watermark_progress,
+# topk_latest_per_type, interval_boundary_gate, label_centroids) for a
+# fresh receipt cadence.
 # --------------------------------------------------------------------------
 
 CHECKED_QUERIES: tuple[str, ...] = (
