@@ -513,3 +513,41 @@ def test_refresh_gate_concurrent_builders_collapse(spark, tmp_path):
     assert current_version(spark, root) == v
     ids = read_manifest(spark, root, v)["applied_ids"]
     assert ids[-1] == f"kmv-fp1#v{v}"
+
+
+def test_refresh_gate_random_fingerprint_sequences(spark, tmp_path):
+    # Invariant under ANY fingerprint sequence (including immediate
+    # replays and reverts to any earlier fingerprint): after each
+    # refresh, the lake serves EXACTLY the data of the last fingerprint.
+    import random
+
+    from crypto_data_ingestion_module_spark.operators.sketch import (
+        kmv_distinct_estimate,
+    )
+    from crypto_data_ingestion_module_spark.operators.sketch_store import (
+        kmv_distinct_over_range,
+        kmv_partials,
+        refresh_partials_overwrite,
+    )
+
+    rnd = random.Random(1234)
+    corpora = {
+        f"fp{j}": spark.range(j * 1000, j * 1000 + 200 + 50 * j).select(
+            F.lit("d0").alias("day"), F.col("id").cast("string").alias("u")
+        )
+        for j in range(3)
+    }
+    expected = {
+        fp: kmv_distinct_estimate(df, "u", 32).collect()[0]["distinct_est"]
+        for fp, df in corpora.items()
+    }
+    root = str(tmp_path / "kmv_seq")
+    seq = [rnd.choice(sorted(corpora)) for _ in range(8)]
+    for fp in seq:
+        df = corpora[fp]
+        refresh_partials_overwrite(
+            spark, root, f"kmv-{fp}",
+            lambda df=df: kmv_partials(df, "u", "day", k=32), ("day",),
+        )
+        got = kmv_distinct_over_range(spark, root, k=32).collect()[0]
+        assert got["distinct_est"] == expected[fp], (seq, fp)
