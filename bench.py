@@ -49,7 +49,7 @@ HEADLINE: tuple[str, ...] = (
 
 #: Sweep-budget policy (PERF.md header, r10): when the warm-up pass
 #: projects the measured sweep past $SPARK_GRAFT_SWEEP_BUDGET_S
-#: (default 120 s), these FAMILY TWINS are dropped from the measured
+#: (default 180 s), these FAMILY TWINS are dropped from the measured
 #: pass — each is a pedagogical or serving twin whose cost axis is
 #: carried by a still-measured family head — and listed under
 #: "sampled_out" in the emitted JSON so a sweep is never silently
@@ -99,10 +99,18 @@ def main() -> None:
 
     # Sweep-budget gate (policy in PERF.md): project the measured pass
     # from the warm-up times; over budget -> drop the documented family
-    # twins, loudly (sampled_out), never silently.
-    budget = float(os.environ.get("SPARK_GRAFT_SWEEP_BUDGET_S", "120"))
+    # twins, loudly (sampled_out), never silently.  The warm-up pass
+    # runs ~15-25% slower than the measured pass (first-time codegen
+    # compilation per query), so the projection discounts it.  The
+    # default budget sits ABOVE the current machine band's top (149
+    # queries: measured 96-132 s, warm-up 120-165 s across one r10
+    # sitting) — a threshold inside the band fires stochastically and
+    # makes consecutive sweeps non-comparable (141 vs 149 queries),
+    # which is worse than a slightly long sweep.
+    budget = float(os.environ.get("SPARK_GRAFT_SWEEP_BUDGET_S", "180"))
+    projected = 0.8 * sum(warm.values())
     sampled_out: list[str] = []
-    if sum(warm.values()) > budget:
+    if projected > budget:
         sampled_out = [n for n in SWEEP_SAMPLE_TWINS if n in QUERY_SPECS]
         names = [n for n in names if n not in sampled_out]
 
