@@ -1718,8 +1718,10 @@ _register(
 #                             pricing_summary; watermark-incremental
 #                             backfill is pytest-pinned
 #   topk_latest_per_type    — receipts r1–r9; D1/D6 order+limit semantics
-#                             stay in-window via pattern_topk_windows,
-#                             ann_ivfpq_topk, pq_adc_topk
+#                             stay in-window via ann_ivfpq_topk,
+#                             pq_adc_topk, mmr_diversified_topk (the
+#                             pattern_topk_windows twin rotated out
+#                             later this round — see the MMR paragraph)
 # All six ins were validated green at sf0.001 AND sf0.01 AND sf0.1 in r9
 # before pre-commitment (scripts/validate.py + per-SF oracle checks).
 # Mid-round r10 addendum: three NEW capabilities registered this round
