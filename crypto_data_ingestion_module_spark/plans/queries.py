@@ -1752,8 +1752,13 @@ _register(
 # paired-twin move as simhash60_md5) for curated_corpus (receipts
 # r2–r9; X1/X2 keeps dedup_clusters + decontaminate_docs(+bloom) +
 # dedup_passages in-window, and the curation-lake mechanics stay
-# pytest-pinned).  All six r10 mid-round ins oracle-checked at
-# sf0.001/0.01/0.1 before admission.
+# pytest-pinned).  Late r10 addition: revenue_rollup_hierarchy (the
+# ROLLUP drilldown twin of revenue_cube, same partial-rollup physical
+# shape) enters for availability_filter (receipts r1–r9; F2's
+# availability clamp also rides inside the backfill manifest pytest
+# and the venue dim stays in-window via venue_interval_lookup).  All
+# seven r10 mid-round ins oracle-checked at sf0.001/0.01/0.1 before
+# admission.
 # Round-11 rotation plan (pre-committed): every never-driver-checked
 # PAIRED query sits in THIS window (COVERAGE.md), so a green
 # CORRECTNESS_r10 re-zeroes the paired backlog and r11 starts with no
@@ -1775,7 +1780,6 @@ CHECKED_QUERIES: tuple[str, ...] = (
     "partition_date_counts",
     "symbol_dialects",
     "interval_parse_ms",
-    "availability_filter",
     "normalize_candles",
     "venue_interval_lookup",
     "backfill_chunk_manifest",
@@ -1786,6 +1790,7 @@ CHECKED_QUERIES: tuple[str, ...] = (
     "asof_last_view_before_purchase",
     "important_parts",
     "revenue_cube",
+    "revenue_rollup_hierarchy",
     # windowed / stateful analytics
     "activity_streaks",
     "value_deciles",

@@ -1401,3 +1401,85 @@ GROUP BY CUBE (n_name, year(o_orderdate))
 """,
     )
 )
+
+
+def _revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP (region → nation → order-year): the hierarchy-drilldown
+    twin of ``revenue_cube`` — 4 grouping levels {(r,n,y), (r,n), (r),
+    ()} instead of the cube's full lattice.  Same partial-rollup
+    physical shape: exact micro-unit partials at the finest grouping
+    first, Expand over the ~175 base cells only."""
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .join(
+            _t(spark, sf_dir, "orders"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(_t(spark, sf_dir, "customer")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(_t(spark, sf_dir, "nation")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(_t(spark, sf_dir, "region")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select(
+            F.col("r_name").alias("region"),
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            rev.alias("rev"),
+        )
+    )
+    base = li.groupBy("region", "nation", "o_year").agg(
+        F.sum(F.round(F.col("rev") * 1_000_000.0).cast("decimal(38,0)")).alias(
+            "rev_u"
+        ),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return (
+        base.rollup("region", "nation", "o_year")
+        .agg(
+            (F.sum("rev_u").cast("double") / 1_000_000.0).alias("revenue"),
+            F.sum("n").alias("n_rows"),
+        )
+        .select(
+            F.coalesce(F.col("region"), F.lit("ALL")).alias("region"),
+            F.coalesce(F.col("nation"), F.lit("ALL")).alias("nation"),
+            F.coalesce(F.col("o_year").cast("string"), F.lit("ALL")).alias(
+                "o_year"
+            ),
+            "revenue",
+            "n_rows",
+        )
+    )
+
+
+_register(
+    QuerySpec(
+        name="revenue_rollup_hierarchy",
+        survey_ids=("A2", "A3"),
+        description="ROLLUP(region, nation, order-year) revenue hierarchy "
+        "over the five-table join: the drilldown grouping-sets shape "
+        "{(r,n,y),(r,n),(r),()} via the same partial-rollup physical "
+        "plan as revenue_cube (Expand over base cells, never the fact)",
+        spark=_revenue_rollup,
+        oracle=f"""
+SELECT coalesce(r_name, 'ALL') AS region,
+       coalesce(n_name, 'ALL') AS nation,
+       coalesce(CAST(year(o_orderdate) AS VARCHAR), 'ALL') AS o_year,
+       {osum('l_extendedprice * (1 - l_discount)')} AS revenue,
+       count(*) AS n_rows
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name, year(o_orderdate))
+""",
+    )
+)
