@@ -1770,6 +1770,44 @@ _register(
 # rows (epoch_conversions, time_range_filter, watermark_progress,
 # topk_latest_per_type, interval_boundary_gate, label_centroids) for a
 # fresh receipt cadence.
+# Round-11 rotation (EXECUTED — the default move above): CORRECTNESS_r10
+# came back 50/50 green (13 first exposures), so the paired backlog is
+# zero and the longest-absent core rows rotate back for fresh receipts.
+# In (all 8-9× driver-green through r9; re-validated at sf0.01 before
+# re-entry):
+#   epoch_conversions       — P3/P4/P11 epoch↔timestamp↔ISO conversions
+#   time_range_filter       — F1 pushdown (also plan-pinned by pytest)
+#   watermark_progress      — D4 max-agg watermark table
+#   topk_latest_per_type    — D1/D6 chronological sort + limit
+#   interval_boundary_gate  — F3 boundary math
+#   label_centroids         — X3 grouped vector mean (centroid serving)
+# Out (all r10 first-exposure rows now holding their driver receipt;
+# every family keeps an in-window twin):
+#   revenue_rollup_hierarchy       — twin revenue_cube (same partial-
+#                                    rollup physical shape, both lattices
+#                                    pytest-pinned)
+#   distinct_users_kmv_from_partials — twin distinct_users_kmv; the
+#                                    partial-lake serving path stays
+#                                    in-window via
+#                                    frequent_tokens_from_partials
+#   token_freq_cm_from_partials    — twin token_freq_cm (same serving
+#                                    note as above)
+#   ann_projected_topk             — twin embedding_random_projection
+#                                    (the projection step); X3 rerank
+#                                    discipline stays via ann_ivfpq_topk
+#   mmr_diversified_topk           — X3 keeps embedding_kmeans +
+#                                    ann_ivfpq_topk + pq_adc_topk
+#   value_quantiles_from_histogram — distribution family keeps
+#                                    value_deciles; histogram stream
+#                                    mechanics are pytest-pinned
+# Round-12 rotation plan (pre-committed): no paired backlog expected if
+# CORRECTNESS_r11 is green.  Rotate any new r12 capabilities in as
+# registered (admission bar unchanged), taking outs from the r11
+# first-receipt rows (minhash_lsh_pairs_md5, phrase_topk_docs,
+# hybrid_rrf_topk once they hold a second receipt, or the re-entered
+# core rows); if capacity remains, rotate back the longest-absent rows
+# per COVERAGE.md (availability_filter and curated_corpus lead the
+# r9-receipt cohort).
 # --------------------------------------------------------------------------
 
 CHECKED_QUERIES: tuple[str, ...] = (
@@ -1784,24 +1822,25 @@ CHECKED_QUERIES: tuple[str, ...] = (
     "venue_interval_lookup",
     "backfill_chunk_manifest",
     "datasource_candles",
+    "epoch_conversions",
+    "time_range_filter",
+    "watermark_progress",
+    "topk_latest_per_type",
+    "interval_boundary_gate",
     # joins / windows / grouping (§2.5 capability extensions)
     "pricing_summary",
     "forecast_revenue_change",
     "asof_last_view_before_purchase",
     "important_parts",
     "revenue_cube",
-    "revenue_rollup_hierarchy",
     # windowed / stateful analytics
     "activity_streaks",
     "value_deciles",
-    "value_quantiles_from_histogram",
     "cross_stream_spread_1h",
     "frequent_tokens_exact",
     "frequent_tokens_from_partials",
     "distinct_users_kmv",
-    "distinct_users_kmv_from_partials",
     "token_freq_cm",
-    "token_freq_cm_from_partials",
     "hourly_seasonality",
     "interval_completeness",
     # technical indicators (round-4: the candle lake's downstream analytics)
@@ -1815,11 +1854,10 @@ CHECKED_QUERIES: tuple[str, ...] = (
     "minhash_lsh_pairs_md5",
     "trade_graph_pagerank",
     "embedding_kmeans",
+    "label_centroids",
     "ann_ivfpq_topk",
     "pq_adc_topk",
     "embedding_random_projection",
-    "ann_projected_topk",
-    "mmr_diversified_topk",
     "dedup_passages",
     "length_weighted_sample",
     "decontaminate_docs",
