@@ -111,8 +111,32 @@ def main() -> None:
     projected = 0.8 * sum(warm.values())
     sampled_out: list[str] = []
     if projected > budget:
-        sampled_out = [n for n in SWEEP_SAMPLE_TWINS if n in QUERY_SPECS]
-        names = [n for n in names if n not in sampled_out]
+        # Re-project WITHOUT the twins before committing to the drop
+        # (ADVICE r10): the drop happens only when it actually brings
+        # the sweep under budget.  If even the twin-less projection
+        # overruns, dropping would shrink the board without achieving
+        # the budget — keep the full sweep (comparability beats a
+        # futile trim) and say so.
+        twins = [n for n in SWEEP_SAMPLE_TWINS if n in QUERY_SPECS]
+        reduced = projected - 0.8 * sum(warm[t] for t in twins)
+        if reduced <= budget:
+            print(
+                f"sweep-budget gate: projected {projected:.1f}s > budget "
+                f"{budget:.1f}s; dropping {len(twins)} family twins "
+                f"(reduced projection {reduced:.1f}s)",
+                file=sys.stderr,
+            )
+            sampled_out = twins
+            names = [n for n in names if n not in sampled_out]
+        else:
+            print(
+                f"sweep-budget gate: projected {projected:.1f}s > budget "
+                f"{budget:.1f}s but the twin-less projection "
+                f"{reduced:.1f}s STILL overruns — keeping the full "
+                "sweep (raise SPARK_GRAFT_SWEEP_BUDGET_S or shrink the "
+                "registry; a futile drop would only hurt comparability)",
+                file=sys.stderr,
+            )
 
     # Periodic settle during the measured sweep: ~120 accumulated plans'
     # garbage otherwise lands as one major GC on an arbitrary mid-sweep

@@ -283,7 +283,15 @@ def phrase_topk_from_postings(
     """The phrase query over an existing (doc_id, pos, term) posting
     frame — inline or read back from the bucketed at-rest index (same
     answer either way; the stored form skips the tokenize AND the
-    window shuffle)."""
+    window shuffle).
+
+    The phrase shortlist is a global top-``n_phrases``: distinct
+    bigrams GROW with the corpus, so the single-partition ranking
+    window is fed by a per-partition partial top-``n_phrases`` first
+    (ADVICE r10) — lossless because any global top row is top within
+    its own hash partition under the same (n desc, w1, w2) order, and
+    it bounds the global stage at shuffle.partitions × n_phrases rows
+    regardless of vocabulary size."""
     from pyspark.sql import Window
 
     big = (
@@ -296,15 +304,16 @@ def phrase_topk_from_postings(
         .where(F.col("w2").isNotNull())
         .select("doc_id", F.col("term").alias("w1"), "w2")
     )
+    order = (F.desc("n"), F.asc("w1"), F.asc("w2"))
     top = (
         big.groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("_pid", F.spark_partition_id())
         .withColumn(
-            "r",
-            F.row_number().over(
-                Window.orderBy(F.desc("n"), F.asc("w1"), F.asc("w2"))
-            ),
+            "pr", F.row_number().over(Window.partitionBy("_pid").orderBy(*order))
         )
+        .filter(F.col("pr") <= n_phrases)
+        .withColumn("r", F.row_number().over(Window.orderBy(*order)))
         .filter(F.col("r") <= n_phrases)
         .select("w1", "w2")
     )
@@ -340,6 +349,12 @@ def rrf_fuse(
     bit-for-bit (Spark ``DIV`` == DuckDB ``//`` on nonnegative ints;
     a float 1/(c+r) sum would be order-sensitive).  Returns
     (id, rrf_ppm, rank) for the fused top ``k`` by (score desc, id).
+
+    BOUNDED INPUTS ONLY: this single-query form ranks through a global
+    (unpartitioned) window, so both inputs must already be bounded
+    top-n lists — the contract of every ranker that feeds it.  For an
+    unbounded multi-query frame use :func:`rrf_fuse_per_query`, which
+    partitions the window by the query key.
     """
     from pyspark.sql import Window
 

@@ -1293,7 +1293,15 @@ def mmr_select(
     (cosine_topk's streaming kernel); everything after runs on a
     bounded m-row set — m² pairwise sims, k one-row broadcasts —
     independent of corpus size.  Returns (rank, nid, mmr_score).
+
+    Contract (ADVICE r10): requires ``1 <= k <= m`` (asserted).  If the
+    candidate pool is smaller than ``k`` (corpus has fewer than ``k``
+    non-query rows), the result carries one row per available candidate
+    — the remaining unrolled steps degrade to empty frames rather than
+    erroring, so callers must not assume exactly ``k`` rows on tiny
+    corpora.
     """
+    assert 1 <= k <= m, f"mmr_select requires 1 <= k <= m, got k={k} m={m}"
     queries = corpus.filter(F.col(id_col) == query_vec_id)
     cand = (
         cosine_topk(corpus, queries, k=m, vec_col=vec_col, id_col=id_col)

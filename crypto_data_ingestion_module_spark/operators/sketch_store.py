@@ -532,7 +532,21 @@ def refresh_partials_overwrite(
     ``applied_ids_evicted``) have no trustworthy newest entry: skip the
     gate once and rebuild — the salted commit appends the first
     arrival-ordered entry (same transition rule as ``_serve_artifact``).
+
+    Contract (ADVICE r10): ``fingerprint`` must not contain ``'#'``
+    (asserted) — the gate splits the newest applied_id on the first
+    ``'#'`` to recover the fingerprint, so an embedded ``'#'`` would
+    never match and force a full rebuild on every call.  Likewise, do
+    NOT mix append-maintained writers (the streaming maintainers, whose
+    applied_ids are batch ids, not ``fp#v`` pairs) with this
+    refresh gate on one lake root: an append's id at the ledger head
+    never matches any fingerprint, so every refresh after an append
+    rebuilds from scratch — wasteful, though never incorrect.
     """
+    assert "#" not in fingerprint, (
+        "refresh_partials_overwrite: '#' is reserved as the "
+        f"fingerprint/version separator, got {fingerprint!r}"
+    )
     from crypto_data_ingestion_module_spark.sinks.snapshot import (
         current_version,
         read_manifest,

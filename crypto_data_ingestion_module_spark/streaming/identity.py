@@ -49,6 +49,7 @@ import hashlib
 import json
 import logging
 import os
+import urllib.parse
 
 _log = logging.getLogger(__name__)
 _warned_fallback: set[str] = set()
@@ -68,10 +69,14 @@ def stream_qid(checkpoint: str) -> str:
     """
     local = checkpoint
     if local.startswith("file:"):
-        # file:///p, file:/p and file://host/p all normalize to /p
-        local = local[5:]
-        while local.startswith("//"):
-            local = local[1:]
+        # Proper URI parsing (ADVICE r10): file:///p and file:/p both
+        # yield path /p with empty netloc; file://host/p has a non-empty
+        # netloc we cannot read locally, so it keeps the (warned)
+        # path-only fallback below rather than misreading /host/p.
+        # unquote() recovers percent-encoded paths (e.g. %20 spaces).
+        parsed = urllib.parse.urlparse(local)
+        if parsed.netloc in ("", "localhost"):
+            local = urllib.parse.unquote(parsed.path)
     marker = ""
     try:
         with open(os.path.join(local, "metadata")) as fh:

@@ -41,6 +41,29 @@ def test_recreated_checkpoint_changes_identity(tmp_path):
     assert q1 != q2  # fresh creation marker -> fresh ledger identity
 
 
+def test_percent_encoded_file_uri_reads_the_marker(tmp_path):
+    # ADVICE r10: Spark percent-encodes special chars in file: URIs;
+    # the marker must still be found through %20 etc.
+    ck = str(tmp_path / "ck with space")
+    _mk_checkpoint(ck, "encoded-incarnation")
+    uri = "file://" + ck.replace(" ", "%20")
+    with_marker = stream_qid(uri)
+    os.rename(os.path.join(ck, "metadata"), os.path.join(ck, "m.bak"))
+    assert stream_qid(uri) != with_marker  # marker was genuinely read
+
+
+def test_remote_host_netloc_stays_path_only(tmp_path):
+    # file://host/p points at ANOTHER machine's fs: reading /host/p
+    # locally would be wrong, so it must take the warned fallback.
+    ck = str(tmp_path / "ck3")
+    _mk_checkpoint(ck, "local-marker")
+    remote = stream_qid(f"file://otherhost{ck}")
+    # stable (path-only), and NOT influenced by the local metadata file
+    assert remote == stream_qid(f"file://otherhost{ck}")
+    os.remove(os.path.join(ck, "metadata"))
+    assert remote == stream_qid(f"file://otherhost{ck}")
+
+
 def test_missing_metadata_falls_back_to_path_only(tmp_path):
     ck = str(tmp_path / "nometa")
     os.makedirs(ck)

@@ -136,6 +136,20 @@ def test_mmr_skips_the_near_duplicate(spark):
     assert out[2] == 3          # diversity beats the near-twin
     assert out[3] in (2, 4)     # twin only admissible afterwards
 
+    # contract pins (ADVICE r10): k > m is rejected up front; a corpus
+    # with fewer than k candidates yields one row per candidate, not an
+    # error and not k rows
+    import pytest
+
+    with pytest.raises(AssertionError):
+        mmr_select(emb, 0, m=2, k=3)
+    tiny = spark.createDataFrame(
+        rows[:3], "vec_id long, embedding array<double>"
+    )
+    short = mmr_select(tiny, 0, m=8, k=5).collect()
+    assert sorted(r["nid"] for r in short) == [1, 2]
+    assert sorted(r["rank"] for r in short) == [1, 2]
+
 
 def test_incremental_postings_append_serves_the_union(spark, tmp_path):
     """Append-only index maintenance: postings appended for a new doc
