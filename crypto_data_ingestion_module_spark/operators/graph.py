@@ -30,13 +30,14 @@ no driver-side graph state at any point.  ``localCheckpoint`` after
 each round severs the growing lineage.
 
 Convergence: at the fixpoint the edge set is exactly {(v, root)} per
-component and a round reproduces it verbatim, so an order-independent
-set fingerprint — count + Σ xxhash64(a,b) over the checkpointed frame,
-one cheap scan-job per round — detects it.  (Edge counts are NOT
-monotone under star ops, so the fingerprint compares equality, not
-descent; a 128-bit-equivalent (count, sum-of-hashes) collision between
-consecutive DIFFERENT edge sets is negligible and would only cost one
-early exit at an almost-converged state.)
+component.  Detection is the exact structural test ``_is_star_forest``
+(every child has exactly one parent and no parent is a child — under
+the loop's parent < child invariant that is equivalent to the
+fixpoint), evaluated on the round's just-checkpointed frame, so the
+loop stops at the END of the round that PRODUCES the fixpoint.  (The
+r1–r10 fingerprint-equality check — count + Σ xxhash64 — needed one
+extra full confirmation round to see two equal fingerprints; the
+structural test removes that round and is collision-free.)
 """
 
 from __future__ import annotations
@@ -45,14 +46,33 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _star_fingerprint(edges: DataFrame) -> tuple[int, int]:
+def _is_star_forest(edges: DataFrame) -> bool:
+    """Exact fixpoint test for the alternating-star loop (r11: replaces
+    the fingerprint-equality check, which could only SEE the fixpoint
+    one round late — the confirmation round reproduced the edge set
+    verbatim just so two fingerprints could match).
+
+    The loop's invariant is parent < child (every emitted ``b`` is a
+    ``least``/min).  Under that invariant, ``edges`` is the fixpoint
+    {(child, root)} per component iff (a) every child appears exactly
+    once — two parents for one child means small-star still has a
+    re-point to do — and (b) no parent is also a child — a chain means
+    large-star still contracts.  Both directions are exact (no hash
+    collision caveat): a star forest with unique min-parents reproduces
+    itself through both phases, and the fixpoint trivially satisfies
+    the two conditions.  Cost: one tiny aggregate + one left-semi
+    emptiness probe per round on the just-checkpointed frame — paid
+    back by the whole confirmation round it removes.
+    """
     row = edges.agg(
         F.count(F.lit(1)).alias("n"),
-        # decimal accumulator: a LONG sum of 64-bit hashes overflows
-        # (ANSI mode raises); DECIMAL(38,0) holds ~10^19 hash values.
-        F.sum(F.xxhash64("a", "b").cast("decimal(38,0)")).alias("h"),
+        F.count_distinct("a").alias("nd"),
     ).first()
-    return (row["n"], row["h"])
+    if row["n"] != row["nd"]:
+        return False
+    return edges.join(
+        edges.select(F.col("a").alias("b")).distinct(), "b", "left_semi"
+    ).isEmpty()
 
 
 def _salted_min_join(sym: DataFrame, mins: DataFrame, salt: int) -> DataFrame:
@@ -118,7 +138,6 @@ def connected_components_with_stats(
     )
     # Star edges, kept oriented (child, parent): start from the raw pairs.
     edges = e.distinct().localCheckpoint(eager=True)
-    prev: tuple[int, int] | None = None
     rounds = 0
     for _ in range(max_iter):
         rounds += 1
@@ -158,9 +177,9 @@ def connected_components_with_stats(
             .select(F.col("b").alias("a"), F.col("_mn").alias("b"))
         )
         selfrow = omins.select(F.col("a"), F.col("_mn").alias("b"))
-        # Eager checkpoint, THEN the fingerprint scan job.  (A lazy
-        # checkpoint materialized by the fingerprint action was tried
-        # and measured 2× slower — the aggregate's plan does not adopt
+        # Eager checkpoint, THEN the fixpoint probe jobs.  (A lazy
+        # checkpoint materialized by the probe action was tried and
+        # measured 2× slower — the aggregate's plan does not adopt
         # the checkpoint cache, so the round DAG ran twice.)
         edges = (
             children.unionByName(selfrow)
@@ -168,10 +187,8 @@ def connected_components_with_stats(
             .distinct()
             .localCheckpoint(eager=True)
         )
-        fp = _star_fingerprint(edges)
-        if fp == prev:
+        if _is_star_forest(edges):
             break
-        prev = fp
     # Fixpoint edge set is (child, root) per component; roots label
     # themselves.
     out = edges.select(
