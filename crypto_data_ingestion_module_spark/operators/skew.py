@@ -53,3 +53,47 @@ def salted_agg(
     return phase1.groupBy(*keys).agg(
         *[c.alias(name) for name, c in final_aggs.items()]
     )
+
+
+def salted_join(
+    facts: DataFrame,
+    dims: DataFrame,
+    keys: Sequence[str],
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: replicate the bounded ``dims`` side over
+    ``n_salts`` lanes instead of co-locating the hot key on one reducer.
+
+    A co-located shuffle join partitions BOTH sides by ``keys`` — every
+    row of a hot key lands on one task and the stage's wall-clock is
+    that straggler.  Here each fact row takes a DETERMINISTIC salt from
+    the hash of its non-key columns (no ``rand()`` — plans stay
+    replayable), dim rows are exploded to all lanes, and the join key
+    becomes ``(keys..., _salt)``: the hot key's fact rows spread over
+    ``n_salts`` tasks while total shuffle volume grows only by
+    ``n_salts`` × |dims| replicated rows (facts, the dominant term, are
+    shuffled exactly once, same as before).  The result is
+    bit-identical to the plain join — salting only re-buckets it.
+
+    This is the generalized form of the CC loop's ``_salted_min_join``
+    (operators/graph.py) and the same mitigation AQE's skew-join split
+    applies at runtime; use this form when the skew is KNOWN (a viral
+    key, a null-bucket) or when the join is a broadcast-ineligible
+    build side below AQE's size thresholds.
+
+    ``how`` must be ``inner`` or ``left`` (facts-preserving): for right
+    or full joins, unmatched dim rows would surface once per lane.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    keys = list(keys)
+    non_key = [c for c in facts.columns if c not in keys]
+    salt_src = non_key if non_key else keys
+    salted = facts.withColumn(
+        "_salt",
+        F.pmod(F.xxhash64(*[F.col(c) for c in salt_src]), F.lit(n_salts)),
+    )
+    lanes = F.array(*[F.lit(i) for i in range(n_salts)])
+    dims_x = dims.withColumn("_salt", F.explode(lanes))
+    return salted.join(dims_x, [*keys, "_salt"], how).drop("_salt")

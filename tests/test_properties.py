@@ -246,6 +246,47 @@ def test_salted_agg_equals_plain(spark):
         assert abs(plain[k][0] - salted[k][0]) < 1e-6
 
 
+def test_salted_join_equals_plain(spark):
+    """salted_join only re-buckets the shuffle: inner and left results
+    are bit-identical to the plain join, and the salted plan actually
+    partitions by (key, _salt) so a hot key spans n_salts reducers."""
+    from pyspark.sql import functions as F2
+
+    from crypto_data_ingestion_module_spark.operators.skew import salted_join
+    from crypto_data_ingestion_module_spark.session import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "user_id", "event_id", "value"
+    )
+    dims = (
+        ev.groupBy("user_id")
+        .agg(F2.count(F2.lit(1)).alias("n_events"))
+        # drop some users so the left join has genuine misses
+        .filter(F2.col("user_id") % 3 != 0)
+    )
+    for how in ("inner", "left"):
+        plain = sorted(
+            map(tuple, ev.join(dims, "user_id", how).collect())
+        )
+        salted = sorted(
+            map(
+                tuple,
+                salted_join(ev, dims, ["user_id"], n_salts=8, how=how)
+                .select(*ev.join(dims, "user_id", how).columns)
+                .collect(),
+            )
+        )
+        assert salted == plain and plain
+
+    import pytest
+
+    with pytest.raises(ValueError, match="inner/left"):
+        salted_join(ev, dims, ["user_id"], how="full")
+
+    plan = salted_join(ev, dims, ["user_id"], n_salts=8)._jdf.queryExecution().executedPlan().toString()
+    assert "_salt" in plan  # the lane key reached the physical join
+
+
 def test_q6_predicates_reach_parquet_scan(spark):
     """forecast_revenue_change is the pushdown benchmark: every scan
     predicate (date window, discount band, quantity cap) must appear in
