@@ -221,6 +221,70 @@ def ngram_jaccard_pairs(
     )
 
 
+def shingle_containment_pairs(
+    df: DataFrame,
+    threshold_ppm: int = 800_000,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """X2 (exact, asymmetric): document pairs where either direction's
+    shingle CONTAINMENT ``|A∩B| / |A|`` reaches ``threshold_ppm``
+    (parts-per-million).
+
+    Containment is the near-subset metric Jaccard structurally
+    under-scores: a short document quoted verbatim inside a much longer
+    one has containment 1.0 from the short side but Jaccard
+    ``|A|/|B|`` → 0 as the long side grows — so a resemblance-only
+    dedup keeps both copies.  Broder's classic resemblance/containment
+    split (SEQUENCES'97); every serious training-corpus dedup runs both
+    axes (quote/boilerplate inclusion is containment, not resemblance).
+
+    Scores are EXACT integer ppm — ``1_000_000 * n_common DIV sz`` —
+    so the operator is oracle-pairable bit-for-bit (Spark ``DIV`` ==
+    DuckDB ``//`` on nonnegative ints; no float division in the
+    predicate path).  Physical shape is identical to
+    :func:`ngram_jaccard_pairs`: one shingle-exploded subplan
+    self-joined on the shingle key (exchange computed once and reused),
+    sizes riding on the exploded rows, pair aggregation map-side
+    combined.  Same 100 TB caveats: the shingle is the join key, raise
+    ``n`` to thin frequent-shingle skew.
+
+    Returns (id_a, id_b, n_common, sz_a, sz_b, cont_ab_ppm,
+    cont_ba_ppm) with id_a < id_b; ``cont_ab_ppm`` is the containment
+    of A in B (denominator sz_a).
+    """
+    sh = _shingle_rows(df, n, text_col, id_col)
+    a, b = sh.alias("a"), sh.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sz").alias("sz_a"),
+            F.col("b.sz").alias("sz_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .withColumn(
+            "cont_ab_ppm", F.expr("1000000 * n_common DIV sz_a")
+        )
+        .withColumn(
+            "cont_ba_ppm", F.expr("1000000 * n_common DIV sz_b")
+        )
+        .filter(
+            F.greatest("cont_ab_ppm", "cont_ba_ppm") >= F.lit(threshold_ppm)
+        )
+        .select(
+            "id_a", "id_b", "n_common", "sz_a", "sz_b",
+            "cont_ab_ppm", "cont_ba_ppm",
+        )
+    )
+
+
 def _hash_i(shingle: Column, i: int) -> Column:
     """i-th pseudo-independent hash of a shingle (xxhash64 with salt)."""
     return F.xxhash64(F.concat(shingle, F.lit(f"#{i}")))

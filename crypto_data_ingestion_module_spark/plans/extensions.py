@@ -306,6 +306,137 @@ WHERE CAST(n_common AS DOUBLE) / CAST(sa.sz + sb.sz - n_common AS DOUBLE) >= 0.5
 
 
 # --------------------------------------------------------------------------
+# X2 exact shingle CONTAINMENT pairs — the asymmetric near-subset axis
+# Jaccard under-scores (Broder's resemblance/containment split): a doc
+# quoted verbatim inside a longer one is containment ~1.0 but Jaccard
+# ~|A|/|B|.  Integer-ppm scores keep the whole predicate path exact.
+# --------------------------------------------------------------------------
+
+def _containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crypto_data_ingestion_module_spark.operators.text_dedup import (
+        shingle_containment_pairs,
+    )
+
+    return shingle_containment_pairs(
+        _t(spark, sf_dir, "documents"), threshold_ppm=800_000, n=4
+    )
+
+
+_register(
+    QuerySpec(
+        name="shingle_containment_pairs",
+        survey_ids=("X2",),
+        description="asymmetric word-4-gram containment >= 0.8 document "
+        "pairs (near-subset duplication — quotes/boilerplate — that "
+        "Jaccard structurally under-scores); exact integer-ppm scores; "
+        "4-grams thin frequent-shingle join skew (2.9 -> 1.5 s at sf0.1)",
+        spark=_containment_pairs,
+        oracle="""
+WITH w AS (
+  SELECT doc_id, regexp_extract_all(text, '[A-Za-z0-9]+') AS ws FROM documents
+),
+sh AS (
+  SELECT doc_id AS id, unnest(list_distinct(
+    CASE WHEN len(ws) >= 4
+         THEN list_transform(range(1, len(ws) - 2), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])
+         ELSE [array_to_string(ws, ' ')] END)) AS shingle
+  FROM w
+),
+sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY a.id, b.id
+)
+SELECT id_a, id_b, CAST(n_common AS BIGINT) AS n_common,
+  CAST(sa.sz AS BIGINT) AS sz_a, CAST(sb.sz AS BIGINT) AS sz_b,
+  CAST(1000000 * n_common // sa.sz AS BIGINT) AS cont_ab_ppm,
+  CAST(1000000 * n_common // sb.sz AS BIGINT) AS cont_ba_ppm
+FROM inter
+JOIN sizes sa ON sa.id = id_a
+JOIN sizes sb ON sb.id = id_b
+WHERE greatest(1000000 * n_common // sa.sz, 1000000 * n_common // sb.sz)
+      >= 800000
+""",
+    )
+)
+
+
+# --------------------------------------------------------------------------
+# X4 token-budget corpus selection — the mixture-curation primitive: per
+# language, greedily keep the highest-lexical-diversity documents until
+# half the language's token mass is spent.  Every quantity is an exact
+# integer (token counts, diversity in ppm, running token cumsum over a
+# total (diversity desc, doc_id) order), so the greedy frontier is
+# engine-exact — the cut a float quality score could never pair.
+# --------------------------------------------------------------------------
+
+def _token_budget_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents").select(
+        "lang",
+        "doc_id",
+        TX.word_count("text").alias("n_tokens"),
+        F.size(F.array_distinct(TX.words("text"))).cast("long").alias("n_distinct"),
+    ).filter(F.col("n_tokens") > 0)
+    scored = d.withColumn(
+        "div_ppm", F.expr("1000000 * n_distinct DIV n_tokens")
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("div_ppm"), F.asc("doc_id"))
+    tot = Window.partitionBy("lang")
+    return (
+        scored.withColumn(
+            "cum_tokens",
+            F.sum("n_tokens").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .withColumn("budget", F.expr("sum(n_tokens) OVER (PARTITION BY lang) DIV 2"))
+        .filter(F.col("cum_tokens") <= F.col("budget"))
+        .select("lang", "doc_id", "n_tokens", "div_ppm", "cum_tokens", "budget")
+    )
+
+
+_register(
+    QuerySpec(
+        name="token_budget_selection",
+        survey_ids=("X4",),
+        description="per-language token-budget corpus selection: keep "
+        "highest-lexical-diversity docs (integer ppm) until half the "
+        "language's token mass is spent — the data-mixture curation cut, "
+        "engine-exact via an all-integer greedy frontier",
+        spark=_token_budget_q,
+        oracle="""
+WITH d AS (
+  SELECT lang, doc_id,
+    CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS n_tokens,
+    CAST(len(list_distinct(regexp_extract_all(text, '[A-Za-z0-9]+'))) AS BIGINT) AS n_distinct
+  FROM documents
+),
+scored AS (
+  SELECT lang, doc_id, n_tokens,
+         1000000 * n_distinct // n_tokens AS div_ppm
+  FROM d WHERE n_tokens > 0
+),
+cums AS (
+  SELECT lang, doc_id, n_tokens, div_ppm,
+    SUM(n_tokens) OVER (PARTITION BY lang ORDER BY div_ppm DESC, doc_id
+                        ROWS UNBOUNDED PRECEDING) AS cum_tokens,
+    SUM(n_tokens) OVER (PARTITION BY lang) // 2 AS budget
+  FROM scored
+)
+SELECT lang, doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(div_ppm AS BIGINT) AS div_ppm,
+       CAST(cum_tokens AS BIGINT) AS cum_tokens,
+       CAST(budget AS BIGINT) AS budget
+FROM cums WHERE cum_tokens <= budget
+""",
+    )
+)
+
+
+# --------------------------------------------------------------------------
 # X3 brute-force cosine top-k (engine-exact fixed-point dots)
 # --------------------------------------------------------------------------
 

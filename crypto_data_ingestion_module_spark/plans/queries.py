@@ -1800,14 +1800,32 @@ _register(
 #   value_quantiles_from_histogram — distribution family keeps
 #                                    value_deciles; histogram stream
 #                                    mechanics are pytest-pinned
+# Mid-round r11 addendum: two NEW capabilities registered this round
+# enter the window immediately so the paired never-checked backlog
+# stays ZERO (both oracle-checked at sf0.001/0.01/0.1, settled
+# standalone receipts + 10× scale ratios in PERF.md, partition-sweep
+# green before admission):
+#   shingle_containment_pairs — asymmetric word-4-gram containment
+#                               (Broder's near-subset axis Jaccard
+#                               under-scores); exact integer-ppm scores
+#   token_budget_selection    — per-language token-budget curation cut
+#                               by integer-ppm lexical diversity (the
+#                               data-mixture primitive), all-integer
+#                               greedy frontier
+# Out (both single-r10-receipted with in-window family twins):
+#   minhash_lsh_pairs_md5 — X2 banded family keeps dedup_clusters +
+#                           dedup_passages + decontaminate_docs(+bloom)
+#                           in-window; the md5 twin holds its receipt
+#   hybrid_rrf_topk       — search family keeps phrase_topk_docs
+#                           in-window; rrf mechanics stay pytest-pinned
 # Round-12 rotation plan (pre-committed): no paired backlog expected if
 # CORRECTNESS_r11 is green.  Rotate any new r12 capabilities in as
 # registered (admission bar unchanged), taking outs from the r11
-# first-receipt rows (minhash_lsh_pairs_md5, phrase_topk_docs,
-# hybrid_rrf_topk once they hold a second receipt, or the re-entered
-# core rows); if capacity remains, rotate back the longest-absent rows
-# per COVERAGE.md (availability_filter and curated_corpus lead the
-# r9-receipt cohort).
+# first-receipt rows (shingle_containment_pairs,
+# token_budget_selection, phrase_topk_docs, revenue_cube once they
+# hold their receipt, or the re-entered core rows); if capacity
+# remains, rotate back the longest-absent rows per COVERAGE.md
+# (availability_filter and curated_corpus lead the r9-receipt cohort).
 # --------------------------------------------------------------------------
 
 CHECKED_QUERIES: tuple[str, ...] = (
@@ -1851,7 +1869,7 @@ CHECKED_QUERIES: tuple[str, ...] = (
     "order_flow_1h",
     # LLM-data-pipeline operators (X1–X5)
     "dedup_clusters",
-    "minhash_lsh_pairs_md5",
+    "shingle_containment_pairs",
     "trade_graph_pagerank",
     "embedding_kmeans",
     "label_centroids",
@@ -1863,7 +1881,7 @@ CHECKED_QUERIES: tuple[str, ...] = (
     "decontaminate_docs",
     "decontaminate_docs_bloom",
     "phrase_topk_docs",
-    "hybrid_rrf_topk",
+    "token_budget_selection",
     "bpe_vocab",
     "bpe_encode_docs",
 )
