@@ -204,3 +204,19 @@ def test_decode_assets_dispatches_png(spark):
     assert out[1]["height"] == out[2]["height"] == 8
     assert out[1]["features"] == out[2]["features"]
     assert len(out[3]["features"]) == FEATURE_DIM  # seam still total
+
+    # the resize kernel transcodes PNG onto the real P6 resampler:
+    # through Spark, the PNG row and the PPM row of the same pixels
+    # come back as the SAME P6 payload
+    from crypto_data_ingestion_module_spark.operators.multimodal import (
+        RESIZED_SCHEMA,
+        make_resize_kernel,
+    )
+
+    rz = {
+        r["asset_id"]: bytes(r["payload"])
+        for r in assets.filter("asset_id <= 2")
+        .mapInPandas(make_resize_kernel(4, 4), schema=RESIZED_SCHEMA)
+        .collect()
+    }
+    assert rz[1] == rz[2] and rz[1][:2] == b"P6"
