@@ -413,3 +413,51 @@ def rrf_fuse_per_query(
         .filter(F.col("rank") <= k)
         .select(query_col, id_col, "rrf_ppm", "rank")
     )
+
+
+def retrieval_metrics(
+    ranked: DataFrame,
+    truth: DataFrame,
+    k: int = 10,
+    query_col: str = "qid",
+    id_col: str = "nid",
+) -> DataFrame:
+    """Distributed retrieval evaluation: per-query recall@k and
+    reciprocal rank of an approximate ranker against an exact truth
+    ranking — the eval harness every ANN stack needs running AT the
+    data, not on a sampled-down driver copy.
+
+    Inputs are two (query, id, rank) frames; ``truth`` must carry
+    exactly ``k`` rows per query (its own top-k).  Scores are EXACT
+    integer ppm — ``recall_ppm = 1_000_000 * n_hits DIV k`` and
+    ``rr_ppm = 1_000_000 DIV first_hit_rank`` (0 when no truth item is
+    retrieved) — so the evaluation itself is oracle-pairable
+    bit-for-bit, the same integer-ppm discipline as ``rrf_fuse``.  The
+    classical MRR/recall estimates are these values / 1e6.
+
+    Plan shape: one equi-join on (query, id) + one per-query aggregate
+    + a left join back to the query list so zero-hit queries surface
+    as 0 rather than vanishing.  Everything is bounded by the two
+    top-k lists — corpus size never enters.
+    """
+    r = ranked.select(query_col, id_col, "rank")
+    t = truth.select(query_col, id_col)
+    per = (
+        r.join(t, [query_col, id_col])
+        .groupBy(query_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_hits"),
+            F.min("rank").alias("_first"),
+        )
+    )
+    qids = t.select(query_col).distinct()
+    return qids.join(per, query_col, "left").select(
+        query_col,
+        F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+        F.expr(f"1000000 * coalesce(n_hits, 0L) DIV {int(k)}")
+        .cast("long")
+        .alias("recall_ppm"),
+        F.coalesce(F.expr("1000000 DIV _first"), F.lit(0))
+        .cast("long")
+        .alias("rr_ppm"),
+    )

@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from crypto_data_ingestion_module_spark.plans.queries import (
+    QUERY_SPECS,
     QuerySpec,
     _register,
     _t,
@@ -780,5 +781,57 @@ SELECT doc_id, source, n_chars,
 FROM c
 WHERE cum // 5000 > (cum - n_chars) // 5000
 """,
+    )
+)
+
+
+# --------------------------------------------------------------------------
+# X3 retrieval evaluation: recall@10 + reciprocal rank of the seeded-LSH
+# ANN against the exact cosine truth, measured IN the engine in exact
+# integer ppm.  Both constituents are themselves oracle-paired queries,
+# so the composed oracle simply wraps their SQL as subqueries — the
+# evaluation pipeline is hash-checked end to end, including the ANN
+# index, the exact truth, and the metric math.
+# --------------------------------------------------------------------------
+
+def _ann_eval_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crypto_data_ingestion_module_spark.operators.search import (
+        retrieval_metrics,
+    )
+
+    exact = QUERY_SPECS["cosine_topk"].spark(spark, sf_dir)
+    approx = QUERY_SPECS["ann_lsh_seed_topk"].spark(spark, sf_dir)
+    return retrieval_metrics(approx, exact, k=10)
+
+
+_register(
+    QuerySpec(
+        name="ann_recall_mrr",
+        survey_ids=("X3",),
+        description="per-query recall@10 + reciprocal rank (exact "
+        "integer ppm) of the seeded-LSH ANN vs the exact cosine truth "
+        "— distributed retrieval evaluation, composed from two "
+        "oracle-paired rankers so the metric itself hash-checks",
+        spark=_ann_eval_q,
+        oracle=f"""
+WITH approx AS (SELECT * FROM ({{APPROX}})),
+exact AS (SELECT * FROM ({{EXACT}})),
+hits AS (
+  SELECT a.qid, a.rank FROM approx a
+  JOIN exact e ON a.qid = e.qid AND a.nid = e.nid
+),
+per AS (
+  SELECT qid, count(*) AS n_hits, min(rank) AS first_hit
+  FROM hits GROUP BY qid
+)
+SELECT q.qid,
+       CAST(COALESCE(p.n_hits, 0) AS BIGINT) AS n_hits,
+       CAST(1000000 * COALESCE(p.n_hits, 0) // 10 AS BIGINT) AS recall_ppm,
+       CAST(COALESCE(1000000 // p.first_hit, 0) AS BIGINT) AS rr_ppm
+FROM (SELECT DISTINCT qid FROM exact) q
+LEFT JOIN per p ON q.qid = p.qid
+""".replace("{APPROX}", QUERY_SPECS["ann_lsh_seed_topk"].oracle).replace(
+            "{EXACT}", QUERY_SPECS["cosine_topk"].oracle
+        ),
     )
 )

@@ -1818,6 +1818,14 @@ _register(
 #                           in-window; the md5 twin holds its receipt
 #   hybrid_rrf_topk       — search family keeps phrase_topk_docs
 #                           in-window; rrf mechanics stay pytest-pinned
+# Second r11 addendum: ann_recall_mrr (distributed retrieval evaluation
+# — per-query recall@10 + reciprocal rank in exact integer ppm of the
+# seeded-LSH ANN vs the exact cosine truth, composed from two
+# oracle-paired rankers so the metric itself hash-checks; same
+# admission receipts) enters for embedding_random_projection
+# (r10-receipted; X3 keeps embedding_kmeans, label_centroids,
+# ann_ivfpq_topk, pq_adc_topk AND the new eval row in-window, and the
+# JL projection stays pytest-pinned + registered).
 # Round-12 rotation plan (pre-committed): no paired backlog expected if
 # CORRECTNESS_r11 is green.  Rotate any new r12 capabilities in as
 # registered (admission bar unchanged), taking outs from the r11
@@ -1875,7 +1883,7 @@ CHECKED_QUERIES: tuple[str, ...] = (
     "label_centroids",
     "ann_ivfpq_topk",
     "pq_adc_topk",
-    "embedding_random_projection",
+    "ann_recall_mrr",
     "dedup_passages",
     "length_weighted_sample",
     "decontaminate_docs",
