@@ -276,3 +276,32 @@ def test_mixed_container_batch(spark):
     for r in rows:
         n[r["asset_id"]] = n.get(r["asset_id"], 0) + 1
     assert n[1] == 3 and n[2] == 2 and n[3] >= 1
+
+
+def test_retrieval_metrics_semantics(spark):
+    """Hand-checkable eval math: hits counted against the truth set,
+    reciprocal rank from the FIRST relevant position, zero-hit queries
+    surface with 0 ppm instead of vanishing."""
+    from crypto_data_ingestion_module_spark.operators.search import (
+        retrieval_metrics,
+    )
+
+    truth = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (2, 20, 1), (2, 21, 2), (3, 30, 1), (3, 31, 2)],
+        "qid long, nid long, rank int",
+    )
+    ranked = spark.createDataFrame(
+        [
+            (1, 10, 1), (1, 99, 2),          # q1: hit at rank 1
+            (2, 98, 1), (2, 21, 2),          # q2: first hit at rank 2
+            (3, 97, 1), (3, 96, 2),          # q3: no hits
+        ],
+        "qid long, nid long, rank int",
+    )
+    out = {
+        r["qid"]: (r["n_hits"], r["recall_ppm"], r["rr_ppm"])
+        for r in retrieval_metrics(ranked, truth, k=2).collect()
+    }
+    assert out[1] == (1, 500000, 1000000)
+    assert out[2] == (1, 500000, 500000)
+    assert out[3] == (0, 0, 0)  # zero-hit query is a row, not a gap
