@@ -984,3 +984,54 @@ def minhash_lsh_pairs_md5(
             "est_jaccard"
         ),
     )
+
+
+def pair_set_metrics(
+    candidates: DataFrame,
+    truth: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+) -> DataFrame:
+    """Dedup-sketch evaluation: precision/recall of a candidate PAIR set
+    (e.g. banded MinHash LSH output) against an exact truth pair set
+    (e.g. exact-Jaccard pairs) — the in-engine answer to "is the sketch
+    finding the duplicates?", computed at the data instead of on a
+    sampled driver copy.
+
+    Both inputs are (id_a, id_b) frames with id_a < id_b (every pair
+    generator in this repo emits that orientation).  Scores are exact
+    integer ppm — ``recall_ppm = 1_000_000 * |∩| DIV |truth|``,
+    ``precision_ppm = 1_000_000 * |∩| DIV |candidates|`` — so the
+    evaluation is oracle-pairable like :func:`~crypto_data_ingestion_module_spark.operators.search.retrieval_metrics`.
+    Returns ONE row (n_truth, n_candidates, n_common, recall_ppm,
+    precision_ppm); empty inputs yield 0 ppm, never a division error.
+
+    Plan: one left-semi-style equi-join on the pair key + three global
+    counts — bounded by the pair lists, the corpus never enters.
+    """
+    c = candidates.select(
+        F.col(a_col).alias("a"), F.col(b_col).alias("b")
+    ).distinct()
+    t = truth.select(F.col(a_col).alias("a"), F.col(b_col).alias("b")).distinct()
+    common = c.join(t, ["a", "b"])
+    stats = (
+        c.agg(F.count(F.lit(1)).alias("n_candidates"))
+        .crossJoin(t.agg(F.count(F.lit(1)).alias("n_truth")))
+        .crossJoin(common.agg(F.count(F.lit(1)).alias("n_common")))
+    )
+    return stats.select(
+        "n_truth",
+        "n_candidates",
+        "n_common",
+        F.when(F.col("n_truth") > 0, F.expr("1000000 * n_common DIV n_truth"))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("recall_ppm"),
+        F.when(
+            F.col("n_candidates") > 0,
+            F.expr("1000000 * n_common DIV n_candidates"),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("precision_ppm"),
+    )

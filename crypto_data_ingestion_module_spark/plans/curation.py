@@ -835,3 +835,53 @@ LEFT JOIN per p ON q.qid = p.qid
         ),
     )
 )
+
+
+# --------------------------------------------------------------------------
+# X2 dedup-sketch evaluation: precision/recall of the banded MinHash LSH
+# pair set against exact n-gram Jaccard truth, the dedup twin of
+# ann_recall_mrr — again composed from two oracle-paired queries so the
+# sketch, the truth, and the metric hash-check in one row.
+# --------------------------------------------------------------------------
+
+def _lsh_pair_eval_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crypto_data_ingestion_module_spark.operators.text_dedup import (
+        pair_set_metrics,
+    )
+
+    cand = QUERY_SPECS["minhash_lsh_pairs_md5"].spark(spark, sf_dir)
+    truth = QUERY_SPECS["ngram_jaccard_pairs"].spark(spark, sf_dir)
+    return pair_set_metrics(cand, truth)
+
+
+_register(
+    QuerySpec(
+        name="lsh_pair_recall",
+        survey_ids=("X2",),
+        description="precision/recall (exact integer ppm) of the banded "
+        "md5-MinHash LSH candidate pairs vs exact word-4-gram Jaccard "
+        "truth — in-engine dedup-sketch evaluation composed from two "
+        "oracle-paired pair generators",
+        spark=_lsh_pair_eval_q,
+        oracle=f"""
+WITH cand AS (SELECT DISTINCT id_a AS a, id_b AS b FROM ({{CAND}})),
+truth AS (SELECT DISTINCT id_a AS a, id_b AS b FROM ({{TRUTH}})),
+common AS (SELECT c.a, c.b FROM cand c JOIN truth t ON c.a = t.a AND c.b = t.b),
+s AS (
+  SELECT (SELECT count(*) FROM truth) AS n_truth,
+         (SELECT count(*) FROM cand) AS n_candidates,
+         (SELECT count(*) FROM common) AS n_common
+)
+SELECT CAST(n_truth AS BIGINT) AS n_truth,
+       CAST(n_candidates AS BIGINT) AS n_candidates,
+       CAST(n_common AS BIGINT) AS n_common,
+       CAST(CASE WHEN n_truth > 0 THEN 1000000 * n_common // n_truth
+                 ELSE 0 END AS BIGINT) AS recall_ppm,
+       CAST(CASE WHEN n_candidates > 0 THEN 1000000 * n_common // n_candidates
+                 ELSE 0 END AS BIGINT) AS precision_ppm
+FROM s
+""".replace("{CAND}", QUERY_SPECS["minhash_lsh_pairs_md5"].oracle).replace(
+            "{TRUTH}", QUERY_SPECS["ngram_jaccard_pairs"].oracle
+        ),
+    )
+)

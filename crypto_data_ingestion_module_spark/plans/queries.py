@@ -1818,6 +1818,15 @@ _register(
 #                           in-window; the md5 twin holds its receipt
 #   hybrid_rrf_topk       — search family keeps phrase_topk_docs
 #                           in-window; rrf mechanics stay pytest-pinned
+# Third r11 addendum: lsh_pair_recall (the dedup twin of the eval move
+# below — precision/recall in exact integer ppm of the banded
+# md5-MinHash candidate pairs vs exact 4-gram Jaccard truth, composed
+# from two paired pair-generators; measured LSH recall 0.996 /
+# precision 0.93 at sf0.1; settled 2.13 s, 5.0× at 10× rows — dual-axis
+# like every pair workload; partition-sweep green) enters for
+# amihud_illiquidity (r9+r10 receipts; the indicator family keeps
+# vwap_1h, bollinger_breakouts_20, mean_shift_points, order_flow_1h,
+# hourly_seasonality, cross_stream_spread_1h in-window).
 # Second r11 addendum: ann_recall_mrr (distributed retrieval evaluation
 # — per-query recall@10 + reciprocal rank in exact integer ppm of the
 # seeded-LSH ANN vs the exact cosine truth, composed from two
@@ -1871,12 +1880,12 @@ CHECKED_QUERIES: tuple[str, ...] = (
     "interval_completeness",
     # technical indicators (round-4: the candle lake's downstream analytics)
     "vwap_1h",
-    "amihud_illiquidity",
     "bollinger_breakouts_20",
     "mean_shift_points",
     "order_flow_1h",
     # LLM-data-pipeline operators (X1–X5)
     "dedup_clusters",
+    "lsh_pair_recall",
     "shingle_containment_pairs",
     "trade_graph_pagerank",
     "embedding_kmeans",
