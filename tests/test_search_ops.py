@@ -305,3 +305,31 @@ def test_retrieval_metrics_semantics(spark):
     assert out[1] == (1, 500000, 1000000)
     assert out[2] == (1, 500000, 500000)
     assert out[3] == (0, 0, 0)  # zero-hit query is a row, not a gap
+
+
+def test_pair_set_metrics_semantics(spark):
+    """Dedup-sketch eval math: intersection counted on the unordered
+    pair key, ppm floors exact, empty candidate set scores 0 without a
+    division error."""
+    from crypto_data_ingestion_module_spark.operators.text_dedup import (
+        pair_set_metrics,
+    )
+
+    truth = spark.createDataFrame(
+        [(1, 2), (1, 3), (4, 5)], "id_a long, id_b long"
+    )
+    cand = spark.createDataFrame(
+        [(1, 2), (4, 5), (7, 8), (7, 8)], "id_a long, id_b long"  # dup row
+    )
+    row = pair_set_metrics(cand, truth).collect()[0]
+    assert (row["n_truth"], row["n_candidates"], row["n_common"]) == (3, 3, 2)
+    assert row["recall_ppm"] == 1_000_000 * 2 // 3
+    assert row["precision_ppm"] == 1_000_000 * 2 // 3
+
+    empty = cand.filter("id_a < 0")
+    row = pair_set_metrics(empty, truth).collect()[0]
+    assert (row["n_candidates"], row["recall_ppm"], row["precision_ppm"]) == (
+        0,
+        0,
+        0,
+    )
