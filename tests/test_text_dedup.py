@@ -72,3 +72,29 @@ def test_minhash_md5_twin_semantics(spark):
     assert set(pairs) == {(1, 2)}
     assert pairs[(1, 2)]["n_match"] == 16
     assert pairs[(1, 2)]["est_jaccard"] == 1.0
+
+
+def test_containment_catches_the_jaccard_blind_quote(spark):
+    """The operator's reason to exist: a short doc quoted verbatim
+    inside a much longer one has containment 1.0 from the short side
+    while Jaccard stays low — a resemblance-only threshold keeps both
+    copies, the containment gate catches the inclusion."""
+    from crypto_data_ingestion_module_spark.operators.text_dedup import (
+        ngram_jaccard_pairs,
+        shingle_containment_pairs,
+    )
+
+    quote = "alpha beta gamma delta epsilon zeta"
+    filler = " ".join(f"w{i} x{i} y{i} z{i}" for i in range(20))
+    docs = spark.createDataFrame(
+        [(1, quote), (2, filler + " " + quote + " " + filler)],
+        ["doc_id", "text"],
+    )
+    got = shingle_containment_pairs(docs, threshold_ppm=800_000, n=3).collect()
+    assert len(got) == 1
+    row = got[0]
+    assert (row["id_a"], row["id_b"]) == (1, 2)
+    assert row["cont_ab_ppm"] == 1_000_000  # every quote shingle is in 2
+    assert row["cont_ba_ppm"] < 100_000     # the long side barely overlaps
+    # and the same pair is INVISIBLE to a 0.5-Jaccard gate
+    assert not ngram_jaccard_pairs(docs, threshold=0.5, n=3).collect()
