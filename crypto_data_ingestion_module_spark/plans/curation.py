@@ -885,3 +885,54 @@ FROM s
         ),
     )
 )
+
+
+# --------------------------------------------------------------------------
+# X2/X3 SemDeDup prune evaluation: recall/precision of the
+# cluster-bounded semantic pair generator against exact all-pairs truth
+# at the SAME cosine threshold — the honest measurement of what the
+# coarse-cluster prune loses (pairs split across cluster boundaries),
+# the documented SemDeDup tradeoff quantified in-engine.
+# --------------------------------------------------------------------------
+
+def _semdedup_eval_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crypto_data_ingestion_module_spark.operators.text_dedup import (
+        pair_set_metrics,
+    )
+
+    cand = QUERY_SPECS["semantic_near_dup_pairs"].spark(spark, sf_dir)
+    truth = QUERY_SPECS["embedding_near_dup_pairs"].spark(spark, sf_dir)
+    return pair_set_metrics(cand, truth)
+
+
+_register(
+    QuerySpec(
+        name="semdedup_pair_recall",
+        survey_ids=("X2", "X3"),
+        description="recall/precision (exact integer ppm) of the "
+        "SemDeDup cluster-bounded pair generator vs exact all-pairs "
+        "cosine truth at the same 0.42 threshold — quantifies the "
+        "cross-cluster pairs the coarse prune loses, in-engine",
+        spark=_semdedup_eval_q,
+        oracle=f"""
+WITH cand AS (SELECT DISTINCT id_a AS a, id_b AS b FROM ({{CAND}})),
+truth AS (SELECT DISTINCT id_a AS a, id_b AS b FROM ({{TRUTH}})),
+common AS (SELECT c.a, c.b FROM cand c JOIN truth t ON c.a = t.a AND c.b = t.b),
+s AS (
+  SELECT (SELECT count(*) FROM truth) AS n_truth,
+         (SELECT count(*) FROM cand) AS n_candidates,
+         (SELECT count(*) FROM common) AS n_common
+)
+SELECT CAST(n_truth AS BIGINT) AS n_truth,
+       CAST(n_candidates AS BIGINT) AS n_candidates,
+       CAST(n_common AS BIGINT) AS n_common,
+       CAST(CASE WHEN n_truth > 0 THEN 1000000 * n_common // n_truth
+                 ELSE 0 END AS BIGINT) AS recall_ppm,
+       CAST(CASE WHEN n_candidates > 0 THEN 1000000 * n_common // n_candidates
+                 ELSE 0 END AS BIGINT) AS precision_ppm
+FROM s
+""".replace("{CAND}", QUERY_SPECS["semantic_near_dup_pairs"].oracle).replace(
+            "{TRUTH}", QUERY_SPECS["embedding_near_dup_pairs"].oracle
+        ),
+    )
+)

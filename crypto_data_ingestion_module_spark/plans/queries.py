@@ -1818,6 +1818,16 @@ _register(
 #                           in-window; the md5 twin holds its receipt
 #   hybrid_rrf_topk       — search family keeps phrase_topk_docs
 #                           in-window; rrf mechanics stay pytest-pinned
+# Fourth r11 addendum: semdedup_pair_recall completes the eval trilogy
+# — recall/precision of the SemDeDup cluster-bounded pair generator vs
+# exact all-pairs cosine truth at the same 0.42 threshold (measured:
+# precision 1.0, recall 0.19–0.38 — the cross-cluster loss of the
+# coarse prune QUANTIFIED; isotropic synthetic embeddings are the
+# prune's worst case, the r9 JL-recall caveat applies).  Settled
+# 1.44 s, 12.0× at 10× (dual-axis all-pairs truth), partition-sweep
+# green, oracle-green at three SFs.  In for mean_shift_points (r9+r10
+# receipts; indicators keep vwap_1h, bollinger_breakouts_20,
+# order_flow_1h, hourly_seasonality, cross_stream_spread_1h).
 # Third r11 addendum: lsh_pair_recall (the dedup twin of the eval move
 # below — precision/recall in exact integer ppm of the banded
 # md5-MinHash candidate pairs vs exact 4-gram Jaccard truth, composed
@@ -1881,11 +1891,11 @@ CHECKED_QUERIES: tuple[str, ...] = (
     # technical indicators (round-4: the candle lake's downstream analytics)
     "vwap_1h",
     "bollinger_breakouts_20",
-    "mean_shift_points",
     "order_flow_1h",
     # LLM-data-pipeline operators (X1–X5)
     "dedup_clusters",
     "lsh_pair_recall",
+    "semdedup_pair_recall",
     "shingle_containment_pairs",
     "trade_graph_pagerank",
     "embedding_kmeans",

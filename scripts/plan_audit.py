@@ -48,6 +48,7 @@ NL_ALLOW = {
     "frequent_tokens_from_partials": "single-row scalar (total n) threshold crossJoin",
     "decontaminate_docs_bloom": "single-row Bloom-bitset broadcast (value-not-literal ship)",
     "lsh_pair_recall": "three single-row pair-set counts crossJoined into the one metrics row",
+    "semdedup_pair_recall": "three single-row pair-set counts crossJoined into the one metrics row",
     "hybrid_rrf_topk": "corpus stats + one query vector broadcast (hybrid_rerank shape)",
     "mmr_diversified_topk": "bounded m=16 candidate set: m x m pairwise sims + k one-row selected-pick broadcasts",
 }
