@@ -60,19 +60,22 @@ def _is_star_forest(edges: DataFrame) -> bool:
     large-star still contracts.  Both directions are exact (no hash
     collision caveat): a star forest with unique min-parents reproduces
     itself through both phases, and the fixpoint trivially satisfies
-    the two conditions.  Cost: one tiny aggregate + one left-semi
-    emptiness probe per round on the just-checkpointed frame — paid
-    back by the whole confirmation round it removes.
+    the two conditions.  Cost: ONE driver action per round on the
+    just-checkpointed frame (r12: the duplicate-child aggregate and the
+    parent-as-child emptiness probe used to run as two separate jobs;
+    both single-row frames now meet in the allowlisted scalar-inject
+    crossJoin so the loop pays one job per round, not two) — paid back
+    by the whole confirmation round the structural test removes.
     """
-    row = edges.agg(
+    counts = edges.agg(
         F.count(F.lit(1)).alias("n"),
         F.count_distinct("a").alias("nd"),
-    ).first()
-    if row["n"] != row["nd"]:
-        return False
-    return edges.join(
+    )
+    chains = edges.join(
         edges.select(F.col("a").alias("b")).distinct(), "b", "left_semi"
-    ).isEmpty()
+    ).agg(F.count(F.lit(1)).alias("n_chain"))
+    row = counts.crossJoin(chains).first()
+    return row["n"] == row["nd"] and row["n_chain"] == 0
 
 
 def _salted_min_join(sym: DataFrame, mins: DataFrame, salt: int) -> DataFrame:

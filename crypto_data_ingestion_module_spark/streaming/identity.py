@@ -41,6 +41,20 @@ a consumer absorbs that depends on its merge algebra:
   refresh REPLACES the lake's entire content, healing any inflated
   partials — pinned by ``tests/test_sketch_stream.py``
   (``test_cm_double_append_inflates_and_overwrite_refresh_heals``).
+
+The same transition window re-opens at the r10→r11 URI-parsing upgrade
+(ADVICE r11): checkpoints addressed as ``file:`` URIs with
+percent-encoded characters in the path (``%20`` etc.), or with the
+``file://localhost/...`` netloc form, previously failed the naive
+prefix-strip, read no metadata marker, and used path-only identity.
+urlparse/unquote now resolves them to the real local path, so those
+streams FIND their metadata marker and change qid across this upgrade —
+one batch replayed exactly across the boundary can append twice, with
+the same per-consumer algebra as above (keep-last/MG/HLL/KMV absorb it;
+Count-Min lakes written through such a checkpoint URI should take one
+fingerprint-keyed overwrite refresh after upgrading).  Plain paths and
+``file:/...``/``file:///...`` URIs without percent-encoding are
+unaffected (byte-identical identity before and after).
 """
 
 from __future__ import annotations

@@ -27,6 +27,13 @@ Spark never shuffles the fact):
   salted      operators.skew.salted_join (replicated-dim lanes,
               N_SALTS) — the explicit mitigation; needs no AQE forcing
               because the salt is part of the logical plan
+  agg_plain   hot-key GROUP-BY (no join): plain hash aggregate over the
+              same 8M skewed facts — Spark partial-aggregates map-side,
+              so the hot key collapses to one row per map task BEFORE
+              the shuffle and the reducer never sees the skew
+  agg_salted  operators.skew.salted_agg two-phase variant of the same
+              aggregate — measures what the explicit salt costs in the
+              regime where map-side combine already does the job
 
 Per arm: warm-up + N measured runs (wall-clock) and the max task
 executorRunTime of the heaviest stage, via the UI REST taskSummary —
@@ -40,6 +47,7 @@ Usage:
 
 from __future__ import annotations
 
+import calendar
 import json
 import os
 import sys
@@ -72,10 +80,13 @@ def _max_task_ms(spark, after_epoch_ms: float) -> float:
         sub = st.get("firstTaskLaunchedTime") or st.get("submissionTime")
         if not sub:
             continue
-        # ISO 'GMT' suffix; cheap parse via the numeric fields we need
+        # ISO 'GMT' suffix: the fields are UTC, so convert with
+        # calendar.timegm — time.mktime would interpret them in LOCAL
+        # time and the recency filter would be off by the UTC offset
+        # (silently returning -1 or counting stale stages)
         try:
             t = time.strptime(sub[:19], "%Y-%m-%dT%H:%M:%S")
-            sub_ms = time.mktime(t) * 1000.0
+            sub_ms = calendar.timegm(t) * 1000.0
         except ValueError:
             continue
         if sub_ms < after_epoch_ms - 1000:
@@ -227,25 +238,65 @@ def main() -> int:
                 "spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m"
             )
 
-    # answer equality across arms first (cheap, sf-independent)
+    # answer equality across ALL FOUR arms first (cheap, sf-independent)
     configure("plain")
     want = sorted(map(tuple, workload("plain").collect()))
+    configure("aqe")
+    assert sorted(map(tuple, workload("aqe").collect())) == want
     configure("aqe_forced")
     assert sorted(map(tuple, workload("aqe_forced").collect())) == want
     configure("salted")
     assert sorted(map(tuple, workload("salted").collect())) == want
     n_rows = len(want)
 
+    # --- aggregation arms (VERDICT r11 item 2): the OTHER half of the
+    # hot-key story.  Same viral key, plain hash-agg vs salted_agg.
+    # Expectation worth measuring rather than asserting: Spark's hash
+    # aggregate ALREADY partial-aggregates map-side, so a pure algebraic
+    # aggregate (sum/count) collapses the hot key to one row per map
+    # task before the shuffle — the reducer never sees the skew, and
+    # salting pays an extra shuffle for nothing.  salted_agg's real
+    # regime is state that does NOT collapse map-side (large collect/
+    # exact-median style state) or aggregation fed by a join (covered by
+    # the join arms above, where AQE declines).
+    from crypto_data_ingestion_module_spark.operators.skew import salted_agg
+
+    def agg_workload(mode: str):
+        if mode == "agg_salted":
+            return salted_agg(
+                facts,
+                ["user_id"],
+                {
+                    "s": F.sum(
+                        F.round(F.col("p_value") * 1_000_000).cast("long")
+                    ),
+                    "n": F.count(F.lit(1)),
+                },
+                {"v_micro": F.sum("s"), "n": F.sum("n")},
+            ).select("user_id", "n", "v_micro")
+        return facts.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.round(F.col("p_value") * 1_000_000).cast("long")
+            ).alias("v_micro"),
+        )
+
+    configure("plain")
+    agg_want = sorted(map(tuple, agg_workload("agg_plain").collect()))
+    assert sorted(map(tuple, agg_workload("agg_salted").collect())) == agg_want
+
     results: dict[str, dict] = {}
-    for mode in ("plain", "aqe", "aqe_forced", "salted"):
-        configure(mode)
-        workload(mode).write.mode("overwrite").format("noop").save()  # warm
+    arms = ("plain", "aqe", "aqe_forced", "salted", "agg_plain", "agg_salted")
+    for mode in arms:
+        configure("plain" if mode.startswith("agg") else mode)
+        load = agg_workload if mode.startswith("agg") else workload
+        load(mode).write.mode("overwrite").format("noop").save()  # warm
         spark._jvm.System.gc()
         time.sleep(1.0)
         walls, worsts = [], []
         for _ in range(runs):
             t0 = time.time()
-            workload(mode).write.mode("overwrite").format("noop").save()
+            load(mode).write.mode("overwrite").format("noop").save()
             walls.append(round(time.time() - t0, 3))
             worsts.append(_max_task_ms(spark, t0 * 1000.0))
         walls_s = sorted(walls)
@@ -267,6 +318,7 @@ def main() -> int:
         "n_facts": n_facts,
         "n_spans": n_spans,
         "result_rows": n_rows,
+        "agg_result_rows": len(agg_want),
         "answers_identical_across_arms": True,
         "arms": results,
     }
