@@ -1,7 +1,6 @@
 """Quality + plumbing tests for the north-star extension operators:
 sketches measured against exact ground truth, multimodal batch decode."""
 
-import hashlib
 
 from pyspark.sql import functions as F
 
@@ -116,18 +115,19 @@ def test_multimodal_decode_plumbing(spark):
     rows = decoded.collect()
     assert len(rows) == 50
     by_id = {r.asset_id: r for r in rows}
-    # deterministic fake decode: recompute one row driver-side
+    # document text bytes are NOT a recognized container: the r12
+    # quarantine contract returns decode_ok=false with NULL metadata
+    # instead of the pre-r12 fabricated sha256 features
     doc = docs.filter(F.col("doc_id") == rows[0].asset_id).first()
-    h = hashlib.sha256(doc.text.encode()).digest()
     r = by_id[doc.doc_id]
-    assert r.width == 64 + h[0] % 192
-    assert r.height == 64 + h[1] % 192
-    assert len(r.features) == FEATURE_DIM
+    assert r.decode_ok is False
+    assert r.width is None and r.height is None and r.features is None
     assert r.n_bytes == len(doc.text.encode())
-    # modality routing matches doc_id % 3
+    # modality routing matches doc_id % 3; nothing fabricated anywhere
     for row in rows:
         expect = ["image", "audio", "video"][row.asset_id % 3]
         assert row.modality == expect
+        assert row.decode_ok is False and row.features is None
 
 
 def test_multimodal_resize_plumbing(spark):
@@ -137,38 +137,35 @@ def test_multimodal_resize_plumbing(spark):
 
     docs = load_table(spark, SF_SMALL, "documents").limit(30)
     out = resize_assets(documents_as_assets(docs), 224, 224).collect()
-    assert len(out) == 30  # 1→1
+    assert len(out) == 30  # 1→1, quarantine included
     for r in out:
-        assert (r.width, r.height) == (224, 224)
-        assert len(bytes(r.payload)) == (224 * 224) // 64
-    # deterministic: same asset → same resized payload across runs
-    again = {r.asset_id: bytes(r.payload) for r in resize_assets(
+        # text payloads aren't images: quarantined, nothing synthesized
+        assert r.resize_ok is False
+        assert r.payload is None and r.width is None and r.height is None
+    # determinism across partitionings (the quarantine row set too)
+    again = {r.asset_id: r.resize_ok for r in resize_assets(
         documents_as_assets(docs).repartition(7), 224, 224).collect()}
-    assert {r.asset_id: bytes(r.payload) for r in out} == again
+    assert {r.asset_id: r.resize_ok for r in out} == again
 
 
-def test_multimodal_frame_sampling_expands_rows(spark):
+def test_multimodal_frame_sampling_quarantines_unknown_containers(spark):
     from crypto_data_ingestion_module_spark.operators.multimodal import (
-        fake_frame_count,
         sample_frames,
     )
 
     docs = load_table(spark, SF_SMALL, "documents").limit(60)
     assets = documents_as_assets(docs)
     frames = sample_frames(assets).collect()
-    # expected expansion, computed driver-side from the same stub header
-    videos = {r.asset_id: bytes(r.payload) for r in assets.filter(
+    # text payloads are no recognized video container: ONE quarantine
+    # row per video asset (demux_ok=false, NULL frame), never fake
+    # frames (the pre-r12 sha256 expansion is retired)
+    videos = {r.asset_id for r in assets.filter(
         F.col("modality") == "video").collect()}
-    expect_total = sum(fake_frame_count(p) for p in videos.values())
-    assert len(frames) == expect_total
-    by_asset: dict[int, list] = {}
+    assert len(frames) == len(videos)
+    assert {r.asset_id for r in frames} == videos
     for r in frames:
-        by_asset.setdefault(r.asset_id, []).append(r)
-    assert set(by_asset) == set(videos)
-    for aid, rows in by_asset.items():
-        n = fake_frame_count(videos[aid])
-        assert sorted(r.frame_idx for r in rows) == list(range(n))
-        assert all(r.ts_ms == r.frame_idx * 1000 for r in rows)
+        assert r.demux_ok is False
+        assert r.frame is None and r.frame_idx is None and r.ts_ms is None
 
 
 def test_near_dup_block_is_distributed_and_self_consistent(spark):

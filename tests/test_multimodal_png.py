@@ -181,7 +181,7 @@ def test_unsupported_profiles_reject_loudly():
 def test_decode_assets_dispatches_png(spark):
     """End-to-end through the Spark mapInPandas plumbing: a PNG payload
     row comes back with REAL width/height/features (equal to the same
-    pixels' P6 row), alongside a fake-decoded opaque row."""
+    pixels' P6 row), alongside a quarantined opaque row."""
     from crypto_data_ingestion_module_spark.operators.multimodal import (
         decode_assets,
     )
@@ -203,7 +203,8 @@ def test_decode_assets_dispatches_png(spark):
     assert out[1]["width"] == out[2]["width"] == 12
     assert out[1]["height"] == out[2]["height"] == 8
     assert out[1]["features"] == out[2]["features"]
-    assert len(out[3]["features"]) == FEATURE_DIM  # seam still total
+    # the opaque row is quarantined (r12): flagged, nothing fabricated
+    assert out[3]["decode_ok"] is False and out[3]["features"] is None
 
     # the resize kernel transcodes PNG onto the real P6 resampler:
     # through Spark, the PNG row and the PPM row of the same pixels

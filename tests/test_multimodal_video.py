@@ -75,11 +75,11 @@ def test_demux_rejects_truncated_and_foreign_bytes():
 def test_sample_frames_expands_real_stream_end_to_end(spark):
     # 1→N through the Spark kernel: the P6 stream expands to its TRUE
     # frame count at the documented 25 fps timestamps; a non-P6 payload
-    # in the same micro-batch still takes the deterministic fake path.
+    # in the same micro-batch is quarantined (r12 — never faked).
     payload = open(STREAM, "rb").read()
-    fake = b"\x00not-a-p6-container" + bytes(range(64))
+    opaque = b"\x00not-a-p6-container" + bytes(range(64))
     assets = spark.createDataFrame(
-        [(1, "video", bytearray(payload)), (2, "video", bytearray(fake))],
+        [(1, "video", bytearray(payload)), (2, "video", bytearray(opaque))],
         "asset_id long, modality string, payload binary",
     )
     rows = sample_frames(assets).orderBy("asset_id", "frame_idx").collect()
@@ -89,10 +89,11 @@ def test_sample_frames_expands_real_stream_end_to_end(spark):
     want = _oracle_split(payload)
     assert [bytes(r["frame"]) for r in real] == want
     assert all(is_ppm(bytes(r["frame"])) for r in real)
-    # the fake asset still expanded deterministically (hash-keyed)
-    fake_rows = [r for r in rows if r["asset_id"] == 2]
-    assert len(fake_rows) >= 1
-    assert all(len(bytes(r["frame"])) == 32 for r in fake_rows)
+    # the opaque asset surfaced as ONE quarantine row, nothing faked
+    quarantined = [r for r in rows if r["asset_id"] == 2]
+    assert len(quarantined) == 1
+    assert quarantined[0]["demux_ok"] is False
+    assert quarantined[0]["frame"] is None
 
 
 def test_single_image_is_a_one_frame_stream(spark):

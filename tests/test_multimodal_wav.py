@@ -112,6 +112,6 @@ def test_wav_decode_end_to_end_through_spark_plumbing(spark):
     assert [round(f, 5) for f in r1.features] == [
         round(struct.unpack("f", struct.pack("f", v))[0], 5) for v in want1
     ]
-    # the non-WAV row went through the fake path (hash-derived dims)
-    assert 64 <= r3.width < 256 and 64 <= r3.height < 256
-    assert len(r3.features) == FEATURE_DIM
+    # the non-WAV row is quarantined (r12): no fabricated metadata
+    assert r3.decode_ok is False
+    assert r3.width is None and r3.height is None and r3.features is None

@@ -254,7 +254,7 @@ def test_y4m_c444_colorspace(spark):
 
 
 def test_mixed_container_batch(spark):
-    # one micro-batch holding a P6 stream, a Y4M, and a fake payload —
+    # one micro-batch holding a P6 stream, a Y4M, and an opaque payload —
     # each takes its own path, all expansions land in one output
     from crypto_data_ingestion_module_spark.operators.multimodal import (
         sample_frames,
@@ -275,7 +275,12 @@ def test_mixed_container_batch(spark):
     n = {}
     for r in rows:
         n[r["asset_id"]] = n.get(r["asset_id"], 0) + 1
-    assert n[1] == 3 and n[2] == 2 and n[3] >= 1
+    assert n[1] == 3 and n[2] == 2 and n[3] == 1
+    for r in rows:
+        if r["asset_id"] == 3:  # quarantined, not faked (r12)
+            assert r["demux_ok"] is False and r["frame"] is None
+        else:
+            assert r["demux_ok"] is True and r["frame"] is not None
 
 
 def test_retrieval_metrics_semantics(spark):
