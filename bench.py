@@ -64,6 +64,15 @@ SWEEP_SAMPLE_TWINS: tuple[str, ...] = (
     "bpe_merge_table",                 # trajectory twin inside bpe_vocab
     "decontaminate_docs_bloom",        # prefilter twin of decontaminate_docs
     "value_quantiles_from_histogram",  # paired twin of value_quantiles_sketch
+    # r12 pre-planned extension (VERDICT r11 item 4): the sweep sits at
+    # 135 s/155 queries against the 180 s budget, so the gate's first
+    # real firing is near.  The r11 eval rows are COMPOSITIONS whose
+    # cost axis is their two still-measured generators — dropping the
+    # composition loses no cost signal; ditto the ROLLUP shape-twin.
+    "ann_recall_mrr",          # composition of ann_lsh_seed_topk + cosine_topk
+    "lsh_pair_recall",         # composition of minhash + ngram_jaccard pairs
+    "semdedup_pair_recall",    # composition of the two near-dup pair rows
+    "revenue_rollup_hierarchy",  # partial-rollup shape twin of revenue_cube
 )
 
 
