@@ -246,6 +246,101 @@ def _merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merge_keep_last(existing, corrected, keys=["event_id"])
 
 
+# --------------------------------------------------------------------------
+# T4 in-stream dedup at bounded state: dropDuplicatesWithinWatermark.
+# The MERGE path above absorbs corrections with UNBOUNDED lateness (the
+# reference's keep-last semantics); this row is the other half SURVEY
+# T4 names — re-deliveries dropped IN the stream with watermark-bounded
+# state (crypto_collector.py:550-553's dedup, done before the sink
+# instead of inside it).  The stream sees the events table plus a
+# byte-identical RE-delivery of a third of them, split across parquet
+# files so the duplicates arrive in LATER micro-batches than their
+# originals (maxFilesPerTrigger=2): the drop exercises dedup state
+# CARRIED ACROSS micro-batches, not within-batch distinct.  Re-delivered
+# copies are byte-identical (true redelivery), so the surviving row set
+# is exactly the original table regardless of arrival order — which is
+# what makes a STREAMING stateful operator oracle-pairable at all.  The
+# watermark delay (3650 days) exceeds the data's time span, so no state
+# is evicted mid-run and the result is batch-split-independent; the
+# BOUNDED-state semantics (a duplicate arriving after its key's state
+# expired is emitted again) are order-dependent by nature and are
+# pytest-pinned instead (tests/test_stream_dedup_watermark.py).
+# 100 TB shape: state is per-key-in-window, bounded by the watermark
+# delay x arrival rate, not by history size — the reason this operator
+# exists next to the unbounded MERGE.
+# --------------------------------------------------------------------------
+
+#: Input-manufacture cache: the duplicated parquet landing zone is the
+#: FIXTURE, not the operator under test — build it once per (process,
+#: sf_dir) so repeated bench runs measure the stream, not the setup
+#: write.  The checkpoint stays fresh per run (a reused checkpoint
+#: would make availableNow a no-op on the second run).
+_STREAM_DEDUP_INPUT: dict[str, str] = {}
+
+
+def _stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+    import uuid
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    inp = _STREAM_DEDUP_INPUT.get(sf_dir)
+    if inp is None:
+        inp = os.path.join(
+            tempfile.mkdtemp(prefix="sgraft_stream_dedup_"), "in"
+        )
+        ev.repartition(4).write.mode("overwrite").parquet(inp)
+        ev.filter(F.col("event_id") % 3 == 0).repartition(2).write.mode(
+            "append"
+        ).parquet(inp)
+        _STREAM_DEDUP_INPUT[sf_dir] = inp
+    run_id = uuid.uuid4().hex[:12]
+    tbl = "stream_dedup_" + run_id
+    q = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(inp)
+        .withWatermark("ts", "3650 days")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .writeStream.format("memory")
+        .queryName(tbl)
+        .option(
+            "checkpointLocation",
+            os.path.join(tempfile.gettempdir(), f"sgraft_sd_ckpt_{run_id}"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(tbl).select(
+        "event_id",
+        F.unix_millis("ts").alias("ts_ms"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+
+
+_register(
+    QuerySpec(
+        name="stream_dedup_within_watermark",
+        survey_ids=("T4", "D2"),
+        description="in-stream re-delivery dedup at watermark-bounded "
+        "state (dropDuplicatesWithinWatermark across micro-batches); "
+        "byte-identical duplicates make the survivor set deterministic, "
+        "so the streaming operator itself is oracle-paired",
+        spark=_stream_dedup_watermark,
+        oracle="""
+SELECT event_id, CAST(epoch_ms(ts) AS BIGINT) AS ts_ms,
+       user_id, event_type, value
+FROM events
+""",
+    )
+)
+
+
 _register(
     QuerySpec(
         name="merge_upsert_keep_last",
@@ -1884,6 +1979,15 @@ _register(
 #   token_freq_cm              — 3 receipts; frequency family keeps
 #                                frequent_tokens_exact, sketch family
 #                                keeps distinct_users_kmv
+# Mid-round r12 addendum: stream_dedup_within_watermark (SURVEY T4's
+# in-stream dedup at bounded state — dropDuplicatesWithinWatermark
+# across availableNow micro-batches, byte-identical re-deliveries make
+# the streaming operator itself oracle-pairable; admission receipts:
+# oracle-green at sf0.001/0.01/0.1, settled 3.26 s standalone with the
+# PERF.md justification, 1.52x at 10x rows, bounded-state semantics
+# pytest ×4) enters for phrase_topk_docs (r10+r11 receipts; the search
+# family keeps conjunctive_search_bm25 in-window and the at-rest
+# postings mechanics stay pytest-pinned).
 # Round-13 rotation plan (pre-committed): if CORRECTNESS_r12 is green
 # the paired backlog stays zero; rotate new r13 capabilities in as
 # registered (admission bar unchanged), taking outs from the r12
@@ -1942,7 +2046,7 @@ CHECKED_QUERIES: tuple[str, ...] = (
     "dedup_passages",
     "length_weighted_sample",
     "decontaminate_docs_bloom",
-    "phrase_topk_docs",
+    "stream_dedup_within_watermark",
     "bpe_encode_docs",
     "doc_fingerprint",
     "simhash60_fingerprints",
