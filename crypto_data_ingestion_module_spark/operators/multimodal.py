@@ -481,10 +481,6 @@ def gif_frames(payload: bytes):
         else np.zeros(3, np.uint8)
     )
     canvas = np.broadcast_to(background, (height, width, 3)).copy()
-    frames: list[tuple[int, "np.ndarray"]] = []
-    delay_ms = 0
-    transparent = -1
-    disposal = 0
     try:
         frames = _gif_walk(
             payload, off, width, height, gct, background, canvas

@@ -838,6 +838,63 @@ LEFT JOIN per p ON q.qid = p.qid
 
 
 # --------------------------------------------------------------------------
+# X3 per-query rank fusion (r12): the PRODUCTION multi-query shape of
+# RRF.  hybrid_rrf_topk fuses two rankers for ONE query (global
+# window); this row fuses the exact-cosine and seeded-LSH rankers for
+# EVERY query vector in a single pass — rrf_fuse_per_query windows
+# partitioned by qid, so the plan has no global (single-partition)
+# window and the shuffle key is the query id.  Composed from the two
+# PAIRED rankers, so both indexes and the fusion hash-check in one row
+# (the ann_recall_mrr move applied to serving instead of eval).
+# 100 TB shape: one shuffle on qid; per-query work bounded by the two
+# top-k lists — query count scales out, corpus size never enters the
+# fusion.
+# --------------------------------------------------------------------------
+
+def _rrf_per_query_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crypto_data_ingestion_module_spark.operators.search import (
+        rrf_fuse_per_query,
+    )
+
+    dense = QUERY_SPECS["cosine_topk"].spark(spark, sf_dir)
+    approx = QUERY_SPECS["ann_lsh_seed_topk"].spark(spark, sf_dir)
+    return rrf_fuse_per_query(dense, approx, query_col="qid", id_col="nid")
+
+
+_register(
+    QuerySpec(
+        name="hybrid_rrf_per_query",
+        survey_ids=("X3",),
+        description="per-query reciprocal-rank fusion (exact integer "
+        "ppm) of the exact-cosine and seeded-LSH rankers over every "
+        "query vector — the partitioned production shape of RRF, "
+        "composed from two oracle-paired rankers",
+        spark=_rrf_per_query_q,
+        oracle="""
+WITH a AS (SELECT qid, nid, rank AS ra FROM ({DENSE})),
+b AS (SELECT qid, nid, rank AS rb FROM ({APPROX})),
+fused AS (
+  SELECT COALESCE(a.qid, b.qid) AS qid,
+         COALESCE(a.nid, b.nid) AS nid,
+         COALESCE(1000000 // (60 + a.ra), 0)
+           + COALESCE(1000000 // (60 + b.rb), 0) AS rrf_ppm
+  FROM a FULL JOIN b ON a.qid = b.qid AND a.nid = b.nid
+)
+SELECT qid, nid, CAST(rrf_ppm AS BIGINT) AS rrf_ppm, CAST(rank AS INT) AS rank
+FROM (
+  SELECT qid, nid, rrf_ppm,
+         row_number() OVER (PARTITION BY qid ORDER BY rrf_ppm DESC, nid)
+           AS rank
+  FROM fused
+) WHERE rank <= 10
+""".replace("{DENSE}", QUERY_SPECS["cosine_topk"].oracle).replace(
+            "{APPROX}", QUERY_SPECS["ann_lsh_seed_topk"].oracle
+        ),
+    )
+)
+
+
+# --------------------------------------------------------------------------
 # X2 dedup-sketch evaluation: precision/recall of the banded MinHash LSH
 # pair set against exact n-gram Jaccard truth, the dedup twin of
 # ann_recall_mrr — again composed from two oracle-paired queries so the

@@ -1979,6 +1979,14 @@ _register(
 #   token_freq_cm              — 3 receipts; frequency family keeps
 #                                frequent_tokens_exact, sketch family
 #                                keeps distinct_users_kmv
+# Second r12 addendum: hybrid_rrf_per_query (the PRODUCTION multi-query
+# shape of rank fusion — rrf_fuse_per_query's qid-partitioned window
+# over every query vector, composed from the paired exact-cosine and
+# seeded-LSH rankers so both indexes and the fusion hash-check in one
+# row; admission: oracle-green at 3 SFs, settled receipt + 10x ratio in
+# PERF.md, partition-sweep green) enters for dedup_passages (r9-r11
+# receipts; X1 keeps decontaminate_docs_bloom + doc_fingerprint
+# in-window, tile semantics stay pytest-pinned).
 # Mid-round r12 addendum: stream_dedup_within_watermark (SURVEY T4's
 # in-stream dedup at bounded state — dropDuplicatesWithinWatermark
 # across availableNow micro-batches, byte-identical re-deliveries make
@@ -2043,7 +2051,7 @@ CHECKED_QUERIES: tuple[str, ...] = (
     "embedding_kmeans",
     "label_centroids",
     "pq_adc_topk",
-    "dedup_passages",
+    "hybrid_rrf_per_query",
     "length_weighted_sample",
     "decontaminate_docs_bloom",
     "stream_dedup_within_watermark",
