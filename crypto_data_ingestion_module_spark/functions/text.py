@@ -165,3 +165,53 @@ def oracle_pii_redact_sql(text: str = "text") -> str:
     for pat, token in _PII_STEPS:
         out = f"regexp_replace({out}, '{pat}', '{token}', 'g')"
     return out
+
+
+# --------------------------------------------------------------------------
+# Hashed linear classifier inference (r12, X4): the fastText-style
+# "run the quality model AT the data" primitive.  A linear model over
+# hashed token features needs no model server: weights are a pure
+# function of the bucket id (here md5-derived integers in [-1000,
+# 1000], standing in for trained weights shipped as a broadcast
+# VALUES table), so inference is hash → weight → per-doc SUM — one
+# map-side-combined aggregate over the token stream, no shuffle
+# beyond the doc key, no UDF, and every step has an exact DuckDB
+# twin (the hashed_doc_similarity md5 idiom).  All-integer margins:
+# |w| ≤ 1000 bounds |score| ≤ 1000·n_tokens, so the normalized
+# quality is (score + 1000·n) DIV (2000·n) in ppm — nonnegative
+# operands only (Spark DIV truncates toward zero while DuckDB //
+# floors; they agree only on nonnegative ints).
+# --------------------------------------------------------------------------
+
+#: weight-table seed tag: a different tag IS a different model.
+LINEAR_MODEL_TAG = "qw1"
+
+
+def hashed_token_bucket(tok: Column | str, n_buckets: int) -> Column:
+    """md5 feature-hash bucket, engine-identical (15 hex chars < 2^60
+    keeps the parse positive in both engines)."""
+    th = F.conv(F.substring(F.md5(_c(tok)), 1, 15), 16, 10).cast("long")
+    return F.pmod(th, F.lit(n_buckets)).cast("int")
+
+
+def hashed_bucket_weight(bucket: Column, tag: str = LINEAR_MODEL_TAG) -> Column:
+    """Deterministic integer weight in [-1000, 1000] for a feature
+    bucket — md5 of ``tag:bucket``.  Replace with a join against a
+    trained weight table to ship a real model; the inference plan
+    shape is identical."""
+    wh = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{tag}:"), bucket.cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (F.pmod(wh, F.lit(2001)) - F.lit(1000)).cast("long")
+
+
+def oracle_hashed_weight_sql(bucket: str, tag: str = LINEAR_MODEL_TAG) -> str:
+    """DuckDB twin of hashed_bucket_weight."""
+    return (
+        f"(CAST(('0x' || substr(md5('{tag}:' || CAST({bucket} AS VARCHAR)),"
+        f" 1, 15)) AS BIGINT) % 2001 - 1000)"
+    )

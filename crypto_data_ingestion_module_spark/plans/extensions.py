@@ -2643,6 +2643,82 @@ FROM ranked WHERE rank <= 5
 
 
 # --------------------------------------------------------------------------
+# X4 hashed linear classifier inference (r12): the fastText-style
+# quality-model scoring pass run AT the data.  Weights are a pure md5
+# function of the feature bucket (stand-in for a trained table — a
+# real model ships as a broadcast VALUES join with the identical plan
+# shape), so inference is hash → weight → one map-side-combined SUM
+# per doc: no UDF, no shuffle beyond the doc key, corpus scanned once.
+# All-integer margins; the ppm normalization keeps every DIV operand
+# nonnegative (Spark DIV truncates toward zero, DuckDB // floors —
+# they agree only on nonnegative ints).
+# --------------------------------------------------------------------------
+
+_QC_BUCKETS = 4096
+
+
+def _quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).filter(F.col("tok").rlike("^[a-z]+$"))
+    bucket = TX.hashed_token_bucket("tok", _QC_BUCKETS)
+    per = (
+        toks.select("doc_id", TX.hashed_bucket_weight(bucket).alias("w"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            F.sum("w").alias("score"),
+        )
+    )
+    return per.select(
+        "doc_id",
+        "n_feats",
+        "score",
+        F.expr("1000000 * (score + 1000 * n_feats) DIV (2000 * n_feats)")
+        .cast("long")
+        .alias("quality_ppm"),
+        (F.col("score") >= 0).alias("keep"),
+    )
+
+
+_register(
+    QuerySpec(
+        name="quality_classifier_scores",
+        survey_ids=("X4",),
+        description="hashed linear quality-classifier inference over "
+        "every document (md5 feature hash -> integer bucket weight -> "
+        "per-doc margin), all-integer ppm normalization — the "
+        "model-scoring pass of a curation pipeline, hash-checked "
+        "end to end",
+        spark=_quality_classifier,
+        oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+  FROM documents WHERE text IS NOT NULL
+), ft AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) % {_QC_BUCKETS}
+           AS bucket
+  FROM toks WHERE regexp_matches(tok, '^[a-z]+$')
+), scored AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_feats,
+         CAST(SUM({TX.oracle_hashed_weight_sql('bucket')}) AS BIGINT)
+           AS score
+  FROM ft GROUP BY doc_id
+)
+SELECT doc_id, n_feats, score,
+       CAST(1000000 * (score + 1000 * n_feats) // (2000 * n_feats)
+            AS BIGINT) AS quality_ppm,
+       score >= 0 AS keep
+FROM scored
+""",
+    )
+)
+
+
+# --------------------------------------------------------------------------
 # A2/A3 sketch breadth: Misra-Gries heavy hitters (rows-only — the
 # sketch is approximate BY CONTRACT; its under-count bound and
 # heavy-hitter completeness are pinned by tests/test_sketch.py against

@@ -1979,6 +1979,15 @@ _register(
 #   token_freq_cm              — 3 receipts; frequency family keeps
 #                                frequent_tokens_exact, sketch family
 #                                keeps distinct_users_kmv
+# Third r12 addendum: quality_classifier_scores (hashed linear
+# classifier inference — the fastText-style quality-model scoring pass
+# run AT the data: md5 feature hash → integer bucket weight → one
+# map-side-combined per-doc SUM, no UDF, all-integer ppm margins;
+# admission: oracle-green at 3 SFs, settled 1.14 s, 1.37x at 10x rows
+# — near-flat because the aggregate collapses map-side; hand-computed
+# weight/margin pytest) enters for embedding_kmeans (r6–r11 receipts;
+# X3 keeps label_centroids, pq_adc_topk, and hybrid_rrf_per_query
+# in-window, Lloyd descent/parity stays pytest-pinned).
 # Second r12 addendum: hybrid_rrf_per_query (the PRODUCTION multi-query
 # shape of rank fusion — rrf_fuse_per_query's qid-partitioned window
 # over every query vector, composed from the paired exact-cosine and
@@ -2048,7 +2057,7 @@ CHECKED_QUERIES: tuple[str, ...] = (
     # LLM-data-pipeline operators (X1–X5)
     "dedup_clusters",
     "trade_graph_pagerank",
-    "embedding_kmeans",
+    "quality_classifier_scores",
     "label_centroids",
     "pq_adc_topk",
     "hybrid_rrf_per_query",
