@@ -286,6 +286,22 @@ def test_salted_join_equals_plain(spark):
     plan = salted_join(ev, dims, ["user_id"], n_salts=8)._jdf.queryExecution().executedPlan().toString()
     assert "_salt" in plan  # the lane key reached the physical join
 
+    # degenerate-salt contract (ADVICE r11): key-only facts give a
+    # constant per-key salt — the mitigation silently does nothing, so
+    # the operator must WARN (and still produce the correct answer)
+    import warnings
+
+    key_only = ev.select("user_id")
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        degen = salted_join(key_only, dims, ["user_id"], n_salts=8)
+        assert any("no-op" in str(w.message) for w in caught), [
+            str(w.message) for w in caught
+        ]
+    assert sorted(map(tuple, degen.collect())) == sorted(
+        map(tuple, key_only.join(dims, "user_id").collect())
+    )
+
 
 def test_q6_predicates_reach_parquet_scan(spark):
     """forecast_revenue_change is the pushdown benchmark: every scan
