@@ -296,6 +296,14 @@ def _stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
             "append"
         ).parquet(inp)
         _STREAM_DEDUP_INPUT[sf_dir] = inp
+    # memory sinks pin their rows in driver memory for the lifetime of
+    # the temp view: drop the previous runs' views (their DataFrames
+    # are dead by the time a new run starts — bench/validate/driver all
+    # consume the result before re-invoking) so repeated runs do not
+    # accumulate result copies
+    for t in spark.catalog.listTables():
+        if t.isTemporary and t.name.startswith("stream_dedup_"):
+            spark.catalog.dropTempView(t.name)
     run_id = uuid.uuid4().hex[:12]
     tbl = "stream_dedup_" + run_id
     q = (
