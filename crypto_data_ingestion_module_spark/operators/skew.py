@@ -10,6 +10,17 @@ one extra (tiny) shuffle of N·|keys| pre-aggregated rows.
 Only algebraic aggregates decompose this way — sum/count/min/max and
 anything built from them (avg = sum/count).  The helper takes the
 decomposition explicitly, keeping the operator honest.
+
+Measured regime (PERF_skew_r12.json, ~sf1 viral key = 30% of 8M
+rows): for a Catalyst hash aggregate, ``salted_agg`` does NOT win —
+the decomposition it requires is exactly the one Spark's map-side
+partial aggregation already exploits, so the hot key collapses to one
+row per map task BEFORE the shuffle (plain max-task 288 ms on the
+same rows whose JOIN straggles at 1.8 s) and the salt only adds a
+shuffle (2.0× wall).  Use it where partial aggregation is
+unavailable — aggregation done OUTSIDE Catalyst (custom stateful
+paths, foreachBatch sink-side combines) — or for join-fed skew use
+``salted_join`` below, where the straggler is real.
 """
 
 from __future__ import annotations
