@@ -448,18 +448,21 @@ def _gif_lzw_decode(data: bytes, min_code_size: int, expected: int) -> bytes:
 _GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
 
 
-def gif_frames(payload: bytes):
+def gif_frames(payload: bytes, max_frames: int | None = None):
     """GIF → (width, height, [(delay_ms, HxWx3 uint8 RGB ndarray), ...]).
 
     Full composite per frame: each image descriptor's rect is drawn
     onto the logical-screen canvas (transparent palette indices leave
-    the canvas untouched), honoring disposal methods 0/1 (keep) and 2
-    (restore rect to background).  Disposal 3 (restore-previous) and a
-    frame with neither local nor global palette raise loudly rather
-    than compositing wrong pixels.  Interlaced frames are supported
-    (the standard 8/8/4/2 four-pass row order).  ``delay_ms`` is the
-    frame's GCE delay in REAL milliseconds (centiseconds × 10; 0 when
-    no GCE precedes the frame)."""
+    the canvas untouched), honoring all four disposal methods — 0/1
+    (keep), 2 (restore rect to background), 3 (restore rect to the
+    pre-frame canvas).  A frame with neither local nor global palette
+    raises loudly rather than compositing wrong pixels.  Interlaced
+    frames are supported (the standard 8/8/4/2 four-pass row order).
+    ``delay_ms`` is the frame's GCE delay in REAL milliseconds
+    (centiseconds × 10; 0 when no GCE precedes the frame).
+    ``max_frames`` stops the walk early — single-image consumers pass
+    1 so a 500-frame animation doesn't pay 500 LZW decodes to read
+    frame 0."""
     import numpy as np
 
     if not is_gif(payload):
@@ -483,7 +486,7 @@ def gif_frames(payload: bytes):
     canvas = np.broadcast_to(background, (height, width, 3)).copy()
     try:
         frames = _gif_walk(
-            payload, off, width, height, gct, background, canvas
+            payload, off, width, height, gct, background, canvas, max_frames
         )
     except IndexError as exc:  # ran off the end of a truncated payload
         raise ValueError("truncated GIF payload") from exc
@@ -492,7 +495,9 @@ def gif_frames(payload: bytes):
     return width, height, frames
 
 
-def _gif_walk(payload, off, width, height, gct, background, canvas):
+def _gif_walk(
+    payload, off, width, height, gct, background, canvas, max_frames=None
+):
     import numpy as np
 
     frames: list[tuple[int, "np.ndarray"]] = []
@@ -541,10 +546,6 @@ def _gif_walk(payload, off, width, height, gct, background, canvas):
             raise ValueError("GIF frame has neither local nor global palette")
         if left + fw > width or top + fh > height:
             raise ValueError("GIF frame rect exceeds logical screen")
-        if disposal == 3:
-            raise ValueError(
-                "GIF disposal method 3 (restore previous) not supported"
-            )
         min_code_size = payload[off]
         off += 1
         chunks = []
@@ -566,17 +567,30 @@ def _gif_walk(payload, off, width, height, gct, background, canvas):
             deinterlaced = np.empty_like(idx)
             deinterlaced[order] = idx
             idx = deinterlaced
-        if int(idx.max(initial=0)) >= len(palette):
-            raise ValueError("GIF pixel index beyond palette")
         rect = canvas[top : top + fh, left : left + fw]
+        # disposal 3: the frame's rect is restored to the PRE-frame
+        # canvas after display — save it before drawing
+        saved = rect.copy() if disposal == 3 else None
         if transparent >= 0:
+            # transparent pixels never consult the palette, so the
+            # bound check covers OPAQUE indices only (a transparency
+            # index beyond the palette is legal when min_code_size
+            # exceeds log2(palette size))
             opaque = idx != transparent
+            if opaque.any() and int(idx[opaque].max()) >= len(palette):
+                raise ValueError("GIF pixel index beyond palette")
             rect[opaque] = palette[idx[opaque]]
         else:
+            if int(idx.max(initial=0)) >= len(palette):
+                raise ValueError("GIF pixel index beyond palette")
             rect[:, :] = palette[idx]
         frames.append((delay_ms, canvas.copy()))
+        if max_frames is not None and len(frames) >= max_frames:
+            return frames
         if disposal == 2:  # restore rect to background before next frame
             canvas[top : top + fh, left : left + fw] = background
+        elif disposal == 3:  # restore rect to the pre-frame canvas
+            canvas[top : top + fh, left : left + fw] = saved
         delay_ms = 0
         transparent = -1
         disposal = 0
@@ -584,8 +598,10 @@ def _gif_walk(payload, off, width, height, gct, background, canvas):
 
 
 def gif_to_rgb(payload: bytes):
-    """First composited frame of a GIF as an HxWx3 uint8 RGB array."""
-    _w, _h, frames = gif_frames(payload)
+    """First composited frame of a GIF as an HxWx3 uint8 RGB array
+    (walks only the first image descriptor — an animation's remaining
+    frames are never LZW-decoded)."""
+    _w, _h, frames = gif_frames(payload, max_frames=1)
     return frames[0][1]
 
 
@@ -633,15 +649,25 @@ def _decode_any(payload: bytes):
     QUARANTINED — ``(False, None, None, None)`` — rather than given
     fabricated features.  (Through r11 unrecognized payloads received
     deterministic sha256-derived stand-in features; that seam is
-    retired — synthetic features never flow downstream.)"""
-    if is_wav(payload):
-        return (True, *decode_wav_bytes(payload))
-    if is_ppm(payload):
-        return (True, *decode_ppm_bytes(payload))
-    if is_png(payload):
-        return (True, *decode_png_bytes(payload))
-    if is_gif(payload):
-        return (True, *decode_gif_bytes(payload))
+    retired — synthetic features never flow downstream.)
+
+    The quarantine is TOTAL: a payload whose magic bytes sniff as a
+    known container but whose body is corrupt (truncated stream, bad
+    header, unsupported profile) also quarantines instead of raising —
+    one dirty scraped asset must not abort the Spark stage.  The
+    direct decoders (``decode_gif_bytes`` & co.) keep raising loudly
+    for callers who want the reason."""
+    try:
+        if is_wav(payload):
+            return (True, *decode_wav_bytes(payload))
+        if is_ppm(payload):
+            return (True, *decode_ppm_bytes(payload))
+        if is_png(payload):
+            return (True, *decode_png_bytes(payload))
+        if is_gif(payload):
+            return (True, *decode_gif_bytes(payload))
+    except Exception:  # corrupt body behind a recognized magic
+        pass
     return (False, None, None, None)
 
 
@@ -704,14 +730,18 @@ def make_resize_kernel(target_w: int, target_h: int):
     """
 
     def _one(p: bytes):
-        if is_ppm(p):
-            return resize_ppm_bytes(p, target_w, target_h)
-        if is_png(p):
-            # transcode once, then the REAL P6 resampler (output is P6:
-            # re-encoding to PNG would spend zlib time for no fidelity)
-            return resize_ppm_bytes(png_to_ppm(p), target_w, target_h)
-        if is_gif(p):
-            return resize_ppm_bytes(gif_to_ppm(p), target_w, target_h)
+        try:
+            if is_ppm(p):
+                return resize_ppm_bytes(p, target_w, target_h)
+            if is_png(p):
+                # transcode once, then the REAL P6 resampler (output is
+                # P6: re-encoding to PNG would spend zlib time for no
+                # fidelity)
+                return resize_ppm_bytes(png_to_ppm(p), target_w, target_h)
+            if is_gif(p):
+                return resize_ppm_bytes(gif_to_ppm(p), target_w, target_h)
+        except Exception:  # corrupt body behind a recognized magic
+            pass
         return None
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -903,35 +933,47 @@ def sample_frames_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
     ONE batch of inputs in memory at a time) are identical on every
     path, which is exactly why a PyAV iterator drops in per format.
     """
-    for pdf in batches:
-        ids, oks, idxs, tss, frames = [], [], [], [], []
-
-        def _emit(aid, i, ts, frame) -> None:
-            ids.append(int(aid))
-            oks.append(True)
-            idxs.append(i)
-            tss.append(ts)
-            frames.append(frame)
-
-        for aid, p in zip(pdf["asset_id"], pdf["payload"]):
-            raw = bytes(p)
+    def _demux_one(raw: bytes):
+        """[(frame_idx, ts_ms, p6_bytes), ...] for one asset, or None to
+        quarantine — fully demuxed before anything is emitted, so a
+        corrupt container can never leave partial frames behind."""
+        try:
             if is_y4m(raw):
                 num, den, fr = demux_y4m(raw)
-                for i, frame in enumerate(fr):
-                    # true container timing: i / (num/den) seconds
-                    _emit(aid, i, i * 1000 * den // num, frame)
-            elif is_ppm_stream(raw):
-                for i, frame in enumerate(demux_ppm_stream(raw)):
-                    _emit(aid, i, i * 1000 // _P6_STREAM_FPS, frame)
-            elif is_gif(raw):
-                for i, (ts, frame) in enumerate(demux_gif(raw)):
-                    _emit(aid, i, ts, frame)
-            else:
+                # true container timing: i / (num/den) seconds
+                return [
+                    (i, i * 1000 * den // num, f) for i, f in enumerate(fr)
+                ]
+            if is_ppm_stream(raw):
+                return [
+                    (i, i * 1000 // _P6_STREAM_FPS, f)
+                    for i, f in enumerate(demux_ppm_stream(raw))
+                ]
+            if is_gif(raw):
+                return [
+                    (i, ts, f) for i, (ts, f) in enumerate(demux_gif(raw))
+                ]
+        except Exception:  # corrupt body behind a recognized magic
+            pass
+        return None
+
+    for pdf in batches:
+        ids, oks, idxs, tss, frames = [], [], [], [], []
+        for aid, p in zip(pdf["asset_id"], pdf["payload"]):
+            out = _demux_one(bytes(p))
+            if out is None:
                 ids.append(int(aid))
                 oks.append(False)
                 idxs.append(None)
                 tss.append(None)
                 frames.append(None)
+                continue
+            for i, ts, frame in out:
+                ids.append(int(aid))
+                oks.append(True)
+                idxs.append(i)
+                tss.append(ts)
+                frames.append(frame)
         yield pd.DataFrame(
             {
                 "asset_id": pd.Series(ids, dtype="int64"),

@@ -306,6 +306,7 @@ def _stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.catalog.dropTempView(t.name)
     run_id = uuid.uuid4().hex[:12]
     tbl = "stream_dedup_" + run_id
+    ckpt = os.path.join(tempfile.gettempdir(), f"sgraft_sd_ckpt_{run_id}")
     q = (
         spark.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", 2)
@@ -314,14 +315,17 @@ def _stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicatesWithinWatermark(["event_id"])
         .writeStream.format("memory")
         .queryName(tbl)
-        .option(
-            "checkpointLocation",
-            os.path.join(tempfile.gettempdir(), f"sgraft_sd_ckpt_{run_id}"),
-        )
+        .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
+    # the checkpoint (offsets + per-partition state-store files) is only
+    # needed while the drained query runs — never resumed — so remove it
+    # rather than leak one dir per invocation into the global tempdir
+    import shutil
+
+    shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(tbl).select(
         "event_id",
         F.unix_millis("ts").alias("ts_ms"),

@@ -5,7 +5,6 @@ sketches measured against exact ground truth, multimodal batch decode."""
 from pyspark.sql import functions as F
 
 from crypto_data_ingestion_module_spark.operators.multimodal import (
-    FEATURE_DIM,
     decode_assets,
     documents_as_assets,
 )
