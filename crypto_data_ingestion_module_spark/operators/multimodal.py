@@ -10,7 +10,8 @@ headers parse straight off the raster; PNG goes through a pure-stdlib
 chunk walk + zlib inflate + per-row unfiltering (None/Sub/Up/Average/
 Paeth; gray/RGB/palette/alpha color types); GIF goes through a
 pure-stdlib header/palette walk + LZW decompression + frame
-compositing (transparency, disposal 0/1/2, interlace) — all three
+compositing (transparency, all four disposal methods, interlace) —
+all three
 containers land in the SAME grid-luminance feature kernel, and integer
 box-average resampling emits a valid P6 (PNG/GIF transcoded to P6
 first), all numpy-vectorized (golden-file pytest with independent
