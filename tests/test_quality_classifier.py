@@ -70,3 +70,23 @@ def test_classifier_margin_hand_computed(spark, monkeypatch):
 
     s2 = w("zz")  # 'Gamma' (uppercase) and 'NOPE42' filtered
     assert out[2]["n_feats"] == 1 and out[2]["score"] == s2
+
+
+def test_classifier_scan_is_pruned(spark):
+    """Inference must read ONLY (doc_id, text) from the documents scan —
+    a classifier pass that drags the full row width through the token
+    explode is the 100 TB mistake this pin exists to catch."""
+    import crypto_data_ingestion_module_spark.plans.queries as q
+
+    df = q.QUERY_SPECS["quality_classifier_scores"].spark(
+        spark, "/root/testdata/sf0.001"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scans = [ln for ln in plan.splitlines() if "FileScan parquet" in ln]
+    assert scans
+    for ln in scans:
+        assert "doc_id" in ln and "text" in ln
+        for extra in ("lang", "source", "n_chars"):
+            assert extra not in ln, ln
+    # the NULL-text filter reached the scan
+    assert any("isnotnull(text" in ln for ln in scans), scans
