@@ -215,3 +215,59 @@ def oracle_hashed_weight_sql(bucket: str, tag: str = LINEAR_MODEL_TAG) -> str:
         f"(CAST(('0x' || substr(md5('{tag}:' || CAST({bucket} AS VARCHAR)),"
         f" 1, 15)) AS BIGINT) % 2001 - 1000)"
     )
+
+
+# -- quantized profile features (linear-model feature engineering) ----------
+# One-hot band features over the document's shape statistics — the
+# signals the quality heuristic reads (length, word count, punctuation
+# ratio, stopword ratio), quantized to small integer bands so a LINEAR
+# model can fit a sum of banded functions of them.  Band ids live ABOVE
+# the token-hash bucket range (base = n_buckets), so a model can mix
+# hashed-token and profile features in one weight table without
+# collisions.  Banding is floor division on nonnegative counts: DuckDB
+# runs integer //; Spark runs floor(a / b) in doubles, which equals the
+# integer floor here because IEEE division is correctly rounded and at
+# these magnitudes (a < 2^40, b <= 40) a misrounding across an integer
+# boundary would require the true quotient within half an ulp of an
+# integer — impossible for integer operands this small unless the
+# division is exact.  So the feature frame is bit-identical across
+# engines.
+
+#: band layout (offsets from base): 16 length bands, 16 word-count
+#: bands, 16 punctuation-ratio bands (ratio in twentieths), 10
+#: stopword-ratio bands (ratio in tenths).
+PROFILE_BANDS = 58
+
+
+def profile_feature_buckets(col: Column | str, base: int) -> Column:
+    """Array of 4 one-hot band feature ids for a document."""
+    cc = char_count(col)
+    wc = word_count(col)
+    pc = punct_count(col)
+    sw = stopword_count(col)
+    one = F.greatest(cc, F.lit(1))  # never 0 together with a nonzero pc
+    wone = F.greatest(wc, F.lit(1))
+    return F.array(
+        F.lit(base) + F.least(F.floor(cc / F.lit(40)), F.lit(15)),
+        F.lit(base + 16) + F.least(F.floor(wc / F.lit(8)), F.lit(15)),
+        F.lit(base + 32) + F.least(F.floor(pc * 20 / one), F.lit(15)),
+        F.lit(base + 48) + F.least(F.floor(sw * 10 / wone), F.lit(9)),
+    )
+
+
+def oracle_profile_buckets_sql(text: str, base: int) -> str:
+    """DuckDB twin of profile_feature_buckets: a LIST expression to
+    unnest (same bands, same floor math)."""
+    cc = f"length({text})"
+    wc = f"len(regexp_extract_all({text}, '{WORD_PATTERN}'))"
+    pc = f"len(regexp_extract_all({text}, '[^A-Za-z0-9\\s]'))"
+    sw = (
+        f"len(regexp_extract_all(lower({text}),"
+        f" '\\b({'|'.join(STOPWORDS)})\\b'))"
+    )
+    return (
+        f"[{base} + least({cc} // 40, 15),"
+        f" {base + 16} + least({wc} // 8, 15),"
+        f" {base + 32} + least(({pc} * 20) // greatest({cc}, 1), 15),"
+        f" {base + 48} + least(({sw} * 10) // greatest({wc}, 1), 9)]"
+    )

@@ -2719,6 +2719,183 @@ FROM scored
 
 
 # --------------------------------------------------------------------------
+# X4 in-engine classifier TRAINING (r13): the other half of the r12
+# inference row.  A batch perceptron with a fixed unroll count in exact
+# integer arithmetic (operators/linear.py) distills the SQL-expressible
+# quality heuristic (functions/text.py quality_score — the teacher) into
+# a linear model trained AT the data — the fastText-style curation-model
+# loop (heuristic/LLM labels -> cheap linear scorer run over the whole
+# corpus) with no driver-side state.  Because counts and labels are
+# integers and eta=1, the recurrence is engine-order-free and the whole
+# ITERATIVE training run hash-checks against unrolled DuckDB CTEs — the
+# pagerank trick applied to model training.
+#
+# Feature choice is MEASURED, not assumed: hashed token-count features
+# (the r12 inference row's space) carry no class signal on this corpus —
+# the synthetic vocabulary is shared across quality classes, so the
+# trained model collapses to the majority class (88% agreement = the
+# positive rate) and unioning tokens in measurably SLOWS convergence
+# (440/500 at 12 iters vs 484+ profile-only).  The teacher reads shape
+# statistics, so the student gets them as one-hot PROFILE BANDS
+# (functions/text.py profile_feature_buckets: length/word/punct-ratio/
+# stopword-ratio bands, ids above the token-hash range — the weight
+# table can mix both spaces).  12 batch iterations reach ~97% agreement
+# (492/500 sf0.01, 4829/5000 sf0.1) vs the 88% majority floor.  The
+# operator itself is feature-agnostic: tokens-in-the-frame mechanics are
+# pytest-pinned (tests/test_linear_train.py).
+# --------------------------------------------------------------------------
+
+_QC_TRAIN_ITERS = 12
+
+
+def _qc_feats_labels(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """Shared feature/label builders: profile-band features per doc +
+    teacher labels (+1 iff the quality heuristic clears 0.5 —
+    quality_score is bit-identical cross-engine, so the threshold is
+    deterministic)."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    feats = (
+        docs.select(
+            "doc_id",
+            F.explode(TX.profile_feature_buckets("text", _QC_BUCKETS)).alias(
+                "b"
+            ),
+        )
+        .groupBy("doc_id", F.col("b").cast("int").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    labels = docs.select(
+        "doc_id",
+        F.when(TX.quality_score("text") >= 0.5, F.lit(1))
+        .otherwise(F.lit(-1))
+        .cast("long")
+        .alias("y"),
+    )
+    return feats, labels
+
+
+def _qc_train_cte(iters: int) -> str:
+    """Unrolled DuckDB twin of train_perceptron_hashed: w1 is the
+    all-miss first update (w0=0 makes every margin 0 and y*0 <= 0), each
+    later round scores, collects the miss set, and folds the update in
+    with a full outer join — zero weights are kept in intermediates
+    (they contribute nothing to any margin, so dropping them only at the
+    end, as the engine does, is the identity).
+
+    ``feats``/``lab``/every ``w{{t}}`` are MATERIALIZED: DuckDB inlines
+    plain CTEs, and each ``w{{t}}`` is referenced twice by level t+1, so
+    an inlined unroll re-evaluates the whole history per level — 2^iters
+    blowup (measured: the 12-step oracle never finished inlined,
+    milliseconds materialized)."""
+    cte = f"""
+WITH pf AS (
+  SELECT doc_id,
+         unnest({TX.oracle_profile_buckets_sql('text', _QC_BUCKETS)})
+           AS bucket
+  FROM documents WHERE text IS NOT NULL
+), feats AS MATERIALIZED (
+  SELECT doc_id, CAST(bucket AS INT) AS bucket, CAST(count(*) AS BIGINT) AS cnt
+  FROM pf GROUP BY doc_id, bucket
+), lab AS MATERIALIZED (
+  SELECT doc_id,
+         CAST(CASE WHEN {TX.oracle_quality_sql('text')} >= 0.5
+              THEN 1 ELSE -1 END AS BIGINT) AS y
+  FROM documents WHERE text IS NOT NULL
+), w1 AS MATERIALIZED (
+  SELECT f.bucket, SUM(l.y * f.cnt) AS w
+  FROM feats f JOIN lab l USING (doc_id) GROUP BY f.bucket
+)"""
+    for t in range(2, iters + 1):
+        p = t - 1
+        cte += f""", m{t} AS (
+  SELECT f.doc_id, SUM(w{p}.w * f.cnt) AS margin
+  FROM feats f JOIN w{p} USING (bucket) GROUP BY f.doc_id
+), miss{t} AS (
+  SELECT l.doc_id, l.y FROM lab l LEFT JOIN m{t} USING (doc_id)
+  WHERE l.y * coalesce(m{t}.margin, 0) <= 0
+), u{t} AS (
+  SELECT f.bucket, SUM(m.y * f.cnt) AS dw
+  FROM feats f JOIN miss{t} m USING (doc_id) GROUP BY f.bucket
+), w{t} AS MATERIALIZED (
+  SELECT coalesce(w{p}.bucket, u{t}.bucket) AS bucket,
+         coalesce(w{p}.w, 0) + coalesce(u{t}.dw, 0) AS w
+  FROM w{p} FULL OUTER JOIN u{t} ON w{p}.bucket = u{t}.bucket
+)"""
+    return cte
+
+
+def _qc_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crypto_data_ingestion_module_spark.operators.linear import (
+        train_perceptron_hashed,
+    )
+
+    feats, labels = _qc_feats_labels(spark, sf_dir)
+    return train_perceptron_hashed(feats, labels, iterations=_QC_TRAIN_ITERS)
+
+
+_register(
+    QuerySpec(
+        name="quality_classifier_train",
+        survey_ids=("X4",),
+        description="in-engine batch-perceptron training of the hashed "
+        "linear quality model (3 unrolled iterations, integer eta=1 "
+        "updates, quality-heuristic teacher labels) — the iterative "
+        "training recurrence itself hash-checked via unrolled CTEs, "
+        "pagerank-style",
+        spark=_qc_train,
+        oracle=_qc_train_cte(_QC_TRAIN_ITERS)
+        + f"\nSELECT bucket, CAST(w AS BIGINT) AS w"
+        f" FROM w{_QC_TRAIN_ITERS} WHERE w <> 0\n",
+    )
+)
+
+
+def _qc_trained_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crypto_data_ingestion_module_spark.operators.linear import (
+        score_with_weights,
+        train_perceptron_hashed,
+    )
+
+    feats, labels = _qc_feats_labels(spark, sf_dir)
+    w = train_perceptron_hashed(feats, labels, iterations=_QC_TRAIN_ITERS)
+    sc = score_with_weights(feats, w)
+    margin = F.coalesce(F.col("margin"), F.lit(0).cast("long"))
+    return labels.join(sc, "doc_id", "left").select(
+        "doc_id",
+        F.col("y").alias("teacher_y"),
+        margin.alias("margin"),
+        (margin >= 0).alias("keep"),
+        ((F.col("y") * margin) > 0).alias("agree"),
+    )
+
+
+_register(
+    QuerySpec(
+        name="quality_classifier_trained_scores",
+        survey_ids=("X4",),
+        description="inference composed FROM the in-engine-trained "
+        "weights: broadcast weight join + map-side-combined per-doc "
+        "margin (the identical plan as the stand-in inference row), "
+        "plus per-doc agreement with the teacher heuristic",
+        spark=_qc_trained_scores,
+        oracle=_qc_train_cte(_QC_TRAIN_ITERS)
+        + f""", sc AS (
+  SELECT f.doc_id, SUM(w{_QC_TRAIN_ITERS}.w * f.cnt) AS margin
+  FROM feats f JOIN w{_QC_TRAIN_ITERS} USING (bucket) GROUP BY f.doc_id
+)
+SELECT l.doc_id, l.y AS teacher_y,
+       CAST(coalesce(sc.margin, 0) AS BIGINT) AS margin,
+       coalesce(sc.margin, 0) >= 0 AS keep,
+       l.y * coalesce(sc.margin, 0) > 0 AS agree
+FROM lab l LEFT JOIN sc USING (doc_id)
+""",
+    )
+)
+
+
+# --------------------------------------------------------------------------
 # A2/A3 sketch breadth: Misra-Gries heavy hitters (rows-only — the
 # sketch is approximate BY CONTRACT; its under-count bound and
 # heavy-hitter completeness are pinned by tests/test_sketch.py against
