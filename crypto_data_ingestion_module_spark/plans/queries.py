@@ -291,7 +291,7 @@ def _stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         inp = os.path.join(
             tempfile.mkdtemp(prefix="sgraft_stream_dedup_"), "in"
         )
-        ev.repartition(4).write.mode("overwrite").parquet(inp)
+        ev.repartition(2).write.mode("overwrite").parquet(inp)
         ev.filter(F.col("event_id") % 3 == 0).repartition(2).write.mode(
             "append"
         ).parquet(inp)
@@ -348,6 +348,138 @@ _register(
 SELECT event_id, CAST(epoch_ms(ts) AS BIGINT) AS ts_ms,
        user_id, event_type, value
 FROM events
+""",
+    )
+)
+
+
+# --------------------------------------------------------------------------
+# A1+T2+K2 streaming incremental rollup, oracle-paired (r13): the
+# streaming half of the continuous-aggregate stack finally gets a
+# driver receipt (streaming/rollup_stream.py was pytest-only through
+# r12).  Ticks arrive in 2 micro-batches (maxFilesPerTrigger=1 over a
+# randomly-split 2-file landing zone, so the second batch RE-MERGES
+# nearly every bucket the first one wrote); every batch merges its
+# ALGEBRAIC candle
+# partials into the snapshot lake (one atomic manifest commit per
+# batch — the commit cost is independent of how many of the 30 date
+# partitions a batch touches, which is why the snapshot backend and
+# not the per-date-rename marker backend carries the paired row);
+# after the availableNow drain the finalized candles are read BACK
+# from the lake.  Because the partial form is associative and exact
+# (struct min/max opens/closes, micro-unit LONG sums — operators/
+# rollup.py module docstring), the result is batch-split-independent
+# and equals the one-shot batch aggregate, which is what makes a
+# STREAMING MAINTENANCE pipeline oracle-pairable at all.  The replay/
+# crash semantics that ARE order-dependent stay pytest-pinned
+# (tests/test_rollup.py, test_rollup_snapshot.py).
+# 100 TB shape: per batch, work is proportional to the batch plus the
+# touched buckets' stored partials (manifest file-pruning does the
+# "touched" part); the lake never rescans history and the candle
+# state lives in the lake, not in a state store.
+# --------------------------------------------------------------------------
+
+#: fixture cache (input landing zone) + previous runs' lake dirs.  The
+#: INPUT is the fixture and builds once per (process, sf_dir); the LAKE
+#: and checkpoint must be fresh per run (a reused lake would no-op on
+#: replayed batch ids), so each invocation tears down the previous
+#: run's dirs instead of leaking them for the process lifetime.
+_STREAM_ROLLUP_INPUT: dict[str, str] = {}
+_STREAM_ROLLUP_SCRATCH: list[str] = []
+
+
+def _stream_rollup_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from crypto_data_ingestion_module_spark.operators.rollup import (
+        finalize,
+        read_rollup_snapshot,
+    )
+    from crypto_data_ingestion_module_spark.streaming.rollup_stream import (
+        stream_rollup,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    inp = _STREAM_ROLLUP_INPUT.get(sf_dir)
+    if inp is None:
+        inp = os.path.join(
+            tempfile.mkdtemp(prefix="sgraft_stream_rollup_"), "in"
+        )
+        ev.repartition(2).write.mode("overwrite").parquet(inp)
+        _STREAM_ROLLUP_INPUT[sf_dir] = inp
+    while _STREAM_ROLLUP_SCRATCH:
+        shutil.rmtree(_STREAM_ROLLUP_SCRATCH.pop(), ignore_errors=True)
+    scratch = tempfile.mkdtemp(prefix="sgraft_stream_rollup_run_")
+    lake = os.path.join(scratch, "lake")
+    ckpt = os.path.join(scratch, "ckpt")
+    src = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(inp)
+    )
+    q = stream_rollup(
+        src,
+        lake,
+        ckpt,
+        3_600_000,
+        keys=("event_type",),
+        ts_col="ts",
+        price_col="value",
+        volume_col=None,
+        tiebreak_col="event_id",
+        backend="snapshot",
+    )
+    q.awaitTermination()
+    # the checkpoint dies with the drained query; the LAKE must outlive
+    # this call (the returned DataFrame reads it lazily), so it is torn
+    # down at the NEXT invocation instead
+    shutil.rmtree(ckpt, ignore_errors=True)
+    _STREAM_ROLLUP_SCRATCH.append(scratch)
+    part = read_rollup_snapshot(spark, lake).drop("date")
+    return finalize(part, ["event_type"]).select(
+        "bucket_ts",
+        "event_type",
+        "open",
+        "high",
+        "low",
+        "close",
+        "volume",
+        "vwap",
+        "n_rows",
+    )
+
+
+_register(
+    QuerySpec(
+        name="stream_rollup_1h",
+        survey_ids=("A1", "T2", "K2"),
+        description="streaming incremental OHLCV rollup: micro-batches "
+        "of ticks merged into snapshot-lake candle partials (one atomic "
+        "manifest commit per batch), finalized candles read back from "
+        "the lake; associative exact partials make the maintenance "
+        "result batch-split-independent and oracle-pairable",
+        spark=_stream_rollup_1h,
+        oracle=f"""
+SELECT {obucket('ts', 3_600_000)} AS bucket_ts,
+       event_type,
+       first(value ORDER BY ts, event_id) AS open,
+       max(value) AS high,
+       min(value) AS low,
+       last(value ORDER BY ts, event_id) AS close,
+       {osum('value')} AS volume,
+       CASE WHEN sum(CAST(round(value * 1000000.0) AS BIGINT)) > 0
+            THEN CAST(sum(CAST(round(value * value * 1000000.0) AS BIGINT))
+                      AS DOUBLE)
+                 / CAST(sum(CAST(round(value * 1000000.0) AS BIGINT))
+                        AS DOUBLE)
+       END AS vwap,
+       count(*) AS n_rows
+FROM events
+GROUP BY bucket_ts, event_type
 """,
     )
 )
@@ -2024,6 +2156,25 @@ _register(
 # remains, the next-stalest cohort per COVERAGE.md is the r3-receipt
 # rows (candle_gaps, candle_returns_ma, chunk_documents,
 # cross_stream_compare, lang_id, ngram_jaccard_pairs, ...).
+# ROUND-13 EXECUTION (CORRECTNESS_r12 was 50/50 green, backlog zero):
+# IN (9) = the full r3-receipt cohort named above (all 6, now 9-10
+# rounds stale) + the three r13 capabilities (quality_classifier_train,
+# quality_classifier_trained_scores, stream_rollup_1h — each admitted
+# oracle-green at sf0.001/0.01/0.1 with settled receipts in PERF.md).
+# OUT (9), all holding FRESH r12 receipts with family twins kept:
+#   customer_order_counts_dist, small_qty_part_revenue,
+#   supplier_part_breadth, top_supplier_revenue,
+#   open_order_customers_by_nation, rich_idle_customers
+#     — six of the ten r1-cohort join re-entries; the join family keeps
+#       pricing_summary, forecast_revenue_change, important_parts,
+#       revenue_cube in-window
+#   ohlcv_resample_15m — A1 keeps ohlcv_resample_1h (flagship), the NEW
+#       streaming stream_rollup_1h, and vwap_1h in-window
+#   epoch_conversions — P3/P4/P11 hold r1-r12 receipts; time family
+#       keeps interval_parse_ms + time_range_filter in-window
+#   interval_boundary_gate — F3 holds r1-r12 receipts; the boundary
+#       math stays pytest-pinned and interval_completeness (A3 over the
+#       same grid) stays in-window
 # --------------------------------------------------------------------------
 
 CHECKED_QUERIES: tuple[str, ...] = (
@@ -2037,23 +2188,15 @@ CHECKED_QUERIES: tuple[str, ...] = (
     "normalize_candles",
     "venue_interval_lookup",
     "datasource_candles",
-    "epoch_conversions",
     "time_range_filter",
     "watermark_progress",
     "topk_latest_per_type",
-    "interval_boundary_gate",
-    "ohlcv_resample_15m",
+    "stream_rollup_1h",
     # joins / windows / grouping (§2.5 capability extensions)
     "pricing_summary",
     "forecast_revenue_change",
     "important_parts",
     "revenue_cube",
-    "customer_order_counts_dist",
-    "small_qty_part_revenue",
-    "supplier_part_breadth",
-    "top_supplier_revenue",
-    "open_order_customers_by_nation",
-    "rich_idle_customers",
     # windowed / stateful analytics
     "activity_streaks",
     "value_deciles",
@@ -2066,10 +2209,18 @@ CHECKED_QUERIES: tuple[str, ...] = (
     "vwap_1h",
     "bollinger_breakouts_20",
     "order_flow_1h",
+    "candle_gaps",
+    "candle_returns_ma",
+    "cross_stream_compare",
     # LLM-data-pipeline operators (X1–X5)
     "dedup_clusters",
     "trade_graph_pagerank",
     "quality_classifier_scores",
+    "quality_classifier_train",
+    "quality_classifier_trained_scores",
+    "chunk_documents",
+    "lang_id",
+    "ngram_jaccard_pairs",
     "label_centroids",
     "pq_adc_topk",
     "hybrid_rrf_per_query",

@@ -27,7 +27,10 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming import StreamingQuery
 
-from crypto_data_ingestion_module_spark.operators.rollup import maintain_rollup
+from crypto_data_ingestion_module_spark.operators.rollup import (
+    maintain_rollup,
+    maintain_rollup_snapshot,
+)
 
 
 def stream_rollup(
@@ -41,13 +44,31 @@ def stream_rollup(
     volume_col: str | None = None,
     tiebreak_col: str = "event_id",
     available_now: bool = True,
+    backend: str = "markers",
 ) -> StreamingQuery:
-    """Start continuous candle maintenance over a tick stream."""
+    """Start continuous candle maintenance over a tick stream.
+
+    ``backend`` picks the lake's durability discipline: ``"markers"``
+    commits each touched DATE PARTITION by marker-file + directory
+    rename (one rename per touched date — fine when batches touch few
+    dates); ``"snapshot"`` commits every batch as ONE atomic manifest
+    swap on the snapshot lake (``maintain_rollup_snapshot``) — the
+    right choice when a batch's calendar span is wide, since the
+    commit cost is independent of how many dates it touches.  Replay
+    idempotence holds in both (per-date markers vs the manifest's
+    applied-ids ledger), so at-least-once foreachBatch delivery never
+    double-merges.
+    """
+    if backend not in ("markers", "snapshot"):
+        raise ValueError(f"unknown rollup backend: {backend!r}")
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        maintain_rollup(
+        maintain = (
+            maintain_rollup if backend == "markers" else maintain_rollup_snapshot
+        )
+        maintain(
             batch_df.sparkSession,
             batch_df,
             lake_root,

@@ -245,3 +245,45 @@ def test_cascade_partials_equals_direct(spark):
 
     with pytest.raises(ValueError, match="not a multiple"):
         cascade_partials(fine, 900_000, 1_000_000)
+
+
+def test_stream_rollup_snapshot_backend_matches_batch(spark, tmp_path):
+    """The snapshot-lake backend (one atomic manifest commit per
+    micro-batch) finalizes identically to the marker backend and the
+    one-shot batch resample — the discipline carrying the driver row
+    stream_rollup_1h.  Also pins that a bad backend name is loud."""
+    import glob
+    import os
+
+    from crypto_data_ingestion_module_spark.operators.rollup import (
+        read_rollup_snapshot,
+    )
+    from crypto_data_ingestion_module_spark.streaming.rollup_stream import (
+        stream_rollup,
+    )
+
+    ev = load_table(spark, SF_SMALL, "events")
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    for n, i in enumerate([2, 0, 1]):  # shuffled arrival order
+        tmp = str(tmp_path / f"t{i}")
+        ev.filter(F.col("event_id") % 3 == i).coalesce(1).write.parquet(tmp)
+        os.rename(
+            glob.glob(tmp + "/*.parquet")[0],
+            os.path.join(in_dir, f"b{n}.parquet"),
+        )
+    src = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    lake = str(tmp_path / "snap_lake")
+    q = stream_rollup(
+        src, lake, str(tmp_path / "ck"), IVL, backend="snapshot"
+    )
+    q.awaitTermination(120)
+    got = _rows(finalize(read_rollup_snapshot(spark, lake).drop("date"), ["event_type"]))
+    assert got == _rows(_full(spark))
+
+    with pytest.raises(ValueError, match="unknown rollup backend"):
+        stream_rollup(src, lake, str(tmp_path / "ck2"), IVL, backend="nope")
