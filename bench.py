@@ -73,6 +73,17 @@ SWEEP_SAMPLE_TWINS: tuple[str, ...] = (
     "lsh_pair_recall",         # composition of minhash + ngram_jaccard pairs
     "semdedup_pair_recall",    # composition of the two near-dup pair rows
     "revenue_rollup_hierarchy",  # partial-rollup shape twin of revenue_cube
+    # r13 pre-planned extension (VERDICT r12 item 3): the r13 additions
+    # put the projection inside firing range, so the droppable set grows
+    # BEFORE the line is crossed.  Both rows' cost is machinery, not
+    # data (checkpoint + availableNow drain; re-training), and both keep
+    # a still-measured cost carrier on the board.
+    "stream_dedup_within_watermark",  # named by VERDICT r12 ("keep it on
+    #   the twin list if the gate fires"): its cost axis is streaming
+    #   machinery, carried by the still-measured stream_rollup_1h
+    "quality_classifier_trained_scores",  # composition: re-runs
+    #   quality_classifier_train (still measured) + the broadcast
+    #   scoring join of quality_classifier_scores (still measured)
 )
 
 
