@@ -644,9 +644,378 @@ def demux_gif(payload: bytes) -> list[tuple[int, bytes]]:
     return out
 
 
+# --------------------------------------------------------------------------
+# JPEG (baseline DCT): REAL pure-stdlib+numpy decode — the dominant
+# real-world training-corpus image format (VERDICT r12 item 6).
+# Marker/segment walk, canonical Huffman entropy decode with byte
+# un-stuffing and restart-marker handling, dequantize + dezigzag,
+# float IDCT (two 8x8 matmuls per block, batched per component),
+# chroma upsampling by replication, full-range BT.601 YCbCr->RGB in
+# integer fixed point.  Supported profile: baseline (SOF0) and
+# extended-sequential (SOF1) Huffman scans, 8-bit precision, 1 or 3
+# components, any sampling factors (4:4:4 / 4:2:0 / 4:2:2 / ...),
+# single interleaved scan, DRI/RSTn restarts.  Progressive (SOF2),
+# arithmetic coding, hierarchical, 12-bit, and multi-scan files reject
+# LOUDLY from the direct decoders and QUARANTINE in the batch kernels,
+# per the r12 contract — never misdecoded.  Derived from the public
+# ITU-T T.81 specification; no reference-repo analog exists
+# (crypto_collector.py has no media surface).
+
+
+def is_jpeg(payload: bytes) -> bool:
+    """JPEG SOI sniff (every JPEG stream starts FF D8 FF)."""
+    return payload[:3] == b"\xff\xd8\xff"
+
+
+#: zigzag scan order: _JPEG_ZIGZAG[i] = (row, col) of the i-th
+#: transmitted coefficient (T.81 figure A.6).
+_JPEG_ZIGZAG: tuple[tuple[int, int], ...] = tuple(
+    (r, c)
+    for r, c in sorted(
+        ((r, c) for r in range(8) for c in range(8)),
+        key=lambda rc: (
+            rc[0] + rc[1],
+            rc[1] if (rc[0] + rc[1]) % 2 == 0 else rc[0],
+        ),
+    )
+)
+
+
+def _jpeg_idct_basis():
+    """8x8 DCT-III basis A with A[u, x] = a(u) cos((2x+1) u pi / 16);
+    spatial block = A.T @ F @ A."""
+    import math
+
+    import numpy as np
+
+    a = np.empty((8, 8))
+    for u in range(8):
+        cu = math.sqrt(1.0 / 8.0) if u == 0 else math.sqrt(2.0 / 8.0)
+        for x in range(8):
+            a[u, x] = cu * math.cos((2 * x + 1) * u * math.pi / 16.0)
+    return a
+
+
+class _JpegBitReader:
+    """MSB-first bit reader over entropy-coded JPEG data: 0xFF00 byte
+    stuffing removed, RSTn markers surfaced via ``restart()``, any
+    other marker = end of scan data."""
+
+    def __init__(self, buf: bytes, pos: int) -> None:
+        self._buf = buf
+        self._pos = pos
+        self._acc = 0
+        self._nbits = 0
+
+    def _fill(self) -> None:
+        b = self._buf
+        while self._nbits <= 24:
+            if self._pos >= len(b):
+                raise ValueError("truncated JPEG scan data")
+            byte = b[self._pos]
+            if byte == 0xFF:
+                nxt = b[self._pos + 1] if self._pos + 1 < len(b) else None
+                if nxt == 0x00:  # stuffed literal FF
+                    self._pos += 2
+                elif nxt is None:
+                    raise ValueError("truncated JPEG scan data")
+                else:  # a real marker terminates the entropy segment
+                    byte = None
+            else:
+                self._pos += 1
+            if byte is None:
+                # pad with zeros; decoding past a marker raises upstream
+                self._acc = (self._acc << 8) & 0xFFFFFFFF
+                self._nbits += 8
+                self._padded = True
+            else:
+                self._acc = ((self._acc << 8) | byte) & 0xFFFFFFFF
+                self._nbits += 8
+
+    def bits(self, n: int) -> int:
+        if n == 0:
+            return 0
+        while self._nbits < n:
+            self._fill()
+        v = (self._acc >> (self._nbits - n)) & ((1 << n) - 1)
+        self._nbits -= n
+        return v
+
+    def restart(self) -> None:
+        """Byte-align and consume an RSTn marker (between restart
+        intervals)."""
+        self._acc = 0
+        self._nbits = 0
+        b = self._buf
+        p = self._pos
+        while p + 1 < len(b) and b[p] == 0xFF and b[p + 1] == 0xFF:
+            p += 1  # fill bytes
+        if p + 1 >= len(b) or b[p] != 0xFF or not (
+            0xD0 <= b[p + 1] <= 0xD7
+        ):
+            raise ValueError("missing JPEG restart marker")
+        self._pos = p + 2
+
+
+def _jpeg_huff_table(counts: bytes, values: bytes) -> dict[tuple[int, int], int]:
+    """Canonical Huffman table: (code_length, code) -> decoded value
+    (T.81 annex C code assignment)."""
+    table: dict[tuple[int, int], int] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            table[(length, code)] = values[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _jpeg_decode_sym(reader: _JpegBitReader, table: dict) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | reader.bits(1)
+        v = table.get((length, code))
+        if v is not None:
+            return v
+    raise ValueError("invalid JPEG Huffman code")
+
+
+def _jpeg_extend(v: int, s: int) -> int:
+    """EXTEND (T.81 F.2.2.1): map an s-bit magnitude to its signed
+    value."""
+    return v if s == 0 or v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def jpeg_to_rgb(payload: bytes):
+    """REAL baseline JPEG decode → (height, width, 3) uint8 RGB array
+    (grayscale replicates to RGB, like the PNG path)."""
+    import struct
+
+    import numpy as np
+
+    if not is_jpeg(payload):
+        raise ValueError("not a JPEG payload")
+    qt: dict[int, "np.ndarray"] = {}
+    huff: dict[tuple[int, int], dict] = {}  # (class 0=DC/1=AC, id)
+    frame = None  # (height, width, [(cid, h, v, tq)])
+    scan = None  # [(comp_idx, dc_id, ac_id)]
+    restart_interval = 0
+    pos, n = 2, len(payload)
+    while pos + 4 <= n:
+        if payload[pos] != 0xFF:
+            raise ValueError("bad JPEG marker alignment")
+        marker = payload[pos + 1]
+        if marker == 0xFF:  # fill byte
+            pos += 1
+            continue
+        pos += 2
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue  # no-payload markers
+        if marker == 0xD9:  # EOI before SOS
+            break
+        (seglen,) = struct.unpack(">H", payload[pos : pos + 2])
+        seg = payload[pos + 2 : pos + seglen]
+        if marker == 0xDB:  # DQT (possibly several tables)
+            i = 0
+            while i < len(seg):
+                pq, tq = seg[i] >> 4, seg[i] & 0xF
+                i += 1
+                if pq == 0:
+                    vals = np.frombuffer(
+                        seg[i : i + 64], dtype=np.uint8
+                    ).astype(np.int32)
+                    i += 64
+                else:
+                    vals = np.frombuffer(
+                        seg[i : i + 128], dtype=">u2"
+                    ).astype(np.int32)
+                    i += 128
+                qt[tq] = vals
+        elif marker == 0xC4:  # DHT (possibly several tables)
+            i = 0
+            while i < len(seg):
+                tc, th = seg[i] >> 4, seg[i] & 0xF
+                counts = seg[i + 1 : i + 17]
+                nvals = sum(counts)
+                values = seg[i + 17 : i + 17 + nvals]
+                huff[(tc, th)] = _jpeg_huff_table(counts, values)
+                i += 17 + nvals
+        elif marker in (0xC0, 0xC1):  # baseline / extended sequential
+            precision, height, width, ncomp = struct.unpack(
+                ">BHHB", seg[:6]
+            )
+            if precision != 8:
+                raise ValueError(
+                    f"unsupported JPEG precision {precision} (8 only)"
+                )
+            comps = []
+            for c in range(ncomp):
+                cid, hv, tq_id = seg[6 + 3 * c : 9 + 3 * c]
+                comps.append((cid, hv >> 4, hv & 0xF, tq_id))
+            frame = (height, width, comps)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                "unsupported JPEG coding process (baseline/extended "
+                f"sequential Huffman only, got SOF{marker - 0xC0})"
+            )
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", seg[:2])
+        elif marker == 0xDA:  # SOS — entropy data follows
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF")
+            ns = seg[0]
+            if ns != len(frame[2]):
+                raise ValueError(
+                    "unsupported JPEG scan (single interleaved scan only)"
+                )
+            cid_to_idx = {c[0]: i for i, c in enumerate(frame[2])}
+            scan = []
+            for s in range(ns):
+                cs, tds = seg[1 + 2 * s : 3 + 2 * s]
+                scan.append((cid_to_idx[cs], tds >> 4, tds & 0xF))
+            pos += seglen
+            break
+        pos += seglen
+    if frame is None or scan is None:
+        raise ValueError("JPEG missing SOF/SOS")
+
+    height, width, comps = frame
+    if len(comps) not in (1, 3):
+        raise ValueError(f"unsupported JPEG component count {len(comps)}")
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = (width + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (height + 8 * vmax - 1) // (8 * vmax)
+    # per-component coefficient planes (in 8x8 block units)
+    planes = []
+    for cid, h, v, tq_id in comps:
+        if tq_id not in qt:
+            raise ValueError(f"JPEG missing quantization table {tq_id}")
+        planes.append(
+            np.zeros((mcuy * v * 8, mcux * h * 8), dtype=np.int32)
+        )
+
+    reader = _JpegBitReader(payload, pos)
+    dc_pred = [0] * len(comps)
+    zz = _JPEG_ZIGZAG
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and (
+                mcu_count % restart_interval == 0
+            ):
+                reader.restart()
+                dc_pred = [0] * len(comps)
+            for ci, dc_id, ac_id in scan:
+                _, h, v, tq_id = comps[ci]
+                dct = huff.get((0, dc_id))
+                act = huff.get((1, ac_id))
+                if dct is None or act is None:
+                    raise ValueError("JPEG missing Huffman table")
+                q = qt[tq_id]
+                for by in range(v):
+                    for bx in range(h):
+                        block = np.zeros(64, dtype=np.int32)
+                        s = _jpeg_decode_sym(reader, dct)
+                        diff = _jpeg_extend(reader.bits(s), s)
+                        dc_pred[ci] += diff
+                        block[0] = dc_pred[ci] * q[0]
+                        k = 1
+                        while k < 64:
+                            rs = _jpeg_decode_sym(reader, act)
+                            r, size = rs >> 4, rs & 0xF
+                            if size == 0:
+                                if r == 15:  # ZRL: sixteen zeros
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("JPEG AC index overflow")
+                            block[k] = (
+                                _jpeg_extend(reader.bits(size), size)
+                                * q[k]
+                            )
+                            k += 1
+                        y0 = (my * v + by) * 8
+                        x0 = (mx * h + bx) * 8
+                        coef = np.zeros((8, 8), dtype=np.int32)
+                        for i in range(64):
+                            coef[zz[i]] = block[i]
+                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = coef
+            mcu_count += 1
+
+    # batched IDCT per component, then crop to the component's own grid
+    A = _jpeg_idct_basis()
+    samples = []
+    for ci, (cid, h, v, tq_id) in enumerate(comps):
+        p = planes[ci].astype(np.float64)
+        ph, pw = p.shape
+        blocks = p.reshape(ph // 8, 8, pw // 8, 8).transpose(0, 2, 1, 3)
+        spatial = np.einsum("ux,mnuv,vy->mnxy", A, blocks, A)
+        plane = spatial.transpose(0, 2, 1, 3).reshape(ph, pw)
+        plane = np.clip(np.floor(plane + 128.5), 0, 255).astype(np.int32)
+        # component resolution is ceil(width*h/hmax) x ceil(height*v/vmax)
+        cw = (width * h + hmax - 1) // hmax
+        ch = (height * v + vmax - 1) // vmax
+        plane = plane[:ch, :cw]
+        # upsample to full resolution by replication
+        if h != hmax or v != vmax:
+            if hmax % h or vmax % v:
+                raise ValueError(
+                    f"unsupported JPEG sampling ratio {h}x{v} vs "
+                    f"{hmax}x{vmax} (integer ratios only)"
+                )
+            plane = np.repeat(
+                np.repeat(plane, vmax // v, axis=0), hmax // h, axis=1
+            )
+        samples.append(plane[:height, :width])
+
+    if len(samples) == 1:
+        g = samples[0].astype(np.uint8)
+        return np.repeat(g[:, :, None], 3, axis=2)
+    y, cb, cr = samples
+    cb = cb - 128
+    cr = cr - 128
+    # full-range BT.601 in 16-bit fixed point (deterministic integer ops)
+    r = y + ((91881 * cr + 32768) >> 16)
+    g = y - ((22554 * cb + 46802 * cr + 32768) >> 16)
+    b = y + ((116130 * cb + 32768) >> 16)
+    rgb = np.stack(
+        [np.clip(r, 0, 255), np.clip(g, 0, 255), np.clip(b, 0, 255)],
+        axis=2,
+    ).astype(np.uint8)
+    return rgb
+
+
+def decode_jpeg_bytes(payload: bytes) -> tuple[int, int, list[float]]:
+    """JPEG → (width, height, FEATURE_DIM grid-luminance features): the
+    real decode feeding the SAME feature kernel as PPM/PNG/GIF, so a
+    pixel grid produces container-independent features (pinned in
+    tests)."""
+    rgb = jpeg_to_rgb(payload)
+    return (
+        rgb.shape[1],
+        rgb.shape[0],
+        _grid_luma_features(rgb.astype("int64"), 255),
+    )
+
+
+def jpeg_to_ppm(payload: bytes) -> bytes:
+    """Container transcode: JPEG in → equivalent P6 out, so JPEG assets
+    ride the existing REAL resize path (``resize_ppm_bytes``) like PNG
+    and GIF."""
+    rgb = jpeg_to_rgb(payload)
+    header = f"P6\n{rgb.shape[1]} {rgb.shape[0]}\n255\n".encode()
+    return header + rgb.tobytes()
+
+
 def _decode_any(payload: bytes):
-    """Container-sniffing dispatch: real WAV / PPM / PNG / GIF decode
-    when the payload IS one of those containers; anything else is
+    """Container-sniffing dispatch: real WAV / PPM / PNG / GIF / JPEG
+    decode when the payload IS one of those containers; anything else is
     QUARANTINED — ``(False, None, None, None)`` — rather than given
     fabricated features.  (Through r11 unrecognized payloads received
     deterministic sha256-derived stand-in features; that seam is
@@ -667,6 +1036,8 @@ def _decode_any(payload: bytes):
             return (True, *decode_png_bytes(payload))
         if is_gif(payload):
             return (True, *decode_gif_bytes(payload))
+        if is_jpeg(payload):
+            return (True, *decode_jpeg_bytes(payload))
     except Exception:  # corrupt body behind a recognized magic
         pass
     return (False, None, None, None)
@@ -675,7 +1046,7 @@ def _decode_any(payload: bytes):
 def decode_image_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """mapInPandas kernel: (asset_id, modality, payload) → decoded meta +
     features.  One output row per input row; Arrow-batched.  Recognized
-    containers (WAV/P6/PNG/GIF) take their REAL decode path; anything
+    containers (WAV/P6/PNG/GIF/JPEG) take their REAL decode path; anything
     else comes back with ``decode_ok = false`` and NULL width/height/
     features — the quarantine contract (no fabricated features)."""
     for pdf in batches:
@@ -741,6 +1112,8 @@ def make_resize_kernel(target_w: int, target_h: int):
                 return resize_ppm_bytes(png_to_ppm(p), target_w, target_h)
             if is_gif(p):
                 return resize_ppm_bytes(gif_to_ppm(p), target_w, target_h)
+            if is_jpeg(p):
+                return resize_ppm_bytes(jpeg_to_ppm(p), target_w, target_h)
         except Exception:  # corrupt body behind a recognized magic
             pass
         return None
