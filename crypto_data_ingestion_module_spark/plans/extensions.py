@@ -2776,13 +2776,15 @@ def _qc_feats_labels(
     return feats, labels
 
 
-def _qc_train_cte(iters: int) -> str:
+def _qc_train_cte(iters: int, train_where: str = "TRUE") -> str:
     """Unrolled DuckDB twin of train_perceptron_hashed: w1 is the
     all-miss first update (w0=0 makes every margin 0 and y*0 <= 0), each
     later round scores, collects the miss set, and folds the update in
     with a full outer join — zero weights are kept in intermediates
     (they contribute nothing to any margin, so dropping them only at the
-    end, as the engine does, is the identity).
+    end, as the engine does, is the identity).  ``train_where``
+    restricts the TRAINING split (tfeats/tlab); the full-corpus
+    feats/lab stay available for scoring selects.
 
     ``feats``/``lab``/every ``w{{t}}`` are MATERIALIZED: DuckDB inlines
     plain CTEs, and each ``w{{t}}`` is referenced twice by level t+1, so
@@ -2803,21 +2805,25 @@ WITH pf AS (
          CAST(CASE WHEN {TX.oracle_quality_sql('text')} >= 0.5
               THEN 1 ELSE -1 END AS BIGINT) AS y
   FROM documents WHERE text IS NOT NULL
+), tfeats AS MATERIALIZED (
+  SELECT * FROM feats WHERE {train_where}
+), tlab AS MATERIALIZED (
+  SELECT * FROM lab WHERE {train_where}
 ), w1 AS MATERIALIZED (
   SELECT f.bucket, SUM(l.y * f.cnt) AS w
-  FROM feats f JOIN lab l USING (doc_id) GROUP BY f.bucket
+  FROM tfeats f JOIN tlab l USING (doc_id) GROUP BY f.bucket
 )"""
     for t in range(2, iters + 1):
         p = t - 1
         cte += f""", m{t} AS (
   SELECT f.doc_id, SUM(w{p}.w * f.cnt) AS margin
-  FROM feats f JOIN w{p} USING (bucket) GROUP BY f.doc_id
+  FROM tfeats f JOIN w{p} USING (bucket) GROUP BY f.doc_id
 ), miss{t} AS (
-  SELECT l.doc_id, l.y FROM lab l LEFT JOIN m{t} USING (doc_id)
+  SELECT l.doc_id, l.y FROM tlab l LEFT JOIN m{t} USING (doc_id)
   WHERE l.y * coalesce(m{t}.margin, 0) <= 0
 ), u{t} AS (
   SELECT f.bucket, SUM(m.y * f.cnt) AS dw
-  FROM feats f JOIN miss{t} m USING (doc_id) GROUP BY f.bucket
+  FROM tfeats f JOIN miss{t} m USING (doc_id) GROUP BY f.bucket
 ), w{t} AS MATERIALIZED (
   SELECT coalesce(w{p}.bucket, u{t}.bucket) AS bucket,
          coalesce(w{p}.w, 0) + coalesce(u{t}.dw, 0) AS w
@@ -2890,6 +2896,57 @@ SELECT l.doc_id, l.y AS teacher_y,
        coalesce(sc.margin, 0) >= 0 AS keep,
        l.y * coalesce(sc.margin, 0) > 0 AS agree
 FROM lab l LEFT JOIN sc USING (doc_id)
+""",
+    )
+)
+
+
+def _qc_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crypto_data_ingestion_module_spark.operators.linear import (
+        score_with_weights,
+        train_perceptron_hashed,
+    )
+
+    feats, labels = _qc_feats_labels(spark, sf_dir)
+    w = train_perceptron_hashed(
+        feats.filter(F.col("doc_id") % 2 == 0),
+        labels.filter(F.col("doc_id") % 2 == 0),
+        iterations=_QC_TRAIN_ITERS,
+    )
+    held = labels.filter(F.col("doc_id") % 2 == 1)
+    sc = score_with_weights(feats.filter(F.col("doc_id") % 2 == 1), w)
+    margin = F.coalesce(F.col("margin"), F.lit(0).cast("long"))
+    return held.join(sc, "doc_id", "left").select(
+        "doc_id",
+        F.col("y").alias("teacher_y"),
+        margin.alias("margin"),
+        (margin >= 0).alias("keep"),
+        ((F.col("y") * margin) > 0).alias("agree"),
+    )
+
+
+_register(
+    QuerySpec(
+        name="quality_classifier_holdout",
+        survey_ids=("X4",),
+        description="held-out generalization of the in-engine-trained "
+        "model: train on the even-doc_id half, score the UNSEEN odd "
+        "half — the train/test split measurement a real curation "
+        "pipeline reports, hash-checked end to end",
+        spark=_qc_holdout,
+        oracle=_qc_train_cte(_QC_TRAIN_ITERS, "doc_id % 2 = 0")
+        + f""", sc AS (
+  SELECT f.doc_id, SUM(w{_QC_TRAIN_ITERS}.w * f.cnt) AS margin
+  FROM feats f JOIN w{_QC_TRAIN_ITERS} USING (bucket)
+  WHERE f.doc_id % 2 = 1
+  GROUP BY f.doc_id
+)
+SELECT l.doc_id, l.y AS teacher_y,
+       CAST(coalesce(sc.margin, 0) AS BIGINT) AS margin,
+       coalesce(sc.margin, 0) >= 0 AS keep,
+       l.y * coalesce(sc.margin, 0) > 0 AS agree
+FROM lab l LEFT JOIN sc USING (doc_id)
+WHERE l.doc_id % 2 = 1
 """,
     )
 )

@@ -2175,6 +2175,12 @@ _register(
 #   interval_boundary_gate — F3 holds r1-r12 receipts; the boundary
 #       math stays pytest-pinned and interval_completeness (A3 over the
 #       same grid) stays in-window
+# Mid-round r13 addendum: quality_classifier_holdout (train on the
+# even-doc_id half, score the unseen odd half — the train/test split
+# measurement a real curation pipeline reports; same admission bar)
+# enters for hourly_seasonality (r9-r12 receipts; the seasonal pivot
+# keeps its family via interval_completeness + partition_date_counts
+# in-window, pivot mechanics pytest-pinned).
 # --------------------------------------------------------------------------
 
 CHECKED_QUERIES: tuple[str, ...] = (
@@ -2203,7 +2209,6 @@ CHECKED_QUERIES: tuple[str, ...] = (
     "cross_stream_spread_1h",
     "frequent_tokens_exact",
     "distinct_users_kmv",
-    "hourly_seasonality",
     "interval_completeness",
     # technical indicators (round-4: the candle lake's downstream analytics)
     "vwap_1h",
@@ -2218,6 +2223,7 @@ CHECKED_QUERIES: tuple[str, ...] = (
     "quality_classifier_scores",
     "quality_classifier_train",
     "quality_classifier_trained_scores",
+    "quality_classifier_holdout",
     "chunk_documents",
     "lang_id",
     "ngram_jaccard_pairs",

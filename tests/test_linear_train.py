@@ -152,3 +152,21 @@ def test_trained_model_beats_majority_class(spark):
     ).collect()[0]
     assert r["agree"] > r["pos"], (r["agree"], r["pos"], r["n"])
     assert r["agree"] >= int(0.95 * r["n"])
+
+
+def test_holdout_generalizes_beyond_majority_class(spark):
+    """Train/test split: the model trained on the even-doc_id half must
+    beat the all-positive predictor on the UNSEEN odd half — the
+    generalization measurement, not just training-set fit."""
+    import crypto_data_ingestion_module_spark.plans.queries as q
+
+    df = q.QUERY_SPECS["quality_classifier_holdout"].spark(
+        spark, "/root/testdata/sf0.01"
+    )
+    r = df.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("agree").cast("int")).alias("agree"),
+        F.sum((F.col("teacher_y") == 1).cast("int")).alias("pos"),
+    ).collect()[0]
+    assert r["agree"] > r["pos"], (r["agree"], r["pos"], r["n"])
+    assert r["agree"] >= int(0.95 * r["n"])
