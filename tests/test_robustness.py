@@ -202,3 +202,89 @@ def test_session_attribution_hot_user_skew(spark):
     # user 2: two sessions, one purchase each
     u2 = {k: v for k, v in got.items() if k[0] == 2}
     assert len(u2) == 2 and set(u2.values()) == {1}, u2
+
+
+# --------------------------------------------------------------------------
+# Media decoder totality (r13): the quarantine contract claims corrupt
+# payloads NEVER crash a kernel and NEVER mis-decode silently into
+# fabricated features — they quarantine in kernels and raise loudly
+# from the direct decoders.  These fuzz that claim three ways: random
+# bytes, bit-flipped valid containers, and truncated valid containers,
+# across every real decoder (WAV/P6/PNG/GIF/JPEG).
+# --------------------------------------------------------------------------
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.binary(min_size=0, max_size=512), st.data())
+def test_decoders_total_on_fuzzed_payloads(blob, data):
+    """Random bytes, and random-prefix grafts of real container magics,
+    either decode (if they happen to be valid) or raise ValueError-ish
+    — never hang, never return fabricated features; _decode_any never
+    raises at all."""
+    from crypto_data_ingestion_module_spark.operators.multimodal import (
+        _decode_any,
+        decode_gif_bytes,
+        decode_jpeg_bytes,
+        decode_png_bytes,
+        decode_ppm_bytes,
+        decode_wav_bytes,
+    )
+
+    magics = [
+        b"", b"P6 ", b"\x89PNG\r\n\x1a\n", b"GIF89a",
+        b"\xff\xd8\xff", b"RIFF",
+    ]
+    payload = data.draw(st.sampled_from(magics)) + blob
+    ok, w, h, feats = _decode_any(payload)
+    if ok:
+        assert feats is not None
+    else:
+        assert w is None and h is None and feats is None
+    for dec in (decode_ppm_bytes, decode_png_bytes, decode_gif_bytes,
+                decode_jpeg_bytes, decode_wav_bytes):
+        try:
+            dec(payload)
+        except Exception:
+            pass  # loud is fine; hanging/segfault would fail the run
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.data())
+def test_mutated_valid_containers_quarantine_or_decode(data):
+    """Bit-flip or truncate a VALID container: the kernel-facing
+    dispatch must still be total (either a clean decode of a still-
+    valid stream, or a quarantine — never an exception)."""
+    import struct as _struct
+
+    from crypto_data_ingestion_module_spark.operators.multimodal import (
+        _decode_any,
+    )
+    from tests.test_multimodal_jpeg import _encode_jpeg, _gradient
+    from tests.test_multimodal_png import _encode_png
+
+    base = data.draw(
+        st.sampled_from(
+            [
+                _encode_jpeg(_gradient(16, 16)),
+                _encode_png(
+                    [[(1, 2, 3)] * 8 for _ in range(8)], 2, [0] * 8
+                ),
+                b"P6\n4 4\n255\n" + bytes(48),
+            ]
+        )
+    )
+    mode = data.draw(st.sampled_from(["flip", "truncate", "extend"]))
+    b = bytearray(base)
+    if mode == "flip":
+        i = data.draw(st.integers(0, len(b) - 1))
+        b[i] ^= 1 << data.draw(st.integers(0, 7))
+    elif mode == "truncate":
+        b = b[: data.draw(st.integers(0, len(b) - 1))]
+    else:
+        b += bytes(data.draw(st.integers(1, 64)))
+    ok, w, h, feats = _decode_any(bytes(b))
+    if ok:
+        assert w is None or w >= 0
+        assert feats is None or len(feats) > 0
+    else:
+        assert w is None and h is None and feats is None
