@@ -84,6 +84,9 @@ SWEEP_SAMPLE_TWINS: tuple[str, ...] = (
     "quality_classifier_trained_scores",  # composition: re-runs
     #   quality_classifier_train (still measured) + the broadcast
     #   scoring join of quality_classifier_scores (still measured)
+    "stream_classifier_scores",  # composition: the trainer (still
+    #   measured) + stateless stream machinery (carried by the
+    #   still-measured stream_rollup_1h)
 )
 
 

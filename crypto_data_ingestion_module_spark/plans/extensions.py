@@ -2953,6 +2953,118 @@ WHERE l.doc_id % 2 = 1
 
 
 # --------------------------------------------------------------------------
+# X4+T2 streaming model SERVING (r13): score documents IN the stream
+# with the in-engine-trained model — inference at ingest, the serving
+# half of the curation-model loop.  The trained weight table is bounded
+# (parameter count), so it ships into the stream as a LITERAL MAP
+# expression and the whole scoring pass is a STATELESS projection: the
+# profile bands are exactly 4 one-hot features per doc (disjoint id
+# ranges, cnt = 1), so the margin is a 4-lookup sum — no groupBy, no
+# state store, no watermark.  Stateless streaming == batch semantics by
+# construction, which is what makes the STREAMING serving pass itself
+# hash-checkable against the batch oracle (identical output contract
+# to quality_classifier_trained_scores).
+# 100 TB shape: model broadcast cost is the parameter count; per-doc
+# work is constant; the stream never shuffles at all.
+# --------------------------------------------------------------------------
+
+_STREAM_QC_INPUT: dict[str, str] = {}
+
+
+def _stream_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from crypto_data_ingestion_module_spark.operators.linear import (
+        train_perceptron_hashed,
+    )
+
+    feats, labels = _qc_feats_labels(spark, sf_dir)
+    w = train_perceptron_hashed(feats, labels, iterations=_QC_TRAIN_ITERS)
+    # the model table is bounded by contract (<= parameter count rows)
+    wmap = {r["bucket"]: r["w"] for r in w.collect()}
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    inp = _STREAM_QC_INPUT.get(sf_dir)
+    if inp is None:
+        inp = os.path.join(tempfile.mkdtemp(prefix="sgraft_stream_qc_"), "in")
+        docs.repartition(3).write.mode("overwrite").parquet(inp)
+        _STREAM_QC_INPUT[sf_dir] = inp
+    for t in spark.catalog.listTables():
+        if t.isTemporary and t.name.startswith("stream_qc_"):
+            spark.catalog.dropTempView(t.name)
+    run_id = uuid.uuid4().hex[:12]
+    tbl = "stream_qc_" + run_id
+    ckpt = os.path.join(tempfile.gettempdir(), f"sgraft_qc_ckpt_{run_id}")
+    zero = F.lit(0).cast("long")
+    if wmap:
+        wlit = F.create_map(
+            *[F.lit(v) for kv in sorted(wmap.items()) for v in kv]
+        )
+        lookup = lambda b: F.coalesce(wlit[b.cast("int")], zero)  # noqa: E731
+    else:
+        lookup = lambda b: zero  # noqa: E731
+    margin = F.aggregate(
+        TX.profile_feature_buckets("text", _QC_BUCKETS),
+        zero,
+        lambda acc, b: acc + lookup(b),
+    )
+    # no maxFilesPerTrigger: a STATELESS projection has no cross-batch
+    # semantics to exercise, so the availableNow drain takes one
+    # micro-batch and the row measures serving, not trigger machinery
+    # (the cross-batch streaming disciplines are carried by
+    # stream_dedup_within_watermark and stream_rollup_1h)
+    q = (
+        spark.readStream.schema(docs.schema)
+        .parquet(inp)
+        .filter(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            F.when(TX.quality_score("text") >= 0.5, F.lit(1))
+            .otherwise(F.lit(-1))
+            .cast("long")
+            .alias("teacher_y"),
+            margin.alias("margin"),
+            (margin >= 0).alias("keep"),
+        )
+        .withColumn("agree", (F.col("teacher_y") * F.col("margin")) > 0)
+        .writeStream.format("memory")
+        .queryName(tbl)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.table(tbl)
+
+
+_register(
+    QuerySpec(
+        name="stream_classifier_scores",
+        survey_ids=("X4", "T2"),
+        description="streaming model serving: the in-engine-trained "
+        "quality model scores documents IN the stream as a stateless "
+        "literal-map projection (no state, no shuffle) — inference at "
+        "ingest, hash-checked against the batch oracle",
+        spark=_stream_classifier_scores,
+        oracle=_qc_train_cte(_QC_TRAIN_ITERS)
+        + f""", sc AS (
+  SELECT f.doc_id, SUM(w{_QC_TRAIN_ITERS}.w * f.cnt) AS margin
+  FROM feats f JOIN w{_QC_TRAIN_ITERS} USING (bucket) GROUP BY f.doc_id
+)
+SELECT l.doc_id, l.y AS teacher_y,
+       CAST(coalesce(sc.margin, 0) AS BIGINT) AS margin,
+       coalesce(sc.margin, 0) >= 0 AS keep,
+       l.y * coalesce(sc.margin, 0) > 0 AS agree
+FROM lab l LEFT JOIN sc USING (doc_id)
+""",
+    )
+)
+
+
+# --------------------------------------------------------------------------
 # A2/A3 sketch breadth: Misra-Gries heavy hitters (rows-only — the
 # sketch is approximate BY CONTRACT; its under-count bound and
 # heavy-hitter completeness are pinned by tests/test_sketch.py against

@@ -2181,6 +2181,13 @@ _register(
 # enters for hourly_seasonality (r9-r12 receipts; the seasonal pivot
 # keeps its family via interval_completeness + partition_date_counts
 # in-window, pivot mechanics pytest-pinned).
+# Second r13 addendum: stream_classifier_scores (streaming model
+# SERVING — the trained weight table shipped into a stateless stream
+# as a literal-map projection, no state/no shuffle; stateless ==
+# batch semantics makes the streaming serving pass hash-checkable;
+# same admission bar) enters for text_stats (r2-r12 receipts; X4
+# keeps conjunctive_search_bm25, bpe_encode_docs and the four
+# classifier rows in-window).
 # --------------------------------------------------------------------------
 
 CHECKED_QUERIES: tuple[str, ...] = (
@@ -2224,6 +2231,7 @@ CHECKED_QUERIES: tuple[str, ...] = (
     "quality_classifier_train",
     "quality_classifier_trained_scores",
     "quality_classifier_holdout",
+    "stream_classifier_scores",
     "chunk_documents",
     "lang_id",
     "ngram_jaccard_pairs",
@@ -2237,7 +2245,6 @@ CHECKED_QUERIES: tuple[str, ...] = (
     "doc_fingerprint",
     "simhash60_fingerprints",
     "conjunctive_search_bm25",
-    "text_stats",
     "multimodal_meta",
 )
 

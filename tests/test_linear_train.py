@@ -170,3 +170,25 @@ def test_holdout_generalizes_beyond_majority_class(spark):
     ).collect()[0]
     assert r["agree"] > r["pos"], (r["agree"], r["pos"], r["n"])
     assert r["agree"] >= int(0.95 * r["n"])
+
+
+def test_stream_serving_equals_batch_scoring(spark):
+    """The stateless streaming serving row must reproduce the batch
+    trained-scores output EXACTLY — stateless streaming == batch is the
+    contract that makes it oracle-pairable."""
+    import crypto_data_ingestion_module_spark.plans.queries as q
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["doc_id"]: (r["teacher_y"], r["margin"], r["keep"], r["agree"])
+        for r in q.QUERY_SPECS["stream_classifier_scores"]
+        .spark(spark, sf)
+        .collect()
+    }
+    want = {
+        r["doc_id"]: (r["teacher_y"], r["margin"], r["keep"], r["agree"])
+        for r in q.QUERY_SPECS["quality_classifier_trained_scores"]
+        .spark(spark, sf)
+        .collect()
+    }
+    assert got == want
