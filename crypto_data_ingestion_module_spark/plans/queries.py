@@ -2188,6 +2188,16 @@ _register(
 # same admission bar) enters for text_stats (r2-r12 receipts; X4
 # keeps conjunctive_search_bm25, bpe_encode_docs and the four
 # classifier rows in-window).
+# Round-14 rotation plan (pre-committed): if CORRECTNESS_r13 is green,
+# rotate the next-stalest cohort per COVERAGE.md — the r3-receipt rows
+# (order_grouping_sets, order_revenue_by_priority,
+# order_rollup_priority_status, pii_redaction, promo_revenue_share,
+# repetition_stats, salted_totals, value_quantiles_exact, 8 rows, 11
+# rounds stale by then) — taking outs from the r13 re-entry rows once
+# they hold their fresh receipt (the 6-row candle/r3 cohort + the r13
+# capability rows rotated in this round), family twins kept as always;
+# new r14 capabilities enter under the unchanged admission bar and
+# take outs from the same pool.
 # --------------------------------------------------------------------------
 
 CHECKED_QUERIES: tuple[str, ...] = (
