@@ -3065,6 +3065,109 @@ FROM lab l LEFT JOIN sc USING (doc_id)
 
 
 # --------------------------------------------------------------------------
+# X4 reference-corpus n-gram coverage scoring (r13): the integer-exact
+# stand-in for perplexity filtering (CCNet-style) — a real curation
+# pipeline scores candidate documents against a language model trained
+# on a trusted reference corpus and drops the tail.  A true LM score
+# needs log-probabilities (transcendental, not cross-engine-exact); the
+# pairable formulation is BIGRAM COVERAGE: the ppm fraction of a
+# document's bigrams that appear >= K times in the reference corpus.
+# Low coverage = the same "doesn't look like the reference
+# distribution" signal, in exact integer arithmetic.
+# Reference split: even doc_ids are the trusted corpus, odd doc_ids are
+# the candidates (the holdout convention above).
+# 100 TB shape: the reference bigram table is corpus-sized, so scoring
+# is a plain shuffle equi-join on the bigram key with map-side-combined
+# per-doc counts — never broadcast, never all-pairs; a Bloom prune on
+# the candidate side composes exactly like decontaminate_docs_bloom.
+# --------------------------------------------------------------------------
+
+_BG_MIN_COUNT = 3
+
+
+def _bigrams(col: str):
+    """Lowercase [a-z]+ token bigrams as an array column (engine-exact
+    tokenization shared with the oracle).  transform's lambda index is
+    0-based and element_at is 1-based, so the successor of slice
+    element i is array position i + 2."""
+    t = f"regexp_extract_all(lower({col}), '[a-z]+', 0)"
+    return F.expr(
+        f"transform(slice({t}, 1, greatest(size({t}) - 1, 0)), "
+        f"(x, i) -> concat(x, ' ', element_at({t}, i + 2)))"
+    )
+
+
+def _bigram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    bg = docs.select(
+        "doc_id", F.explode(_bigrams("text")).alias("bigram")
+    )
+    ref_counts = (
+        bg.filter(F.col("doc_id") % 2 == 0)
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("ref_cnt"))
+        .filter(F.col("ref_cnt") >= _BG_MIN_COUNT)
+    )
+    cand = bg.filter(F.col("doc_id") % 2 == 1)
+    scored = (
+        cand.join(ref_counts, "bigram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(
+                F.when(F.col("ref_cnt").isNotNull(), 1).otherwise(0)
+            ).cast("long").alias("n_covered"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "n_covered",
+            F.expr("1000000 * n_covered DIV n_bigrams")
+            .cast("long")
+            .alias("coverage_ppm"),
+        )
+    )
+    return scored
+
+
+_register(
+    QuerySpec(
+        name="bigram_coverage_scores",
+        survey_ids=("X4",),
+        description="reference-corpus bigram coverage per candidate doc "
+        "(ppm fraction of bigrams seen >= 3 times in the even-doc_id "
+        "reference half) — the integer-exact CCNet-style perplexity-"
+        "filter stand-in, scored with one shuffle equi-join",
+        spark=_bigram_coverage,
+        oracle=f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ts
+  FROM documents WHERE text IS NOT NULL
+), bg AS (
+  SELECT doc_id, ts[i] || ' ' || ts[i + 1] AS bigram
+  FROM toks, unnest(generate_series(1, len(ts) - 1)) AS g(i)
+), ref AS (
+  SELECT bigram, count(*) AS ref_cnt FROM bg
+  WHERE doc_id % 2 = 0 GROUP BY bigram
+  HAVING count(*) >= {_BG_MIN_COUNT}
+), cand AS (
+  SELECT b.doc_id,
+         CAST(count(*) AS BIGINT) AS n_bigrams,
+         CAST(sum(CASE WHEN r.bigram IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_covered
+  FROM bg b LEFT JOIN ref r USING (bigram)
+  WHERE b.doc_id % 2 = 1
+  GROUP BY b.doc_id
+)
+SELECT doc_id, n_bigrams, n_covered,
+       CAST(1000000 * n_covered // n_bigrams AS BIGINT) AS coverage_ppm
+FROM cand
+""",
+    )
+)
+
+
+# --------------------------------------------------------------------------
 # A2/A3 sketch breadth: Misra-Gries heavy hitters (rows-only — the
 # sketch is approximate BY CONTRACT; its under-count bound and
 # heavy-hitter completeness are pinned by tests/test_sketch.py against

@@ -2181,6 +2181,12 @@ _register(
 # enters for hourly_seasonality (r9-r12 receipts; the seasonal pivot
 # keeps its family via interval_completeness + partition_date_counts
 # in-window, pivot mechanics pytest-pinned).
+# Third r13 addendum: bigram_coverage_scores (reference-corpus bigram
+# coverage — the integer-exact CCNet-style perplexity-filter stand-in,
+# one shuffle equi-join; same admission bar) enters for
+# simhash60_fingerprints (r12 receipt; X2 keeps dedup_clusters +
+# doc_fingerprint in-window and simhash60 stays a documented bench
+# twin of the pytest-pinned simhash_fingerprints).
 # Second r13 addendum: stream_classifier_scores (streaming model
 # SERVING — the trained weight table shipped into a stateless stream
 # as a literal-map projection, no state/no shuffle; stateless ==
@@ -2253,7 +2259,7 @@ CHECKED_QUERIES: tuple[str, ...] = (
     "stream_dedup_within_watermark",
     "bpe_encode_docs",
     "doc_fingerprint",
-    "simhash60_fingerprints",
+    "bigram_coverage_scores",
     "conjunctive_search_bm25",
     "multimodal_meta",
 )
