@@ -3168,6 +3168,69 @@ FROM cand
 
 
 # --------------------------------------------------------------------------
+# X4 sequence packing (r13): the batch-assembly step downstream of
+# curation — concatenate each language's documents into one token
+# stream and cut a context window every 2048 tokens; a document belongs
+# to the window where it starts.  The operator (operators/packing.py)
+# is a DISTRIBUTED PREFIX SUM: range partition -> per-partition window
+# (bounded by partition size, never stratum size) -> bounded carry
+# table prefix-summed driver-side and broadcast back.  Bit-identical
+# for any partition count, hence oracle-pairable against DuckDB's
+# single-node window cumsum.
+# --------------------------------------------------------------------------
+
+_PACK_BUDGET = 2048
+
+
+def _sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crypto_data_ingestion_module_spark.operators.packing import (
+        pack_sequences,
+    )
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", "lang", TX.token_count("text").alias("n_tokens"))
+    )
+    return pack_sequences(
+        docs,
+        _PACK_BUDGET,
+        "n_tokens",
+        order_cols=["doc_id"],
+        strata_cols=["lang"],
+    ).select("doc_id", "lang", "n_tokens", "start_pos", "bin_id")
+
+
+_register(
+    QuerySpec(
+        name="sequence_packing",
+        survey_ids=("X4",),
+        description="GPT-style sequence packing: per-language token "
+        "stream cut every 2048 tokens, each doc assigned the context "
+        "window where it starts — a distributed prefix sum (range "
+        "partition + bounded per-partition window + broadcast carry "
+        "offsets), bit-identical at any partition count",
+        spark=_sequence_packing,
+        oracle=f"""
+WITH d AS (
+  SELECT doc_id, lang,
+         CAST(len(regexp_extract_all(text,
+              '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_tokens
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT doc_id, lang, n_tokens,
+       CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+            ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS start_pos,
+       CAST((SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+            ROWS UNBOUNDED PRECEDING) - n_tokens) // {_PACK_BUDGET}
+            AS BIGINT) AS bin_id
+FROM d
+""",
+    )
+)
+
+
+# --------------------------------------------------------------------------
 # A2/A3 sketch breadth: Misra-Gries heavy hitters (rows-only — the
 # sketch is approximate BY CONTRACT; its under-count bound and
 # heavy-hitter completeness are pinned by tests/test_sketch.py against

@@ -2181,6 +2181,12 @@ _register(
 # enters for hourly_seasonality (r9-r12 receipts; the seasonal pivot
 # keeps its family via interval_completeness + partition_date_counts
 # in-window, pivot mechanics pytest-pinned).
+# Fourth r13 addendum: sequence_packing (GPT-style per-language token
+# stream cut every 2048 tokens via a DISTRIBUTED PREFIX SUM — range
+# partition, bounded per-partition window, broadcast carry offsets;
+# bit-identical at any partition count; same admission bar) enters for
+# doc_fingerprint (r3-r12 receipts; fingerprint mechanics pytest-pinned,
+# X1 keeps decontaminate_docs_bloom + chunk_documents in-window).
 # Third r13 addendum: bigram_coverage_scores (reference-corpus bigram
 # coverage — the integer-exact CCNet-style perplexity-filter stand-in,
 # one shuffle equi-join; same admission bar) enters for
@@ -2258,8 +2264,8 @@ CHECKED_QUERIES: tuple[str, ...] = (
     "decontaminate_docs_bloom",
     "stream_dedup_within_watermark",
     "bpe_encode_docs",
-    "doc_fingerprint",
     "bigram_coverage_scores",
+    "sequence_packing",
     "conjunctive_search_bm25",
     "multimodal_meta",
 )
