@@ -1296,33 +1296,34 @@ _register(
 # --------------------------------------------------------------------------
 # X4: token-budget sequence packing — assign documents to fixed-budget
 # training packs by cumulative token offset within each language stratum.
-# At 100 TB packing is per-shard by construction (each stratum/window is
-# an independent partition); the window never sees the whole corpus.
+# r13 upgrade: through r12 this ran ONE WINDOW PER STRATUM (single task
+# per language — the whole-stratum window is exactly the 100 TB
+# bottleneck the docstring used to wave at "per-shard packing").  It now
+# runs the DISTRIBUTED PREFIX SUM (operators/packing.py: range
+# partition -> per-partition window bounded by partition size ->
+# bounded carry table broadcast back), bit-identical for any partition
+# count.  Output contract and oracle unchanged.
 # --------------------------------------------------------------------------
 
 _PACK_BUDGET = 512
 
 
 def _pack_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    from crypto_data_ingestion_module_spark.operators.packing import (
+        pack_sequences,
+    )
 
     d = _t(spark, sf_dir, "documents")
-    w = (
-        Window.partitionBy("lang")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
     t = d.select("doc_id", "lang", TX.word_count("text").alias("n_tokens"))
-    c = t.withColumn("cum", F.sum("n_tokens").over(w))
-    start = F.col("cum") - F.col("n_tokens")
-    return c.select(
+    out = pack_sequences(
+        t, _PACK_BUDGET, "n_tokens", order_cols=["doc_id"], strata_cols=["lang"]
+    )
+    return out.select(
         "doc_id",
         "lang",
         "n_tokens",
-        start.alias("start_offset"),
-        F.floor(start.cast("double") / F.lit(float(_PACK_BUDGET)))
-        .cast("long")
-        .alias("pack_id"),
+        F.col("start_pos").alias("start_offset"),
+        F.col("bin_id").alias("pack_id"),
     )
 
 
@@ -3162,69 +3163,6 @@ WITH toks AS (
 SELECT doc_id, n_bigrams, n_covered,
        CAST(1000000 * n_covered // n_bigrams AS BIGINT) AS coverage_ppm
 FROM cand
-""",
-    )
-)
-
-
-# --------------------------------------------------------------------------
-# X4 sequence packing (r13): the batch-assembly step downstream of
-# curation — concatenate each language's documents into one token
-# stream and cut a context window every 2048 tokens; a document belongs
-# to the window where it starts.  The operator (operators/packing.py)
-# is a DISTRIBUTED PREFIX SUM: range partition -> per-partition window
-# (bounded by partition size, never stratum size) -> bounded carry
-# table prefix-summed driver-side and broadcast back.  Bit-identical
-# for any partition count, hence oracle-pairable against DuckDB's
-# single-node window cumsum.
-# --------------------------------------------------------------------------
-
-_PACK_BUDGET = 2048
-
-
-def _sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from crypto_data_ingestion_module_spark.operators.packing import (
-        pack_sequences,
-    )
-
-    docs = (
-        _t(spark, sf_dir, "documents")
-        .filter(F.col("text").isNotNull())
-        .select("doc_id", "lang", TX.token_count("text").alias("n_tokens"))
-    )
-    return pack_sequences(
-        docs,
-        _PACK_BUDGET,
-        "n_tokens",
-        order_cols=["doc_id"],
-        strata_cols=["lang"],
-    ).select("doc_id", "lang", "n_tokens", "start_pos", "bin_id")
-
-
-_register(
-    QuerySpec(
-        name="sequence_packing",
-        survey_ids=("X4",),
-        description="GPT-style sequence packing: per-language token "
-        "stream cut every 2048 tokens, each doc assigned the context "
-        "window where it starts — a distributed prefix sum (range "
-        "partition + bounded per-partition window + broadcast carry "
-        "offsets), bit-identical at any partition count",
-        spark=_sequence_packing,
-        oracle=f"""
-WITH d AS (
-  SELECT doc_id, lang,
-         CAST(len(regexp_extract_all(text,
-              '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_tokens
-  FROM documents WHERE text IS NOT NULL
-)
-SELECT doc_id, lang, n_tokens,
-       CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
-            ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS start_pos,
-       CAST((SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
-            ROWS UNBOUNDED PRECEDING) - n_tokens) // {_PACK_BUDGET}
-            AS BIGINT) AS bin_id
-FROM d
 """,
     )
 )

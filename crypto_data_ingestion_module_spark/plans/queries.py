@@ -2181,12 +2181,20 @@ _register(
 # enters for hourly_seasonality (r9-r12 receipts; the seasonal pivot
 # keeps its family via interval_completeness + partition_date_counts
 # in-window, pivot mechanics pytest-pinned).
-# Fourth r13 addendum: sequence_packing (GPT-style per-language token
-# stream cut every 2048 tokens via a DISTRIBUTED PREFIX SUM — range
+# Fourth r13 addendum: pack_sequences RE-ENTERS (r2-r8 receipts, 5
+# rounds stale) carrying its r13 UPGRADE — the per-stratum
+# single-task window replaced by a DISTRIBUTED PREFIX SUM (range
 # partition, bounded per-partition window, broadcast carry offsets;
-# bit-identical at any partition count; same admission bar) enters for
-# doc_fingerprint (r3-r12 receipts; fingerprint mechanics pytest-pinned,
-# X1 keeps decontaminate_docs_bloom + chunk_documents in-window).
+# operators/packing.py; bit-identical at any partition count, output
+# contract and oracle unchanged) — entering for doc_fingerprint
+# (r3-r12 receipts; fingerprint mechanics pytest-pinned, X1 keeps
+# decontaminate_docs_bloom + chunk_documents in-window).  A duplicate
+# "sequence_packing" row briefly existed mid-round and was folded into
+# this upgrade before any driver exposure: its module-level
+# _PACK_BUDGET constant collided with this row's (Spark side reads the
+# global at run time, the oracle string is baked at registration), a
+# 512-vs-2048 mismatch validate.py caught — the exact failure mode the
+# sweep exists for.
 # Third r13 addendum: bigram_coverage_scores (reference-corpus bigram
 # coverage — the integer-exact CCNet-style perplexity-filter stand-in,
 # one shuffle equi-join; same admission bar) enters for
@@ -2265,7 +2273,7 @@ CHECKED_QUERIES: tuple[str, ...] = (
     "stream_dedup_within_watermark",
     "bpe_encode_docs",
     "bigram_coverage_scores",
-    "sequence_packing",
+    "pack_sequences",
     "conjunctive_search_bm25",
     "multimodal_meta",
 )

@@ -86,6 +86,21 @@ def test_packing_rejects_bad_budget(spark):
         pack_sequences(_df(spark), 0, "n_tokens", ["doc_id"], ["lang"])
 
 
+def test_registered_row_uses_distributed_scan(spark):
+    """The registered pack_sequences row must carry the r13 upgrade:
+    no whole-stratum window (the plan has the carry-offset broadcast
+    join instead)."""
+    import crypto_data_ingestion_module_spark.plans.queries as q
+
+    df = q.QUERY_SPECS["pack_sequences"].spark(
+        spark, "/root/testdata/sf0.001"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan  # the carry-offset join
+
+
 def test_packing_plan_stays_jvm_side(spark):
     df = pack_sequences(_df(spark), 64, "n_tokens", ["doc_id"], ["lang"])
     plan = df._jdf.queryExecution().executedPlan().toString()
