@@ -130,7 +130,15 @@ def main() -> None:
     # sitting) — a threshold inside the band fires stochastically and
     # makes consecutive sweeps non-comparable (141 vs 149 queries),
     # which is worse than a slightly long sweep.
-    budget = float(os.environ.get("SPARK_GRAFT_SWEEP_BUDGET_S", "180"))
+    # Default raised 180 -> 240 at r13 close: the registry reached 164
+    # queries and the 180 s line landed INSIDE the warm-up band (3
+    # settled runs in one sitting: the projection crossed on two, not
+    # the third — 149-query and 164-query sweeps in the same board).
+    # Policy (PERF.md): the threshold must clear the band's top or it
+    # fires stochastically and breaks cross-sweep comparability, which
+    # is worse than a slightly long sweep.  The 15-twin drop stays
+    # armed for the next growth step.
+    budget = float(os.environ.get("SPARK_GRAFT_SWEEP_BUDGET_S", "240"))
     projected = 0.8 * sum(warm.values())
     sampled_out: list[str] = []
     if projected > budget:
