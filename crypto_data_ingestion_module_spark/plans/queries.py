@@ -2218,6 +2218,35 @@ _register(
 # capability rows rotated in this round), family twins kept as always;
 # new r14 capabilities enter under the unchanged admission bar and
 # take outs from the same pool.
+# ROUND-14 EXECUTION (CORRECTNESS_r13 was 50/50 green, backlog zero):
+# IN (8) = the full r3-receipt cohort named above (order_grouping_sets,
+# order_revenue_by_priority, order_rollup_priority_status,
+# pii_redaction, promo_revenue_share, repetition_stats, salted_totals,
+# value_quantiles_exact — 11 rounds stale, the oldest receipts on the
+# board), plus the r14 streaming capabilities as they are admitted
+# (stream_sessions_30m, stream_ivm_revenue — see their registrations).
+# OUT (10), all holding FRESH r13 receipts with family twins kept:
+#   candle_gaps, candle_returns_ma, cross_stream_compare — indicator
+#       family keeps vwap_1h, bollinger_breakouts_20, order_flow_1h,
+#       cross_stream_spread_1h in-window
+#   chunk_documents, lang_id — X4 keeps bpe_encode_docs,
+#       conjunctive_search_bm25 + the classifier rows in-window
+#   ngram_jaccard_pairs — X2 keeps dedup_clusters in-window
+#   pack_sequences, bigram_coverage_scores — X4 capability rows, fresh
+#       r13 receipts; mechanics stay pytest- and validate-pinned
+#   quality_classifier_holdout — the classifier family keeps
+#       quality_classifier_train + _trained_scores in-window
+#   stream_classifier_scores — serving twin quality_classifier_
+#       trained_scores stays in-window; the streaming discipline gains
+#       two NEW paired rows this round (sessions + IVM)
+# Round-15 rotation plan (pre-committed): if CORRECTNESS_r14 is green,
+# rotate the next-stalest cohort per COVERAGE.md — the r4-receipt rows
+# (ann_lsh_seed_topk, embedding_near_dup_pairs, market_share_by_year,
+# min_acctbal_supplier_per_part, order_priority_exists,
+# session_purchase_attribution, stream_pair_correlation, vocab_stats,
+# 8 rows) — taking outs from the r14 re-entry
+# rows once they hold their fresh receipt, family twins kept as
+# always; new r15 capabilities enter under the unchanged admission bar.
 # --------------------------------------------------------------------------
 
 CHECKED_QUERIES: tuple[str, ...] = (
@@ -2251,20 +2280,12 @@ CHECKED_QUERIES: tuple[str, ...] = (
     "vwap_1h",
     "bollinger_breakouts_20",
     "order_flow_1h",
-    "candle_gaps",
-    "candle_returns_ma",
-    "cross_stream_compare",
     # LLM-data-pipeline operators (X1–X5)
     "dedup_clusters",
     "trade_graph_pagerank",
     "quality_classifier_scores",
     "quality_classifier_train",
     "quality_classifier_trained_scores",
-    "quality_classifier_holdout",
-    "stream_classifier_scores",
-    "chunk_documents",
-    "lang_id",
-    "ngram_jaccard_pairs",
     "label_centroids",
     "pq_adc_topk",
     "hybrid_rrf_per_query",
@@ -2272,10 +2293,17 @@ CHECKED_QUERIES: tuple[str, ...] = (
     "decontaminate_docs_bloom",
     "stream_dedup_within_watermark",
     "bpe_encode_docs",
-    "bigram_coverage_scores",
-    "pack_sequences",
     "conjunctive_search_bm25",
     "multimodal_meta",
+    # r14 rotation: the 8-row r3-receipt cohort (11 rounds stale)
+    "order_grouping_sets",
+    "order_revenue_by_priority",
+    "order_rollup_priority_status",
+    "pii_redaction",
+    "promo_revenue_share",
+    "repetition_stats",
+    "salted_totals",
+    "value_quantiles_exact",
 )
 
 assert len(CHECKED_QUERIES) <= 50, len(CHECKED_QUERIES)
