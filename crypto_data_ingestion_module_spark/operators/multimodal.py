@@ -706,6 +706,11 @@ class _JpegBitReader:
         self._pos = pos
         self._acc = 0
         self._nbits = 0
+        # zero bits injected past the terminating marker; always a
+        # suffix of the accumulator (once a marker is hit, every later
+        # fill pads).  Consuming any of them means the scan ran out of
+        # real entropy data mid-MCU — reject, don't decode zeros.
+        self._pad_bits = 0
 
     def _fill(self) -> None:
         b = self._buf
@@ -724,10 +729,10 @@ class _JpegBitReader:
             else:
                 self._pos += 1
             if byte is None:
-                # pad with zeros; decoding past a marker raises upstream
+                # pad with zeros; bits() raises if these are consumed
                 self._acc = (self._acc << 8) & 0xFFFFFFFF
                 self._nbits += 8
-                self._padded = True
+                self._pad_bits += 8
             else:
                 self._acc = ((self._acc << 8) | byte) & 0xFFFFFFFF
                 self._nbits += 8
@@ -737,6 +742,10 @@ class _JpegBitReader:
             return 0
         while self._nbits < n:
             self._fill()
+        if self._nbits - n < self._pad_bits:
+            raise ValueError(
+                "truncated JPEG scan data: entropy segment ended mid-MCU"
+            )
         v = (self._acc >> (self._nbits - n)) & ((1 << n) - 1)
         self._nbits -= n
         return v
@@ -746,6 +755,7 @@ class _JpegBitReader:
         intervals)."""
         self._acc = 0
         self._nbits = 0
+        self._pad_bits = 0
         b = self._buf
         p = self._pos
         while p + 1 < len(b) and b[p] == 0xFF and b[p + 1] == 0xFF:

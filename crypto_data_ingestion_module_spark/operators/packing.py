@@ -55,14 +55,20 @@ def packed_positions(
     the partition-id ordering ambiguous.
     """
     keys = [*strata_cols, *order_cols]
+    w = Window.partitionBy("_pid", *strata_cols).orderBy(*order_cols)
+    # localCheckpoint before the carry-table collect: `d` feeds BOTH the
+    # totals collect and the final join, and the _pid-keyed offsets are
+    # only meaningful if both consumers see the IDENTICAL partitioning —
+    # checkpointing runs the heavy shuffle+sort once and pins its result,
+    # instead of recomputing it (and trusting the range partitioner to
+    # reproduce the same bounds behind a possibly nondeterministic
+    # upstream).  eager=False defers materialization to the collect.
     d = (
         df.repartitionByRange(*[F.col(c) for c in keys])
         .sortWithinPartitions(*keys)
         .withColumn("_pid", F.spark_partition_id())
-    )
-    w = Window.partitionBy("_pid", *strata_cols).orderBy(*order_cols)
-    d = d.withColumn(
-        "_run", F.sum(F.col(tokens_col).cast("long")).over(w)
+        .withColumn("_run", F.sum(F.col(tokens_col).cast("long")).over(w))
+        .localCheckpoint(eager=False)
     )
     # the scan's carry table: bounded by n_partitions x n_strata
     totals = (
@@ -86,9 +92,18 @@ def packed_positions(
         + ["_offset long"]
     )
     off_df = spark.createDataFrame(off_rows, schema=off_schema)
+    # null-safe equi-join: a NULL stratum value is its own partition
+    # group in the window above, so the offset lookup must treat NULL
+    # as equal to NULL too — a plain equi-join would silently drop
+    # every NULL-strata row from the output.
+    cond = d["_pid"] == off_df["_pid"]
+    for c in strata_cols:
+        cond = cond & d[c].eqNullSafe(off_df[c])
+    joined = d.join(F.broadcast(off_df), cond).drop(off_df["_pid"])
+    for c in strata_cols:
+        joined = joined.drop(off_df[c])
     return (
-        d.join(F.broadcast(off_df), ["_pid", *strata_cols])
-        .withColumn(
+        joined.withColumn(
             "start_pos",
             (
                 F.col("_offset")

@@ -2847,8 +2847,9 @@ _register(
         name="quality_classifier_train",
         survey_ids=("X4",),
         description="in-engine batch-perceptron training of the hashed "
-        "linear quality model (3 unrolled iterations, integer eta=1 "
-        "updates, quality-heuristic teacher labels) — the iterative "
+        f"linear quality model ({_QC_TRAIN_ITERS} unrolled iterations, "
+        "integer eta=1 updates, quality-heuristic teacher labels) — the "
+        "iterative "
         "training recurrence itself hash-checked via unrolled CTEs, "
         "pagerank-style",
         spark=_qc_train,
@@ -3086,22 +3087,30 @@ FROM lab l LEFT JOIN sc USING (doc_id)
 _BG_MIN_COUNT = 3
 
 
-def _bigrams(col: str):
-    """Lowercase [a-z]+ token bigrams as an array column (engine-exact
-    tokenization shared with the oracle).  transform's lambda index is
+def _bigrams(tok_col: str):
+    """Lowercase token bigrams built from an ALREADY-MATERIALIZED token
+    array column (tokenize once — referencing the regexp expression
+    inline here would re-tokenize each row up to three times: slice
+    source, size, and element_at lookup).  transform's lambda index is
     0-based and element_at is 1-based, so the successor of slice
     element i is array position i + 2."""
-    t = f"regexp_extract_all(lower({col}), '[a-z]+', 0)"
     return F.expr(
-        f"transform(slice({t}, 1, greatest(size({t}) - 1, 0)), "
-        f"(x, i) -> concat(x, ' ', element_at({t}, i + 2)))"
+        f"transform(slice({tok_col}, 1, greatest(size({tok_col}) - 1, 0)), "
+        f"(x, i) -> concat(x, ' ', element_at({tok_col}, i + 2)))"
     )
 
 
 def _bigram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
-    bg = docs.select(
-        "doc_id", F.explode(_bigrams("text")).alias("bigram")
+    # tokenize once into a column; CollapseProject keeps a non-cheap
+    # multiply-referenced producer expression out of the consumer
+    # projection, so the regexp runs once per row (plan-pinned by test)
+    toks = docs.select(
+        "doc_id",
+        F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)").alias("_ts"),
+    )
+    bg = toks.select(
+        "doc_id", F.explode(_bigrams("_ts")).alias("bigram")
     )
     ref_counts = (
         bg.filter(F.col("doc_id") % 2 == 0)

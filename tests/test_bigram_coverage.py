@@ -62,3 +62,19 @@ def test_coverage_plan_has_no_cartesian(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_coverage_plan_tokenizes_once_per_branch(spark):
+    """The regexp tokenizer must be materialized into a column before
+    the bigram transform (r14): inlining it re-tokenized each row up to
+    three times (slice source, size, element_at).  One occurrence per
+    scan branch (reference side + candidate side) is the floor."""
+    import crypto_data_ingestion_module_spark.plans.queries as q
+
+    df = q.QUERY_SPECS["bigram_coverage_scores"].spark(
+        spark, "/root/testdata/sf0.001"
+    )
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("regexp_extract_all") <= 2, plan.count(
+        "regexp_extract_all"
+    )

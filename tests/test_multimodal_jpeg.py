@@ -383,6 +383,18 @@ def test_unsupported_profiles_reject_loudly():
         jpeg_to_rgb(_encode_jpeg(img)[:-40])
 
 
+def test_entropy_cut_before_eoi_rejects_not_zero_fills():
+    """Remove entropy bytes but KEEP the EOI marker: the bit reader
+    pads zeros at the marker, and consuming any padded bit must raise
+    (quarantine contract) — not silently decode zeros into pixels."""
+    img = _gradient(32, 32)
+    payload = _encode_jpeg(img)
+    assert payload.endswith(b"\xff\xd9")
+    cut = payload[:-42] + payload[-2:]
+    with pytest.raises(ValueError):
+        jpeg_to_rgb(cut)
+
+
 def test_decode_assets_dispatches_jpeg(spark):
     from crypto_data_ingestion_module_spark.operators.multimodal import (
         decode_assets,

@@ -81,6 +81,30 @@ def test_packing_without_strata(spark):
     assert got == {i: (i - 1) * 10 for i in range(1, 8)}
 
 
+def test_packing_null_stratum_is_its_own_group(spark):
+    """NULL strata values form their own stream (the window treats NULL
+    as one partition group) and must survive the carry-offset join —
+    a plain equi-join would silently drop them (NULL != NULL)."""
+    rows = [(1, None, 100), (2, "en", 50), (3, None, 60), (4, "en", 7)]
+    got = {
+        r["doc_id"]: (r["lang"], r["start_pos"])
+        for r in packed_positions(
+            spark.createDataFrame(
+                rows, "doc_id long, lang string, n_tokens long"
+            ),
+            "n_tokens",
+            ["doc_id"],
+            ["lang"],
+        ).collect()
+    }
+    assert got == {
+        1: (None, 0),
+        3: (None, 100),
+        2: ("en", 0),
+        4: ("en", 50),
+    }
+
+
 def test_packing_rejects_bad_budget(spark):
     with pytest.raises(ValueError, match="budget"):
         pack_sequences(_df(spark), 0, "n_tokens", ["doc_id"], ["lang"])
