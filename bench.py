@@ -87,6 +87,13 @@ SWEEP_SAMPLE_TWINS: tuple[str, ...] = (
     "stream_classifier_scores",  # composition: the trainer (still
     #   measured) + stateless stream machinery (carried by the
     #   still-measured stream_rollup_1h)
+    # r14 pre-planned extension (VERDICT r13 item 6): the two new
+    # streaming rows enter the twin list AT ADMISSION — their cost axis
+    # is availableNow checkpoint machinery, carried by the
+    # still-measured stream_rollup_1h; their data axes are carried by
+    # the still-measured batch twins (user_sessions_30m; the join rows).
+    "stream_sessions_30m",   # state machinery + user_sessions_30m's agg
+    "stream_ivm_order_customer",  # IVM lake machinery + a plain equi-join
 )
 
 

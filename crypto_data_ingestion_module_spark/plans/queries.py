@@ -485,6 +485,278 @@ GROUP BY bucket_ts, event_type
 )
 
 
+# --------------------------------------------------------------------------
+# A1+T3 streaming sessionization, oracle-paired (r14): the native
+# session_window state operator (streaming/analytics.py, pytest-only
+# through r13) gets a driver receipt via the availableNow + memory-sink
+# recipe.  Append mode emits a session exactly once — when the
+# watermark passes its end + gap — so pairing against the batch
+# gaps-and-islands oracle needs TWO determinism guarantees:
+#
+# 1. every session must FINALIZE before the drain ends: a sentinel
+#    micro-batch (one user_id=-1 row 3650 days past the data) pushes
+#    the final watermark beyond every real session's end + gap; the
+#    sentinel's own session never finalizes and is filtered anyway;
+# 2. no real row may ever sit below the watermark when its batch runs:
+#    the landing zone is TWO TIME-DISJOINT ascending halves (split at
+#    the epoch-ms midpoint) + the sentinel, mtime-ordered so the file
+#    source replays them oldest-first.  Batch i's minimum ts is then
+#    always >= the watermark carried out of batch i-1 (max(ts) - 1h of
+#    an EARLIER time slice), so correctness never depends on Spark's
+#    late-row filter semantics for session merges.
+#
+# 100 TB shape: state is per OPEN session (evicted at watermark + gap),
+# not per event; the shuffle is one exchange on user_id per
+# micro-batch — the same plan as the batch twin, plus the state store.
+# Out-of-order/late-data behavior stays pytest-pinned
+# (tests/test_streaming_analytics.py); this row pins the maintenance
+# RESULT equals the batch result.
+# --------------------------------------------------------------------------
+
+_STREAM_SESS_INPUT: dict[str, str] = {}
+
+
+def _stream_sessions_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+    import time
+    import uuid
+
+    from crypto_data_ingestion_module_spark.streaming.analytics import (
+        user_sessions_stream,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    inp = _STREAM_SESS_INPUT.get(sf_dir)
+    if inp is None:
+        root = tempfile.mkdtemp(prefix="sgraft_stream_sess_")
+        inp = os.path.join(root, "in")
+        os.makedirs(inp)
+        stats = ev.agg(
+            F.unix_millis(F.min("ts")).alias("lo"),
+            F.unix_millis(F.max("ts")).alias("hi"),
+        ).collect()[0]
+        mid, hi = (stats["lo"] + stats["hi"]) // 2, stats["hi"]
+        sentinel = spark.range(1).select(
+            F.lit(-1).cast("long").alias("event_id"),
+            (
+                F.timestamp_millis(F.lit(hi))
+                + F.expr("INTERVAL 3650 DAYS")
+            ).alias("ts"),
+            F.lit(-1).cast("long").alias("user_id"),
+            F.lit(0.0).alias("value"),
+        )
+        halves = [
+            ev.filter(F.unix_millis("ts") < mid),
+            ev.filter(F.unix_millis("ts") >= mid),
+            sentinel,
+        ]
+        now = time.time()
+        for i, part in enumerate(halves):
+            tmp = os.path.join(root, f"w{i}")
+            part.coalesce(1).write.mode("overwrite").parquet(tmp)
+            (src_file,) = [
+                f for f in os.listdir(tmp) if f.endswith(".parquet")
+            ]
+            dst = os.path.join(inp, f"{i}.parquet")
+            shutil.move(os.path.join(tmp, src_file), dst)
+            # the file source replays oldest-mtime-first: pin the
+            # half-then-sentinel order explicitly
+            os.utime(dst, (now + 600 * i, now + 600 * i))
+        _STREAM_SESS_INPUT[sf_dir] = inp
+    for t in spark.catalog.listTables():
+        if t.isTemporary and t.name.startswith("stream_sess_"):
+            spark.catalog.dropTempView(t.name)
+    run_id = uuid.uuid4().hex[:12]
+    tbl = "stream_sess_" + run_id
+    ckpt = os.path.join(tempfile.gettempdir(), f"sgraft_ss_ckpt_{run_id}")
+    src = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(inp)
+    )
+    q = (
+        user_sessions_stream(src, gap="30 minutes", lateness="1 hour")
+        .writeStream.format("memory")
+        .queryName(tbl)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.table(tbl).filter(F.col("user_id") >= 0).select(
+        "user_id", "session_start", "session_end", "n_events", "total_value"
+    )
+
+
+_register(
+    QuerySpec(
+        name="stream_sessions_30m",
+        survey_ids=("A1", "T3", "T2"),
+        description="streaming gap-based sessionization (30-min gap) on "
+        "the native session_window state operator, availableNow-drained "
+        "with a sentinel watermark flush so every real session "
+        "finalizes; append-mode emissions equal the batch "
+        "gaps-and-islands result",
+        spark=_stream_sessions_30m,
+        oracle=f"""
+WITH marked AS (
+  SELECT user_id, ts, event_id, value,
+    CASE WHEN lag(ts) OVER w IS NULL
+          OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) >= 1800000
+         THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, ts, value,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+)
+SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+       count(*) AS n_events, {osum('value')} AS total_value
+FROM sess GROUP BY user_id, sid
+""",
+    )
+)
+
+
+# --------------------------------------------------------------------------
+# K2+T2 streaming incremental JOIN-view maintenance, oracle-paired
+# (r14): the IVM maintainer (operators/ivm.py + streaming/ivm_stream.py,
+# pytest-only through r13) gets a driver receipt.  orders (left) and
+# customer (right) arrive as alternating availableNow drains — the
+# documented sequential single-maintainer schedule — with a LATE left
+# drain after the right side exists, so both streaming delta terms
+# (ΔA⋈B against non-empty B, and A⋈ΔB) run with non-empty state.  (The
+# ΔA⋈ΔB cross term only arises when one maintenance call carries both
+# sides — batch-mode IVM, pytest-pinned in test_ivm.py.)  The
+# view is append-only inner-join maintenance of deterministic inputs,
+# so the final lake contents equal the one-shot join REGARDLESS of how
+# the batches were split — which is what makes a maintenance pipeline
+# hash-checkable.  Crash-replay/ledger semantics stay pytest-pinned
+# (tests/test_ivm_stream.py, test_ivm.py).
+# 100 TB shape: per batch the delta joins read only the hash buckets
+# the batch touches (all three lakes co-partitioned on the join key);
+# commit cost is manifest machinery, independent of view history.
+# --------------------------------------------------------------------------
+
+#: staged batch files build once per (process, sf_dir); lake +
+#: checkpoints are fresh per run (a reused lake would no-op on replayed
+#: ids), torn down at the NEXT invocation (the returned DF is lazy).
+_STREAM_IVM_FILES: dict[str, tuple[str, str]] = {}
+_STREAM_IVM_SCRATCH: list[str] = []
+
+
+def _stream_ivm_order_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from crypto_data_ingestion_module_spark.operators.ivm import (
+        read_join_view,
+    )
+    from crypto_data_ingestion_module_spark.streaming.ivm_stream import (
+        stream_join_view,
+    )
+
+    left = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"), "o_orderkey", "o_totalprice"
+    )
+    right = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_mktsegment"
+    )
+    staged = _STREAM_IVM_FILES.get(sf_dir)
+    if staged is None:
+        stage = tempfile.mkdtemp(prefix="sgraft_stream_ivm_")
+        lfiles = os.path.join(stage, "lfiles")
+        rfiles = os.path.join(stage, "rfiles")
+        os.makedirs(lfiles)
+        os.makedirs(rfiles)
+
+        def _stage(df, key, n, out_dir, tag):
+            for i in range(n):
+                tmp = os.path.join(stage, f"_{tag}{i}")
+                df.filter(F.col(key) % n == i).coalesce(1).write.mode(
+                    "overwrite"
+                ).parquet(tmp)
+                (f,) = [
+                    x for x in os.listdir(tmp) if x.endswith(".parquet")
+                ]
+                shutil.move(
+                    os.path.join(tmp, f),
+                    os.path.join(out_dir, f"{tag}{i}.parquet"),
+                )
+
+        _stage(left, "o_orderkey", 3, lfiles, "l")
+        _stage(right, "custkey", 2, rfiles, "r")
+        staged = (lfiles, rfiles)
+        _STREAM_IVM_FILES[sf_dir] = staged
+    lfiles, rfiles = staged
+    while _STREAM_IVM_SCRATCH:
+        shutil.rmtree(_STREAM_IVM_SCRATCH.pop(), ignore_errors=True)
+    scratch = tempfile.mkdtemp(prefix="sgraft_stream_ivm_run_")
+    lake = os.path.join(scratch, "lake")
+    lin = os.path.join(scratch, "lin")
+    rin = os.path.join(scratch, "rin")
+    os.makedirs(lin)
+    os.makedirs(rin)
+
+    def _land(src_dir, names, dst_dir):
+        for n in names:
+            os.link(
+                os.path.join(src_dir, n + ".parquet"),
+                os.path.join(dst_dir, n + ".parquet"),
+            )
+
+    def _drain(in_dir, side, schema):
+        # one micro-batch per drain (multi-batch re-merge semantics are
+        # pytest-pinned; fewer batches = fewer fixed-cost lake commits)
+        src = spark.readStream.schema(schema).parquet(in_dir)
+        q = stream_join_view(
+            src, side, lake, "custkey", os.path.join(scratch, side + "_ck")
+        )
+        q.awaitTermination()
+
+    # alternating sequential drains; the late left file lands AFTER the
+    # right side exists so ΔA⋈B runs against non-empty B
+    _land(lfiles, ["l0", "l1"], lin)
+    _drain(lin, "left", left.schema)
+    _land(rfiles, ["r0", "r1"], rin)
+    _drain(rin, "right", right.schema)
+    _land(lfiles, ["l2"], lin)
+    _drain(lin, "left", left.schema)
+    _STREAM_IVM_SCRATCH.append(scratch)
+    return read_join_view(spark, lake).select(
+        "custkey", "o_orderkey", "o_totalprice", "c_mktsegment"
+    )
+
+
+_register(
+    QuerySpec(
+        name="stream_ivm_order_customer",
+        survey_ids=("K2", "T2"),
+        description="streaming incremental join-view maintenance: "
+        "orders⨝customer kept materialized in the snapshot lake under "
+        "alternating availableNow side drains (streaming delta terms "
+        "ΔA⋈B and A⋈ΔB, both against non-empty state); final view "
+        "contents are batch-split-independent and equal the one-shot "
+        "join",
+        spark=_stream_ivm_order_customer,
+        oracle="""
+SELECT o_custkey AS custkey, o_orderkey, o_totalprice, c_mktsegment
+FROM orders JOIN customer ON o_custkey = c_custkey
+""",
+    )
+)
+
+
 _register(
     QuerySpec(
         name="merge_upsert_keep_last",
@@ -2264,6 +2536,8 @@ CHECKED_QUERIES: tuple[str, ...] = (
     "watermark_progress",
     "topk_latest_per_type",
     "stream_rollup_1h",
+    "stream_sessions_30m",
+    "stream_ivm_order_customer",
     # joins / windows / grouping (§2.5 capability extensions)
     "pricing_summary",
     "forecast_revenue_change",
