@@ -94,6 +94,8 @@ SWEEP_SAMPLE_TWINS: tuple[str, ...] = (
     # the still-measured batch twins (user_sessions_30m; the join rows).
     "stream_sessions_30m",   # state machinery + user_sessions_30m's agg
     "stream_ivm_order_customer",  # IVM lake machinery + a plain equi-join
+    "stream_cross_venue_spread",  # join-state machinery + an equi-join
+    #   whose batch data axis is carried by cross_stream_spread_1h
 )
 
 

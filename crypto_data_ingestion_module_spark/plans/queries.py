@@ -738,6 +738,157 @@ def _stream_ivm_order_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# §2.8 watermarked stream-stream join, oracle-paired (r14): the last
+# streaming discipline without a driver receipt (streaming/join.py,
+# pytest-only through r13).  Two venue-shaped tick streams (view/click
+# events as venue_a/venue_b, symbol = user id) are joined per
+# (symbol, interval, 15m window) by cross_venue_spread — the module's
+# real operator, watermarks on BOTH sides so join state is bounded.
+# Why this is hash-checkable: a stream-stream INNER join emits each
+# matched pair exactly once, at match time (no append-mode watermark
+# hold), so the drained result equals the batch join PROVIDED no
+# potential match is ever dropped by the late-row filter or evicted
+# early — guaranteed here by the same time-disjoint ascending-halves
+# landing zones as stream_sessions_30m (batch k's rows on both sides
+# are >= the watermark carried out of batch k-1; a boundary bucket's
+# state outlives the boundary because eviction needs bucket end + 30m
+# lateness < watermark).  Out-of-order/eviction behavior itself stays
+# pytest-pinned (tests/test_streaming_join.py).
+# 100 TB shape: state per side is (symbols x buckets-within-lateness)
+# rows — independent of stream length; one exchange per side on the
+# join key.
+# --------------------------------------------------------------------------
+
+_STREAM_SSJ_INPUT: dict[str, tuple[str, str]] = {}
+
+
+def _stream_cross_venue_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+    import time
+    import uuid
+
+    from crypto_data_ingestion_module_spark.streaming.join import (
+        cross_venue_spread,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+
+    def _venue(etype: str, tag: str) -> DataFrame:
+        return ev.filter(F.col("event_type") == etype).select(
+            F.col("user_id").cast("string").alias("symbol"),
+            F.lit("15m").alias("interval"),
+            F.col("ts").alias("timestamp"),
+            F.lit(f"venue_{tag}").alias("exchange"),
+            F.col("value").alias("close"),
+            F.lit(1.0).alias("volume"),
+        )
+
+    sides = _STREAM_SSJ_INPUT.get(sf_dir)
+    if sides is None:
+        root = tempfile.mkdtemp(prefix="sgraft_stream_ssj_")
+        stats = ev.agg(
+            F.unix_millis(F.min("ts")).alias("lo"),
+            F.unix_millis(F.max("ts")).alias("hi"),
+        ).collect()[0]
+        mid = (stats["lo"] + stats["hi"]) // 2
+        now = time.time()
+        dirs = []
+        for etype, tag in (("view", "a"), ("click", "b")):
+            d = os.path.join(root, tag)
+            os.makedirs(d)
+            side = _venue(etype, tag)
+            halves = [
+                side.filter(F.unix_millis("timestamp") < mid),
+                side.filter(F.unix_millis("timestamp") >= mid),
+            ]
+            for i, part in enumerate(halves):
+                tmp = os.path.join(root, f"_{tag}{i}")
+                part.coalesce(1).write.mode("overwrite").parquet(tmp)
+                (f,) = [
+                    x for x in os.listdir(tmp) if x.endswith(".parquet")
+                ]
+                dst = os.path.join(d, f"{i}.parquet")
+                shutil.move(os.path.join(tmp, f), dst)
+                os.utime(dst, (now + 600 * i, now + 600 * i))
+            dirs.append(d)
+        sides = tuple(dirs)
+        _STREAM_SSJ_INPUT[sf_dir] = sides
+    for t in spark.catalog.listTables():
+        if t.isTemporary and t.name.startswith("stream_ssj_"):
+            spark.catalog.dropTempView(t.name)
+    run_id = uuid.uuid4().hex[:12]
+    tbl = "stream_ssj_" + run_id
+    ckpt = os.path.join(tempfile.gettempdir(), f"sgraft_ssj_ckpt_{run_id}")
+    schema = _venue("view", "a").schema
+    lhs = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(sides[0])
+    )
+    rhs = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(sides[1])
+    )
+    q = (
+        cross_venue_spread(lhs, rhs, interval="15m", lateness="30 minutes")
+        .writeStream.format("memory")
+        .queryName(tbl)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.table(tbl).select(
+        "symbol",
+        "interval",
+        "bucket_ts",
+        "exchange_a",
+        "exchange_b",
+        "close_a",
+        "close_b",
+        "spread",
+        "spread_bps",
+    )
+
+
+_register(
+    QuerySpec(
+        name="stream_cross_venue_spread",
+        survey_ids=("A2", "T2"),
+        description="watermarked stream-stream inner join: two venue "
+        "tick streams joined per (symbol, 15m window) by "
+        "cross_venue_spread under an availableNow drain over "
+        "time-disjoint ascending halves; exactly-once pair emission "
+        "makes the drained result equal the batch join",
+        spark=_stream_cross_venue_spread,
+        oracle="""
+WITH a AS (
+  SELECT CAST(user_id AS VARCHAR) AS symbol,
+         epoch_ms(ts) // 900000 AS b, value
+  FROM events WHERE event_type = 'view'
+), bb AS (
+  SELECT CAST(user_id AS VARCHAR) AS symbol,
+         epoch_ms(ts) // 900000 AS b, value
+  FROM events WHERE event_type = 'click'
+)
+SELECT a.symbol, '15m' AS "interval",
+       make_timestamp((a.b * 900000) * 1000) AS bucket_ts,
+       'venue_a' AS exchange_a, 'venue_b' AS exchange_b,
+       a.value AS close_a, bb.value AS close_b,
+       a.value - bb.value AS spread,
+       (a.value - bb.value) / bb.value * 10000.0 AS spread_bps
+FROM a JOIN bb ON a.symbol = bb.symbol AND a.b = bb.b
+""",
+    )
+)
+
+
 _register(
     QuerySpec(
         name="stream_ivm_order_customer",
@@ -2510,7 +2661,11 @@ _register(
 #       quality_classifier_train + _trained_scores in-window
 #   stream_classifier_scores — serving twin quality_classifier_
 #       trained_scores stays in-window; the streaming discipline gains
-#       two NEW paired rows this round (sessions + IVM)
+#       THREE NEW paired rows this round (sessions + IVM + the
+#       stream-stream join)
+#   bollinger_breakouts_20 — r9-r13 receipts (5 consecutive); the
+#       indicator family keeps vwap_1h, order_flow_1h, value_deciles
+#       in-window (out to make room for stream_cross_venue_spread)
 # Round-15 rotation plan (pre-committed): if CORRECTNESS_r14 is green,
 # rotate the next-stalest cohort per COVERAGE.md — the r4-receipt rows
 # (ann_lsh_seed_topk, embedding_near_dup_pairs, market_share_by_year,
@@ -2538,6 +2693,7 @@ CHECKED_QUERIES: tuple[str, ...] = (
     "stream_rollup_1h",
     "stream_sessions_30m",
     "stream_ivm_order_customer",
+    "stream_cross_venue_spread",
     # joins / windows / grouping (§2.5 capability extensions)
     "pricing_summary",
     "forecast_revenue_change",
@@ -2552,7 +2708,6 @@ CHECKED_QUERIES: tuple[str, ...] = (
     "interval_completeness",
     # technical indicators (round-4: the candle lake's downstream analytics)
     "vwap_1h",
-    "bollinger_breakouts_20",
     "order_flow_1h",
     # LLM-data-pipeline operators (X1–X5)
     "dedup_clusters",
