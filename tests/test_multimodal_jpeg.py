@@ -288,6 +288,286 @@ def _encode_jpeg(rgb, subsample=False, gray=False, restart_interval=0):
     return bytes(out)
 
 
+def _encode_jpeg_progressive(rgb, gray=False, subsample=False):
+    """Independent PROGRESSIVE (SOF2) JPEG writer: spectral selection
+    (split AC bands 1-5 / 6-63) + one successive-approximation level on
+    both DC (Al=1) and AC (Al=1), libjpeg-style EOB-run accumulation
+    and buffered correction bits.  Scan script:
+
+      1. DC first, interleaved, Ah=0 Al=1
+      2. per component: AC first  Ss=1..5  and Ss=6..63, Ah=0 Al=1
+      3. per component: AC refine Ss=1..5  and Ss=6..63, Ah=1 Al=0
+      4. DC refine, interleaved, Ah=1 Al=0 (raw bits, no Huffman)
+
+    Shares only the low-level helpers (_fdct, _BitWriter, _size_cat,
+    _huff_tables) with the baseline writer; all progressive coding
+    logic is written here against T.81 G.1.2, independent of the
+    decoder under test."""
+    h, w = len(rgb), len(rgb[0])
+    if gray:
+        planes = [
+            [
+                [
+                    min(255, max(0, round(
+                        0.299 * px[0] + 0.587 * px[1] + 0.114 * px[2]
+                    )))
+                    for px in row
+                ]
+                for row in rgb
+            ]
+        ]
+        samp = [(1, 1)]
+    else:
+        y_p, cb_p, cr_p = [], [], []
+        for row in rgb:
+            yr, cbr, crr = [], [], []
+            for r, g, b in row:
+                yr.append(min(255, max(0, round(
+                    0.299 * r + 0.587 * g + 0.114 * b))))
+                cbr.append(min(255, max(0, round(
+                    128 - 0.168736 * r - 0.331264 * g + 0.5 * b))))
+                crr.append(min(255, max(0, round(
+                    128 + 0.5 * r - 0.418688 * g - 0.081312 * b))))
+            y_p.append(yr)
+            cb_p.append(cbr)
+            cr_p.append(crr)
+        if subsample:
+            def _half(p):
+                hh = (len(p) + 1) // 2
+                hw = (len(p[0]) + 1) // 2
+                return [
+                    [
+                        round(sum(
+                            p[yy][xx]
+                            for yy in range(2 * by, min(2 * by + 2, len(p)))
+                            for xx in range(2 * bx, min(2 * bx + 2, len(p[0])))
+                        ) / max(1, (min(2 * by + 2, len(p)) - 2 * by)
+                                * (min(2 * bx + 2, len(p[0])) - 2 * bx)))
+                        for bx in range(hw)
+                    ]
+                    for by in range(hh)
+                ]
+
+            planes = [y_p, _half(cb_p), _half(cr_p)]
+            samp = [(2, 2), (1, 1), (1, 1)]
+        else:
+            planes = [y_p, cb_p, cr_p]
+            samp = [(1, 1), (1, 1), (1, 1)]
+
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+
+    def _block_coeffs(plane, x0, y0):
+        ph, pw = len(plane), len(plane[0])
+        blk = [
+            [
+                plane[min(y0 + x, ph - 1)][min(x0 + y, pw - 1)] - 128
+                for y in range(8)
+            ]
+            for x in range(8)
+        ]
+        f = _fdct(blk)
+        flat = [f[i // 8][i % 8] for i in range(64)]
+        return [round(flat[_ZZ[i]]) for i in range(64)]
+
+    # quantized (q=1) zigzag coefficients on the MCU-padded block grid
+    blocks = []  # blocks[ci][by][bx] -> cf[64]
+    for ci, (sh, sv) in enumerate(samp):
+        by_n, bx_n = mcuy * sv, mcux * sh
+        blocks.append([
+            [_block_coeffs(planes[ci], bx * 8, by * 8)
+             for bx in range(bx_n)]
+            for by in range(by_n)
+        ])
+
+    # ---- scan item generators: ("sym", s) / ("bits", v, n) ----------
+    def _dc_first_items(al):
+        items = []
+        dc_pred = [0] * len(planes)
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci, (sh, sv) in enumerate(samp):
+                    for by in range(sv):
+                        for bx in range(sh):
+                            v = blocks[ci][my * sv + by][mx * sh + bx][0]
+                            v >>= al  # arithmetic shift per T.81 DC pt
+                            diff = v - dc_pred[ci]
+                            dc_pred[ci] = v
+                            s = _size_cat(diff)
+                            dbits = (
+                                diff if diff >= 0
+                                else diff + (1 << s) - 1
+                            )
+                            items.append(("sym", s))
+                            items.append(("bits", dbits, s))
+        return items
+
+    def _dc_refine_items(al):
+        items = []
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci, (sh, sv) in enumerate(samp):
+                    for by in range(sv):
+                        for bx in range(sh):
+                            v = blocks[ci][my * sv + by][mx * sh + bx][0]
+                            items.append(("bits", (v >> al) & 1, 1))
+        return items
+
+    def _comp_grid(ci):
+        sh, sv = samp[ci]
+        cw = (w * sh + hmax - 1) // hmax
+        ch = (h * sv + vmax - 1) // vmax
+        return (ch + 7) // 8, (cw + 7) // 8
+
+    def _flush_eob(state, items):
+        n = state["eobrun"]
+        if n == 0:
+            return
+        r = n.bit_length() - 1
+        items.append(("sym", r << 4))
+        if r:
+            items.append(("bits", n - (1 << r), r))
+        items.extend(state["pending"])
+        state["eobrun"] = 0
+        state["pending"] = []
+
+    def _ac_first_items(ci, ss, se, al):
+        items = []
+        state = {"eobrun": 0, "pending": []}
+        by_n, bx_n = _comp_grid(ci)
+        for by in range(by_n):
+            for bx in range(bx_n):
+                cf = blocks[ci][by][bx]
+                t = [abs(cf[k]) >> al for k in range(64)]
+                kend = max(
+                    (k for k in range(ss, se + 1) if t[k]), default=0
+                )
+                if kend < ss:  # whole band zero at this precision
+                    state["eobrun"] += 1
+                    if state["eobrun"] == 0x7FFF:
+                        _flush_eob(state, items)
+                    continue
+                _flush_eob(state, items)
+                r = 0
+                for k in range(ss, kend + 1):
+                    if t[k] == 0:
+                        r += 1
+                        continue
+                    while r > 15:
+                        items.append(("sym", 0xF0))
+                        r -= 16
+                    size = t[k].bit_length()
+                    vs = t[k] if cf[k] > 0 else -t[k]
+                    abits = vs if vs >= 0 else vs + (1 << size) - 1
+                    items.append(("sym", (r << 4) | size))
+                    items.append(("bits", abits, size))
+                    r = 0
+                if kend < se:
+                    state["eobrun"] += 1
+                    if state["eobrun"] == 0x7FFF:
+                        _flush_eob(state, items)
+        _flush_eob(state, items)
+        return items
+
+    def _ac_refine_items(ci, ss, se, al):
+        items = []
+        state = {"eobrun": 0, "pending": []}
+        by_n, bx_n = _comp_grid(ci)
+        for by in range(by_n):
+            for bx in range(bx_n):
+                cf = blocks[ci][by][bx]
+                t = [abs(cf[k]) >> al for k in range(64)]
+                eob = ss - 1
+                for k in range(ss, se + 1):
+                    if t[k] == 1:  # newly significant this pass
+                        eob = k
+                r = 0
+                br = []  # correction bits buffered inside this block
+                for k in range(ss, se + 1):
+                    if t[k] == 0:
+                        r += 1
+                        continue
+                    while r > 15 and k <= eob:
+                        _flush_eob(state, items)
+                        items.append(("sym", 0xF0))
+                        r -= 16
+                        items.extend(br)
+                        br = []
+                    if t[k] > 1:  # already significant: correction bit
+                        br.append(("bits", t[k] & 1, 1))
+                        continue
+                    _flush_eob(state, items)
+                    items.append(("sym", (r << 4) | 1))
+                    items.append(("bits", 1 if cf[k] > 0 else 0, 1))
+                    items.extend(br)
+                    br = []
+                    r = 0
+                if r > 0 or br:
+                    state["eobrun"] += 1
+                    state["pending"].extend(br)
+                    if state["eobrun"] == 0x7FFF or len(
+                        state["pending"]
+                    ) > 900:
+                        _flush_eob(state, items)
+        _flush_eob(state, items)
+        return items
+
+    # ---- scan script -------------------------------------------------
+    # (items, scan_comps, Ss, Se, AhAl, needs_huff_class)
+    scans = [(_dc_first_items(1), list(range(len(planes))), 0, 0,
+              (0 << 4) | 1, 0)]
+    for ci in range(len(planes)):
+        scans.append((_ac_first_items(ci, 1, 5, 1), [ci], 1, 5,
+                      (0 << 4) | 1, 1))
+        scans.append((_ac_first_items(ci, 6, 63, 1), [ci], 6, 63,
+                      (0 << 4) | 1, 1))
+    for ci in range(len(planes)):
+        scans.append((_ac_refine_items(ci, 1, 5, 0), [ci], 1, 5,
+                      (1 << 4) | 0, 1))
+        scans.append((_ac_refine_items(ci, 6, 63, 0), [ci], 6, 63,
+                      (1 << 4) | 0, 1))
+    scans.append((_dc_refine_items(0), list(range(len(planes))), 0, 0,
+                  (1 << 4) | 0, None))
+
+    # ---- assemble ----------------------------------------------------
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([0]) + bytes(
+        [1] * 64
+    )
+    out += b"\xff\xc2" + struct.pack(
+        ">HBHHB", 8 + 3 * len(planes), 8, h, w, len(planes)
+    )
+    for ci, (sh, sv) in enumerate(samp):
+        out += bytes([ci + 1, (sh << 4) | sv, 0])
+    for items, scomps, ss, se, ahal, hclass in scans:
+        syms = [it[1] for it in items if it[0] == "sym"]
+        if hclass is not None:
+            counts, values, code_map = _huff_tables(syms or [0])
+            out += b"\xff\xc4" + struct.pack(
+                ">H", 19 + len(values)
+            ) + bytes([(hclass << 4) | 0]) + counts + values
+        out += b"\xff\xda" + struct.pack(
+            ">HB", 6 + 2 * len(scomps), len(scomps)
+        )
+        for ci in scomps:
+            out += bytes([ci + 1, 0x00])
+        out += bytes([ss, se, ahal])
+        wtr = _BitWriter()
+        for it in items:
+            if it[0] == "sym":
+                ln, code = code_map[it[1]]
+                wtr.put(code, ln)
+            else:
+                _, v, nb = it
+                wtr.put(v, nb)
+        wtr.align()
+        out += wtr.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 def _gradient(w, h):
     return [
         [((x * 255) // max(w - 1, 1), (y * 255) // max(h - 1, 1), 128)
@@ -376,11 +656,68 @@ def test_unsupported_profiles_reject_loudly():
     img = _gradient(16, 16)
     payload = bytearray(_encode_jpeg(img))
     sof = payload.find(b"\xff\xc0")
-    payload[sof + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
+    payload[sof + 1] = 0xC3  # rewrite SOF0 -> SOF3 (lossless)
     with pytest.raises(ValueError, match="coding process"):
+        jpeg_to_rgb(bytes(payload))
+    # SOF0 -> SOF2: now a structurally invalid PROGRESSIVE stream (a
+    # full-band Ss=0..Se=63 scan is illegal in a progressive frame) —
+    # must reject, not misdecode (r14: progressive is supported)
+    payload[sof + 1] = 0xC2
+    with pytest.raises(ValueError, match="Se=0"):
         jpeg_to_rgb(bytes(payload))
     with pytest.raises(ValueError):  # truncated entropy stream
         jpeg_to_rgb(_encode_jpeg(img)[:-40])
+
+
+def test_progressive_equals_baseline_grayscale():
+    """All scans of a progressive stream reconstruct the SAME quantized
+    coefficients the baseline stream carries (successive approximation
+    is exact once every refinement lands), so the two decodes must be
+    bit-identical."""
+    img = _gradient(24, 16)
+    prog = _encode_jpeg_progressive(img, gray=True)
+    assert is_jpeg(prog) and prog[3] != 0xC0
+    a = jpeg_to_rgb(prog)
+    b = jpeg_to_rgb(_encode_jpeg(img, gray=True))
+    assert a.shape == b.shape == (16, 24, 3)
+    assert (a == b).all()
+
+
+def test_progressive_equals_baseline_color():
+    img = _gradient(16, 24)
+    a = jpeg_to_rgb(_encode_jpeg_progressive(img))
+    b = jpeg_to_rgb(_encode_jpeg(img))
+    assert a.shape == (24, 16, 3)
+    assert (a == b).all()
+    assert _max_err(img, a) <= 4
+
+
+def test_progressive_equals_baseline_420_subsampled():
+    img = _gradient(24, 24)
+    a = jpeg_to_rgb(_encode_jpeg_progressive(img, subsample=True))
+    b = jpeg_to_rgb(_encode_jpeg(img, subsample=True))
+    assert a.shape == (24, 24, 3)
+    assert (a == b).all()
+
+
+def test_progressive_flat_blocks_exercise_eob_runs():
+    """A mostly-flat image makes long EOB runs (whole AC bands zero
+    across consecutive blocks) — the EOBn accumulation path on both
+    sides; one busy corner block breaks the run mid-scan."""
+    img = [[(90, 90, 90)] * 40 for _ in range(40)]
+    for y in range(8):
+        for x in range(8):
+            img[y][x] = (255 if (x + y) % 2 else 0,) * 3
+    a = jpeg_to_rgb(_encode_jpeg_progressive(img, gray=True))
+    b = jpeg_to_rgb(_encode_jpeg(img, gray=True))
+    assert (a == b).all()
+
+
+def test_progressive_truncated_scan_rejects():
+    img = _gradient(16, 16)
+    prog = _encode_jpeg_progressive(img, gray=True)
+    with pytest.raises(ValueError):
+        jpeg_to_rgb(prog[: len(prog) // 2])
 
 
 def test_entropy_cut_before_eoi_rejects_not_zero_fills():
