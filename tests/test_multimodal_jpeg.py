@@ -739,14 +739,25 @@ def test_decode_assets_dispatches_jpeg(spark):
 
     img = [[(50, 100, 150)] * 16 for _ in range(16)]
     good = _encode_jpeg(img)
+    prog = _encode_jpeg_progressive(img)
     corrupt = good[:30]  # sniffs as JPEG, truncated body
+    prog_prefix = prog[: len(prog) - 20]  # progressive missing tail/EOI
     df = spark.createDataFrame(
-        [(1, "image", bytearray(good)), (2, "image", bytearray(corrupt))],
+        [
+            (1, "image", bytearray(good)),
+            (2, "image", bytearray(corrupt)),
+            (3, "image", bytearray(prog)),
+            (4, "image", bytearray(prog_prefix)),
+        ],
         "asset_id long, modality string, payload binary",
     )
     rows = {r["asset_id"]: r for r in decode_assets(df).collect()}
     assert rows[1]["decode_ok"] and rows[1]["width"] == 16
     assert not rows[2]["decode_ok"] and rows[2]["width"] is None
+    # progressive decodes through the same Arrow kernel (r14)
+    assert rows[3]["decode_ok"] and rows[3]["width"] == 16
+    # a renderable progressive PREFIX still quarantines (no EOI)
+    assert not rows[4]["decode_ok"]
 
 
 def test_resize_kernel_accepts_jpeg(spark):
