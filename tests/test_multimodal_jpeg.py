@@ -288,7 +288,8 @@ def _encode_jpeg(rgb, subsample=False, gray=False, restart_interval=0):
     return bytes(out)
 
 
-def _encode_jpeg_progressive(rgb, gray=False, subsample=False):
+def _encode_jpeg_progressive(rgb, gray=False, subsample=False,
+                             restart_interval=0):
     """Independent PROGRESSIVE (SOF2) JPEG writer: spectral selection
     (split AC bands 1-5 / 6-63) + one successive-approximation level on
     both DC (Al=1) and AC (Al=1), libjpeg-style EOB-run accumulation
@@ -382,12 +383,22 @@ def _encode_jpeg_progressive(rgb, gray=False, subsample=False):
             for by in range(by_n)
         ])
 
-    # ---- scan item generators: ("sym", s) / ("bits", v, n) ----------
+    # ---- scan item generators: ("sym", s) / ("bits", v, n) /
+    # ("rst", m) — restart markers cycle 0-7 per scan, resetting DC
+    # predictors, EOB runs, and bit alignment on both sides ----------
     def _dc_first_items(al):
         items = []
         dc_pred = [0] * len(planes)
+        nrst = 0
         for my in range(mcuy):
             for mx in range(mcux):
+                mcu = my * mcux + mx
+                if restart_interval and mcu and (
+                    mcu % restart_interval == 0
+                ):
+                    items.append(("rst", nrst % 8))
+                    nrst += 1
+                    dc_pred = [0] * len(planes)
                 for ci, (sh, sv) in enumerate(samp):
                     for by in range(sv):
                         for bx in range(sh):
@@ -406,8 +417,15 @@ def _encode_jpeg_progressive(rgb, gray=False, subsample=False):
 
     def _dc_refine_items(al):
         items = []
+        nrst = 0
         for my in range(mcuy):
             for mx in range(mcux):
+                mcu = my * mcux + mx
+                if restart_interval and mcu and (
+                    mcu % restart_interval == 0
+                ):
+                    items.append(("rst", nrst % 8))
+                    nrst += 1
                 for ci, (sh, sv) in enumerate(samp):
                     for by in range(sv):
                         for bx in range(sh):
@@ -437,8 +455,16 @@ def _encode_jpeg_progressive(rgb, gray=False, subsample=False):
         items = []
         state = {"eobrun": 0, "pending": []}
         by_n, bx_n = _comp_grid(ci)
+        nrst = 0
         for by in range(by_n):
             for bx in range(bx_n):
+                blk = by * bx_n + bx
+                if restart_interval and blk and (
+                    blk % restart_interval == 0
+                ):
+                    _flush_eob(state, items)
+                    items.append(("rst", nrst % 8))
+                    nrst += 1
                 cf = blocks[ci][by][bx]
                 t = [abs(cf[k]) >> al for k in range(64)]
                 kend = max(
@@ -475,8 +501,16 @@ def _encode_jpeg_progressive(rgb, gray=False, subsample=False):
         items = []
         state = {"eobrun": 0, "pending": []}
         by_n, bx_n = _comp_grid(ci)
+        nrst = 0
         for by in range(by_n):
             for bx in range(bx_n):
+                blk = by * bx_n + bx
+                if restart_interval and blk and (
+                    blk % restart_interval == 0
+                ):
+                    _flush_eob(state, items)
+                    items.append(("rst", nrst % 8))
+                    nrst += 1
                 cf = blocks[ci][by][bx]
                 t = [abs(cf[k]) >> al for k in range(64)]
                 eob = ss - 1
@@ -541,6 +575,8 @@ def _encode_jpeg_progressive(rgb, gray=False, subsample=False):
     )
     for ci, (sh, sv) in enumerate(samp):
         out += bytes([ci + 1, (sh << 4) | sv, 0])
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     for items, scomps, ss, se, ahal, hclass in scans:
         syms = [it[1] for it in items if it[0] == "sym"]
         if hclass is not None:
@@ -559,6 +595,8 @@ def _encode_jpeg_progressive(rgb, gray=False, subsample=False):
             if it[0] == "sym":
                 ln, code = code_map[it[1]]
                 wtr.put(code, ln)
+            elif it[0] == "rst":
+                wtr.marker(0xD0 + it[1])
             else:
                 _, v, nb = it
                 wtr.put(v, nb)
@@ -711,6 +749,23 @@ def test_progressive_flat_blocks_exercise_eob_runs():
     a = jpeg_to_rgb(_encode_jpeg_progressive(img, gray=True))
     b = jpeg_to_rgb(_encode_jpeg(img, gray=True))
     assert (a == b).all()
+
+
+def test_progressive_restart_markers_decode_identically():
+    """Restart markers inside progressive scans (DC interleaved: every
+    2 MCUs; AC non-interleaved: every 2 blocks) reset DC predictors,
+    EOB runs, and bit alignment on both sides — output must equal the
+    restart-free progressive and the baseline decode."""
+    img = _gradient(32, 24)
+    a = jpeg_to_rgb(_encode_jpeg_progressive(img, restart_interval=2))
+    b = jpeg_to_rgb(_encode_jpeg_progressive(img))
+    c = jpeg_to_rgb(_encode_jpeg(img))
+    assert (a == b).all() and (a == c).all()
+    d = jpeg_to_rgb(
+        _encode_jpeg_progressive(img, subsample=True, restart_interval=3)
+    )
+    e = jpeg_to_rgb(_encode_jpeg(img, subsample=True))
+    assert (d == e).all()
 
 
 def test_progressive_truncated_scan_rejects():
