@@ -998,7 +998,6 @@ def jpeg_to_rgb(payload: bytes):
                 np.zeros((mcuy * v, mcux * h, 64), dtype=np.int32)
                 for _, h, v, _ in comps
             ]
-            dc_pred = [0] * ncomp
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise ValueError(
