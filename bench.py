@@ -96,6 +96,8 @@ SWEEP_SAMPLE_TWINS: tuple[str, ...] = (
     "stream_ivm_order_customer",  # IVM lake machinery + a plain equi-join
     "stream_cross_venue_spread",  # join-state machinery + an equi-join
     #   whose batch data axis is carried by cross_stream_spread_1h
+    "stream_classifier_train",  # epoch-drain machinery + the trainer's
+    #   update aggregate, carried by quality_classifier_train
 )
 
 

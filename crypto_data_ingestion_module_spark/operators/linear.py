@@ -84,6 +84,78 @@ def _weights_df(of: DataFrame, w: dict[int, int]) -> DataFrame:
     return of.sparkSession.createDataFrame(sorted(w.items()), schema=_W_SCHEMA)
 
 
+def examples_frame(
+    feats: DataFrame, labels: DataFrame, key: str = "doc_id"
+) -> DataFrame:
+    """Pack each labeled example into one ``(_k, fmap, y)`` row — the
+    trainer's scan unit (built once; the batch trainer checkpoints it,
+    the streaming trainer lands it as parquet and re-drains per epoch).
+
+    Examples with no feature rows are dropped by the inner join — they
+    have margin 0 and are missed every round, but contribute nothing to
+    any update, so excluding them from the loop is the identity on the
+    model."""
+    return (
+        feats.groupBy(F.col(key).alias("_k"))
+        .agg(
+            F.map_from_entries(
+                F.collect_list(
+                    F.struct(
+                        F.col("bucket").cast("int"),
+                        F.col("cnt").cast("long"),
+                    )
+                )
+            ).alias("fmap")
+        )
+        .join(
+            labels.select(
+                F.col(key).alias("_k"), F.col("y").cast("long").alias("y")
+            ),
+            "_k",
+        )
+    )
+
+
+def miss_updates(ex: DataFrame, w: dict[int, int]) -> DataFrame:
+    """Per-bucket perceptron update sums for the CURRENT weights over
+    an example frame (``fmap``, ``y``): at most one row per feature
+    bucket (the model's parameter count), never a function of corpus
+    size.  The per-iteration update is an associative SUM over
+    examples, so partial updates from any split of ``ex`` (a streaming
+    micro-batch, a partition) merge by addition — what makes the
+    per-epoch streaming trainer bit-identical to the batch trainer."""
+    zero = F.lit(0).cast("long")
+    if not w:
+        # all-zero model: every margin is 0 and y*0 <= 0, so the miss
+        # set is ALL examples — no scoring needed.  (Covers both w0 and
+        # the degenerate mid-run case where every weight cancelled.)
+        miss = ex
+    else:
+        wlit = F.create_map(
+            *[F.lit(v) for kv in sorted(w.items()) for v in kv]
+        )
+        margin = F.aggregate(
+            F.map_entries("fmap"),
+            zero,
+            lambda acc, e: acc
+            + e["value"] * F.coalesce(wlit[e["key"]], zero),
+        )
+        miss = ex.filter(F.col("y") * margin <= 0)
+    return (
+        miss.select("y", F.explode("fmap").alias("bucket", "cnt"))
+        .groupBy("bucket")
+        .agg(F.sum(F.col("y") * F.col("cnt")).alias("dw"))
+    )
+
+
+def apply_updates(w: dict[int, int], rows) -> dict[int, int]:
+    """Fold collected ``(bucket, dw)`` rows into the weight dict,
+    dropping cancelled-to-zero weights (identity on every margin)."""
+    for r in rows:
+        w[r["bucket"]] = w.get(r["bucket"], 0) + r["dw"]
+    return {b: v for b, v in w.items() if v != 0}
+
+
 def train_perceptron_hashed(
     feats: DataFrame,
     labels: DataFrame,
@@ -107,63 +179,13 @@ def train_perceptron_hashed(
     weight contributes nothing to any margin, so dropping it is
     semantically the identity — and keeps the served table minimal).
     """
-    # One map row per labeled example that HAS features.  Examples with
-    # no feature rows are dropped by the inner join — they have margin 0
-    # and are missed every round, but contribute nothing to any update,
-    # so excluding them from the loop is the identity on the model.
-    ex = (
-        feats.groupBy(F.col(key).alias("_k"))
-        .agg(
-            F.map_from_entries(
-                F.collect_list(
-                    F.struct(
-                        F.col("bucket").cast("int"),
-                        F.col("cnt").cast("long"),
-                    )
-                )
-            ).alias("fmap")
-        )
-        .join(
-            labels.select(
-                F.col(key).alias("_k"), F.col("y").cast("long").alias("y")
-            ),
-            "_k",
-        )
-        .localCheckpoint(eager=True)
-    )
-
-    zero = F.lit(0).cast("long")
+    ex = examples_frame(feats, labels, key).localCheckpoint(eager=True)
     w: dict[int, int] = {}
     for _ in range(int(iterations)):
-        if not w:
-            # all-zero model: every margin is 0 and y*0 <= 0, so the
-            # miss set is ALL examples — no scoring needed.  (Covers
-            # both w0 and the degenerate mid-run case where every
-            # weight cancelled back to zero.)
-            miss = ex
-        else:
-            wlit = F.create_map(
-                *[F.lit(v) for kv in sorted(w.items()) for v in kv]
-            )
-            margin = F.aggregate(
-                F.map_entries("fmap"),
-                zero,
-                lambda acc, e: acc
-                + e["value"] * F.coalesce(wlit[e["key"]], zero),
-            )
-            miss = ex.filter(F.col("y") * margin <= 0)
         # ONE bounded action per iteration: the update aggregate has at
         # most one row per feature bucket (the parameter count), never
         # a function of corpus size.
-        upd = (
-            miss.select("y", F.explode("fmap").alias("bucket", "cnt"))
-            .groupBy("bucket")
-            .agg(F.sum(F.col("y") * F.col("cnt")).alias("dw"))
-            .collect()
-        )
-        for r in upd:
-            w[r["bucket"]] = w.get(r["bucket"], 0) + r["dw"]
-        w = {b: v for b, v in w.items() if v != 0}
+        w = apply_updates(w, miss_updates(ex, w).collect())
     return _weights_df(feats, w)
 
 

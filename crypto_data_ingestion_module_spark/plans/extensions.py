@@ -3067,6 +3067,87 @@ FROM lab l LEFT JOIN sc USING (doc_id)
 
 
 # --------------------------------------------------------------------------
+# X4+T2 STREAMING model training (r14): the training half of the
+# streaming model loop, next to the r13 serving row above.  The batch
+# gang-perceptron's per-iteration update is an associative integer SUM
+# over examples (operators/linear.py miss_updates), so an epoch that
+# holds weights FIXED while example micro-batches stream past merges
+# its per-batch partial updates by addition into exactly the batch
+# iteration's update — for ANY batch split.  N streamed epochs ==
+# N batch iterations bit-for-bit, which is what lets a streaming
+# TRAINER pair against the same unrolled MATERIALIZED-CTE oracle as
+# quality_classifier_train.  (Classic ONLINE updates are arrival-order
+# -dependent by definition and stay out of the paired registry.)
+# Own iteration count (4): the streamed model is its own definition,
+# sized so the row measures the epoch-drain machinery, not 12 rounds
+# of it; trainer quality at depth is carried by the batch rows.
+# 100 TB shape: the example frame streams FROM THE LAKE per epoch (the
+# corpus-wide feature extraction never reruns); per-batch driver
+# traffic is bounded by the parameter count; weights are the bounded
+# driver-side model state (the parameter-server shape).
+# --------------------------------------------------------------------------
+
+_QC_STREAM_TRAIN_ITERS = 4
+_STREAM_QC_TRAIN_INPUT: dict[str, str] = {}
+_STREAM_QC_TRAIN_SCRATCH: list[str] = []
+
+
+def _stream_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from crypto_data_ingestion_module_spark.operators.linear import (
+        examples_frame,
+    )
+    from crypto_data_ingestion_module_spark.streaming.train_stream import (
+        stream_train_perceptron,
+    )
+
+    feats, labels = _qc_feats_labels(spark, sf_dir)
+    ex = examples_frame(feats, labels)
+    inp = _STREAM_QC_TRAIN_INPUT.get(sf_dir)
+    if inp is None:
+        inp = os.path.join(
+            tempfile.mkdtemp(prefix="sgraft_stream_qct_"), "in"
+        )
+        ex.repartition(2).write.mode("overwrite").parquet(inp)
+        _STREAM_QC_TRAIN_INPUT[sf_dir] = inp
+    while _STREAM_QC_TRAIN_SCRATCH:
+        shutil.rmtree(_STREAM_QC_TRAIN_SCRATCH.pop(), ignore_errors=True)
+    ckroot = tempfile.mkdtemp(prefix="sgraft_stream_qct_ck_")
+    _STREAM_QC_TRAIN_SCRATCH.append(ckroot)
+    w = stream_train_perceptron(
+        spark,
+        inp,
+        ex.schema,
+        iterations=_QC_STREAM_TRAIN_ITERS,
+        checkpoint_root=ckroot,
+    )
+    return spark.createDataFrame(
+        sorted(w.items()), schema="bucket int, w long"
+    )
+
+
+_register(
+    QuerySpec(
+        name="stream_classifier_train",
+        survey_ids=("X4", "T2"),
+        description="STREAMING model training: per-epoch perceptron "
+        f"updates accumulated from example micro-batches "
+        f"({_QC_STREAM_TRAIN_ITERS} availableNow epoch drains, weights "
+        "frozen per epoch so partial updates merge associatively) — "
+        "bit-identical to the batch trainer at the same depth, "
+        "hash-checked via the same unrolled MATERIALIZED CTEs",
+        spark=_stream_classifier_train,
+        oracle=_qc_train_cte(_QC_STREAM_TRAIN_ITERS)
+        + f"\nSELECT bucket, CAST(w AS BIGINT) AS w"
+        f" FROM w{_QC_STREAM_TRAIN_ITERS} WHERE w <> 0\n",
+    )
+)
+
+
+# --------------------------------------------------------------------------
 # X4 reference-corpus n-gram coverage scoring (r13): the integer-exact
 # stand-in for perplexity filtering (CCNet-style) — a real curation
 # pipeline scores candidate documents against a language model trained

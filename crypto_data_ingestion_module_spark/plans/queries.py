@@ -2661,11 +2661,14 @@ _register(
 #       quality_classifier_train + _trained_scores in-window
 #   stream_classifier_scores — serving twin quality_classifier_
 #       trained_scores stays in-window; the streaming discipline gains
-#       THREE NEW paired rows this round (sessions + IVM + the
-#       stream-stream join)
+#       FOUR NEW paired rows this round (sessions + IVM + the
+#       stream-stream join + the streaming trainer)
 #   bollinger_breakouts_20 — r9-r13 receipts (5 consecutive); the
 #       indicator family keeps vwap_1h, order_flow_1h, value_deciles
 #       in-window (out to make room for stream_cross_venue_spread)
+#   activity_streaks — r9-r13 receipts (5 consecutive); the behavioral
+#       family keeps value_deciles in-window (out to make room for
+#       stream_classifier_train)
 # Round-15 rotation plan (pre-committed): if CORRECTNESS_r14 is green,
 # rotate the next-stalest cohort per COVERAGE.md — the r4-receipt rows
 # (ann_lsh_seed_topk, embedding_near_dup_pairs, market_share_by_year,
@@ -2700,7 +2703,7 @@ CHECKED_QUERIES: tuple[str, ...] = (
     "important_parts",
     "revenue_cube",
     # windowed / stateful analytics
-    "activity_streaks",
+    "stream_classifier_train",
     "value_deciles",
     "cross_stream_spread_1h",
     "frequent_tokens_exact",
