@@ -2677,6 +2677,27 @@ _register(
 # 8 rows) — taking outs from the r14 re-entry
 # rows once they hold their fresh receipt, family twins kept as
 # always; new r15 capabilities enter under the unchanged admission bar.
+# ROUND-15 EXECUTION (CORRECTNESS_r14 was 50/50 green, backlog zero):
+# IN (8) = the full r4-receipt cohort named above — 11 rounds stale,
+# the oldest paired receipts on the board after the r14 swap.
+# OUT (8) = the r14 re-entry cohort, each now holding a FRESH r14
+# receipt, family twins kept:
+#   order_grouping_sets, order_rollup_priority_status — grouping-sets/
+#       rollup family keeps revenue_cube in-window
+#   order_revenue_by_priority, promo_revenue_share — orders-agg family
+#       keeps pricing_summary, forecast_revenue_change in-window
+#   pii_redaction, repetition_stats — X4 keeps bpe_encode_docs,
+#       conjunctive_search_bm25 + the classifier rows in-window
+#   salted_totals — skew family keeps dedup_clusters (skew-salted CC)
+#       in-window; salting mechanics stay pytest-pinned
+#   value_quantiles_exact — quantile family keeps value_deciles
+#       in-window
+# Round-16 rotation plan (pre-committed): if CORRECTNESS_r15 is green,
+# rotate the next-stalest cohort per COVERAGE.md (run
+# scripts/round_open.py at round open — expected: the r5-receipt
+# rows), taking outs from the r15 re-entry rows once they hold their
+# fresh receipt, family twins kept as always; new r16 capabilities
+# enter under the unchanged admission bar.
 # --------------------------------------------------------------------------
 
 CHECKED_QUERIES: tuple[str, ...] = (
@@ -2727,15 +2748,15 @@ CHECKED_QUERIES: tuple[str, ...] = (
     "bpe_encode_docs",
     "conjunctive_search_bm25",
     "multimodal_meta",
-    # r14 rotation: the 8-row r3-receipt cohort (11 rounds stale)
-    "order_grouping_sets",
-    "order_revenue_by_priority",
-    "order_rollup_priority_status",
-    "pii_redaction",
-    "promo_revenue_share",
-    "repetition_stats",
-    "salted_totals",
-    "value_quantiles_exact",
+    # r15 rotation: the 8-row r4-receipt cohort (11 rounds stale)
+    "ann_lsh_seed_topk",
+    "embedding_near_dup_pairs",
+    "market_share_by_year",
+    "min_acctbal_supplier_per_part",
+    "order_priority_exists",
+    "session_purchase_attribution",
+    "stream_pair_correlation",
+    "vocab_stats",
 )
 
 assert len(CHECKED_QUERIES) <= 50, len(CHECKED_QUERIES)
