@@ -920,6 +920,13 @@ def jpeg_to_rgb(payload: bytes):
     if not is_jpeg(payload):
         raise ValueError("not a JPEG payload")
     qt: dict[int, "np.ndarray"] = {}
+    # Per-component quantization table, SNAPSHOTTED at the component's
+    # first scan (libjpeg's latch_quant_tables semantics): a DQT
+    # segment appearing between scans redefines the slot for LATER
+    # first-use only — it must not retroactively rescale coefficients
+    # of scans already decoded, even though dequantization physically
+    # runs once at end of frame.
+    qt_latched: dict[int, "np.ndarray"] = {}
     huff: dict[tuple[int, int], dict] = {}  # (class 0=DC/1=AC, id)
     frame = None  # (height, width, [(cid, h, v, tq)])
     progressive = False
@@ -1019,6 +1026,10 @@ def jpeg_to_rgb(payload: bytes):
                 scan.append((cid_to_idx[cs], tds >> 4, tds & 0xF))
             ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
             ah, al = seg[3 + 2 * ns] >> 4, seg[3 + 2 * ns] & 0xF
+            for ci, _, _ in scan:
+                tq_id = comps[ci][3]
+                if ci not in qt_latched and tq_id in qt:
+                    qt_latched[ci] = qt[tq_id].copy()
             if not progressive:
                 if ns != len(comps):
                     raise ValueError(
@@ -1156,9 +1167,9 @@ def jpeg_to_rgb(payload: bytes):
     A = _jpeg_idct_basis()
     samples = []
     for ci, (cid, h, v, tq_id) in enumerate(comps):
-        if tq_id not in qt:
+        q = qt_latched.get(ci, qt.get(tq_id))
+        if q is None:
             raise ValueError(f"JPEG missing quantization table {tq_id}")
-        q = qt[tq_id]
         deq = coefs[ci].astype(np.int64) * q[None, None, :]
         by_n, bx_n, _ = deq.shape
         nat = np.zeros((by_n, bx_n, 8, 8), dtype=np.float64)

@@ -2647,7 +2647,8 @@ _register(
 # pii_redaction, promo_revenue_share, repetition_stats, salted_totals,
 # value_quantiles_exact — 11 rounds stale, the oldest receipts on the
 # board), plus the r14 streaming capabilities as they are admitted
-# (stream_sessions_30m, stream_ivm_revenue — see their registrations).
+# (stream_sessions_30m, stream_ivm_order_customer — see their
+# registrations).
 # OUT (10), all holding FRESH r13 receipts with family twins kept:
 #   candle_gaps, candle_returns_ma, cross_stream_compare — indicator
 #       family keeps vwap_1h, bollinger_breakouts_20, order_flow_1h,

@@ -41,6 +41,36 @@ from crypto_data_ingestion_module_spark.operators.linear import (
 )
 
 
+class _EpochAccumulator:
+    """Per-epoch partial-update collector for ``foreachBatch``.
+
+    Keyed by ``batch_id`` because foreachBatch is at-least-once: a
+    micro-batch re-delivered after a failure must OVERWRITE its own
+    slot, not append a second copy of the same partials (which would
+    double-count updates and silently break the bit-identity with the
+    batch trainer).  Overwriting is sound because the epoch's weights
+    are frozen, so a re-run of the same batch yields the same table.
+    """
+
+    def __init__(self, frozen_weights: dict[int, int]) -> None:
+        self._frozen = frozen_weights
+        self._by_batch: dict[int, list] = {}
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        self._by_batch[int(batch_id)] = miss_updates(
+            batch_df, self._frozen
+        ).collect()
+
+    def partials(self) -> list:
+        return [
+            row
+            for bid in sorted(self._by_batch)
+            for row in self._by_batch[bid]
+        ]
+
+
 def stream_train_perceptron(
     spark: SparkSession,
     examples_path: str,
@@ -58,22 +88,24 @@ def stream_train_perceptron(
     per feature bucket); the summed updates apply once per epoch, so
     the result equals ``train_perceptron_hashed`` at the same iteration
     count for any file/batch split.
+
+    Partials are keyed by ``batch_id``: foreachBatch may re-deliver a
+    micro-batch after a failure (its at-least-once contract), and an
+    append-only accumulator would double-count the replayed partials,
+    silently breaking the bit-identity with the batch trainer.  A
+    replayed batch id overwrites its own slot instead (idempotent
+    because the epoch's weights are frozen, so a re-run of the same
+    batch produces the same partial table).
     """
     w: dict[int, int] = {}
     for epoch in range(int(iterations)):
-        frozen = dict(w)  # weights are FIXED for the whole epoch
-        partials: list = []
-
-        def _acc(batch_df: DataFrame, _batch_id: int) -> None:
-            if batch_df.isEmpty():
-                return
-            partials.extend(miss_updates(batch_df, frozen).collect())
-
+        # weights are FIXED for the whole epoch
+        acc = _EpochAccumulator(dict(w))
         q = (
             spark.readStream.schema(schema)
             .option("maxFilesPerTrigger", max_files_per_trigger)
             .parquet(examples_path)
-            .writeStream.foreachBatch(_acc)
+            .writeStream.foreachBatch(acc)
             .option(
                 "checkpointLocation",
                 os.path.join(checkpoint_root, f"epoch{epoch}"),
@@ -82,5 +114,5 @@ def stream_train_perceptron(
             .start()
         )
         q.awaitTermination()
-        w = apply_updates(w, partials)
+        w = apply_updates(w, acc.partials())
     return w

@@ -768,6 +768,44 @@ def test_progressive_restart_markers_decode_identically():
     assert (d == e).all()
 
 
+def test_fill_bytes_before_markers_decode_identically():
+    """T.81 B.1.1.2 allows any number of 0xFF fill bytes before a
+    marker.  The marker walk must skip them wherever they appear —
+    between the scans of a progressive file and before EOI — and the
+    decode must be byte-identical to the fill-free file (ADVICE r14
+    regression pin)."""
+    import re
+
+    img = _gradient(24, 16)
+    buf = _encode_jpeg_progressive(img)
+    base = jpeg_to_rgb(buf)
+    sos = [m.start() for m in re.finditer(b"\xff\xda", buf)]
+    assert len(sos) > 2
+    # fill bytes before an inter-scan marker AND before EOI
+    filled = buf[: sos[1]] + b"\xff\xff\xff" + buf[sos[1] : -2]
+    filled += b"\xff\xff" + buf[-2:]
+    assert (jpeg_to_rgb(filled) == base).all()
+
+
+def test_dqt_redefinition_after_scan_is_not_retroactive():
+    """A DQT segment between scans (or after the last scan) redefines
+    the table slot for LATER first-use only; components latch their
+    quantization table at their first scan (libjpeg latch semantics),
+    so already-decoded scans must not be rescaled by the new table
+    even though dequantization physically runs at end of frame."""
+    img = _gradient(24, 16)
+    for buf in (_encode_jpeg_progressive(img), _encode_jpeg(img)):
+        base = jpeg_to_rgb(buf)
+        # redefine table 0 (and 1 if referenced) to all-255 junk
+        junk = b""
+        for tq in (0, 1):
+            junk += b"\xff\xdb" + (2 + 65).to_bytes(2, "big")
+            junk += bytes([tq]) + b"\xff" * 64
+        assert buf.endswith(b"\xff\xd9")
+        poisoned = buf[:-2] + junk + buf[-2:]
+        assert (jpeg_to_rgb(poisoned) == base).all()
+
+
 def test_progressive_truncated_scan_rejects():
     img = _gradient(16, 16)
     prog = _encode_jpeg_progressive(img, gray=True)

@@ -115,3 +115,25 @@ def test_registered_row_matches_batch_trainer_semantics(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_replayed_micro_batch_does_not_double_count(spark):
+    """foreachBatch is at-least-once: re-delivering a batch_id must
+    OVERWRITE its partial-update slot, not append a second copy
+    (ADVICE r14 pin — an append-only accumulator double-counts on
+    retry and silently breaks the batch-trainer bit-identity)."""
+    from crypto_data_ingestion_module_spark.streaming.train_stream import (
+        _EpochAccumulator,
+    )
+
+    feats, labels = _frames(spark)
+    ex = examples_frame(feats, labels)
+    acc = _EpochAccumulator({})
+    acc(ex, 0)
+    once = acc.partials()
+    assert once  # the fixture produces misses at zero weights
+    acc(ex, 0)  # simulated retry of the same micro-batch
+    assert acc.partials() == once
+    # a genuinely new batch still accumulates
+    acc(ex, 1)
+    assert len(acc.partials()) == 2 * len(once)
