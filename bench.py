@@ -103,6 +103,12 @@ SWEEP_SAMPLE_TWINS: tuple[str, ...] = (
     #   whose batch data axis is carried by cross_stream_spread_1h
     "stream_classifier_train",  # epoch-drain machinery + the trainer's
     #   update aggregate, carried by quality_classifier_train
+    # r15 admission (VERDICT r14 item 3): twin-listed at admission
+    # under the now-permanent drop — standalone receipt 8.09 s sf0.1 /
+    # 1.78x at 10x in PERF.md §r15.
+    "stream_curated_corpus",  # availableNow drain machinery (carried
+    #   by stream_rollup_1h) + the settle's CC/exact-rep/quality axes
+    #   (carried by curated_corpus + simhash_hamming_pairs, measured)
 )
 
 

@@ -2693,6 +2693,16 @@ _register(
 #       in-window; salting mechanics stay pytest-pinned
 #   value_quantiles_exact — quantile family keeps value_deciles
 #       in-window
+# r15 capability addendum: stream_curated_corpus (streaming curation —
+# quality gate + incremental SimHash pair log per micro-batch, settle
+# electing exact/near-dup reps; the last large pytest-only streaming
+# composition, VERDICT r14 item 3) enters under the unchanged
+# admission bar (validate-green 3 SFs, settled 8.09 s sf0.1, 1.78x at
+# 10x, twin-listed at admission — receipts in PERF.md §r15) for
+# stream_dedup_within_watermark (r13+r14 receipts; T4 late-data keeps
+# merge_upsert_keep_last in-window, the streaming disciplines keep
+# five paired rows in-window, and the bounded-dedup mechanics stay
+# pytest- and validate-pinned).
 # Round-16 rotation plan (pre-committed): if CORRECTNESS_r15 is green,
 # rotate the next-stalest cohort per COVERAGE.md (run
 # scripts/round_open.py at round open — expected: the r5-receipt
@@ -2745,7 +2755,7 @@ CHECKED_QUERIES: tuple[str, ...] = (
     "hybrid_rrf_per_query",
     "length_weighted_sample",
     "decontaminate_docs_bloom",
-    "stream_dedup_within_watermark",
+    "stream_curated_corpus",
     "bpe_encode_docs",
     "conjunctive_search_bm25",
     "multimodal_meta",

@@ -147,25 +147,21 @@ def read_curate_pairs(spark: SparkSession, lake_root: str) -> DataFrame:
     )
 
 
-def finalize_curated(
+def settle_curated(
     spark: SparkSession,
     lake_root: str,
-    shards_dir: str,
-    num_shards: int = 16,
-    mixture_caps: dict[str, int] | None = None,
     id_col: str = "doc_id",
-    seed: int = 42,
 ) -> DataFrame:
     """Settle the global-minimum stages over the accumulated lakes and
-    cut the training shards; returns the shard manifest.
+    return the curated document set (quality survivors that are exact
+    AND near-dup cluster representatives).
 
-    Matches ``curate_and_shard`` on the same docs exactly: exact reps
+    Matches the batch composition on the same docs exactly: exact reps
     are the global min id per text; near-dup pairs are a pure pairwise
     predicate, so filtering the accumulated pair log to exact-survivor
     endpoints reproduces ``simhash_hamming_pairs(survivors)`` (a pair of
     exact survivors collides in the log iff it collides from scratch);
-    cluster election, mixture caps, and the shard writer are all
-    deterministic seeded functions of the surviving set.
+    cluster election is a deterministic function of the surviving set.
     """
     docs = read_curate_docs(spark, lake_root)
     exact_reps = docs.groupBy("text").agg(F.min(id_col).alias(id_col))
@@ -182,7 +178,21 @@ def finalize_curated(
         .filter("is_rep")
         .select(id_col)
     )
-    curated = survivors.join(reps, id_col, "semi")
+    return survivors.join(reps, id_col, "semi")
+
+
+def finalize_curated(
+    spark: SparkSession,
+    lake_root: str,
+    shards_dir: str,
+    num_shards: int = 16,
+    mixture_caps: dict[str, int] | None = None,
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """:func:`settle_curated` + mixture caps + training shards; returns
+    the shard manifest (the ``curate_and_shard`` equality contract)."""
+    curated = settle_curated(spark, lake_root, id_col=id_col)
 
     if mixture_caps is not None:
         curated = mixture_sample(
