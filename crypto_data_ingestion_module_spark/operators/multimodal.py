@@ -8,7 +8,8 @@ envelope come from the actual samples (golden-file pytest).  IMAGE
 decode and resize are REAL for PPM (P6), PNG, AND GIF payloads: P6
 headers parse straight off the raster; PNG goes through a pure-stdlib
 chunk walk + zlib inflate + per-row unfiltering (None/Sub/Up/Average/
-Paeth; gray/RGB/palette/alpha color types; non-interlaced and Adam7); GIF goes through a
+Paeth; gray/RGB/palette/alpha color types; non-interlaced and Adam7;
+depths 8 and 16); GIF goes through a
 pure-stdlib header/palette walk + LZW decompression + frame
 compositing (transparency, all four disposal methods, interlace) —
 all three
@@ -302,17 +303,18 @@ def png_to_rgb(payload: bytes):
     chunk walk, concatenated-IDAT zlib inflate, per-row unfiltering,
     color-type expansion → ((height, width, 3) uint8 RGB array).
 
-    Supports the PNG core everything-writes profile: bit depth 8,
-    color types 0 (gray), 2 (RGB), 3 (palette via PLTE), 4 (gray+α),
-    6 (RGBA), both interlace methods (none and ADAM7 — r15, VERDICT
-    r14 item 4: each of the seven passes unfilters independently
-    through the shared filter kernel, then scatters onto the full
-    grid by its pass stride).  Alpha is dropped (features need
-    luminance, not compositing); gray replicates to RGB.  16-bit
-    depth stays a loud quarantine (the corpus-rare half of the r14
-    statement: every extra byte path is a misdecode surface, and
-    16-bit assets are vanishingly rare in web crawls next to
-    interlaced ones).
+    Supports the full byte-depth PNG profile: bit depths 8 and 16
+    (16-bit samples are big-endian pairs; filters run at the 2-byte
+    pixel offset and the decoded image is the high byte of every
+    sample — libpng strip-16 semantics, deterministic and exactly
+    what an 8-bit-luma feature kernel needs), color types 0 (gray),
+    2 (RGB), 3 (palette via PLTE, depth 8 only per spec §11.2.2),
+    4 (gray+α), 6 (RGBA), both interlace methods (none and ADAM7 —
+    r15, VERDICT r14 item 4: each of the seven passes unfilters
+    independently through the shared filter kernel, then scatters
+    onto the full grid by its pass stride).  Alpha is dropped
+    (features need luminance, not compositing); gray replicates to
+    RGB.  Sub-byte depths (1/2/4) reject loudly.
     """
     import struct
     import zlib
@@ -341,8 +343,8 @@ def png_to_rgb(payload: bytes):
     if ihdr is None:
         raise ValueError("PNG missing IHDR")
     width, height, depth, color, comp, filt, interlace = ihdr
-    if depth != 8:
-        raise ValueError(f"unsupported PNG bit depth {depth} (8 only)")
+    if depth not in (8, 16):
+        raise ValueError(f"unsupported PNG bit depth {depth} (8/16 only)")
     if interlace not in (0, 1):
         raise ValueError(f"bad PNG interlace method {interlace}")
     if comp != 0 or filt != 0:
@@ -350,30 +352,41 @@ def png_to_rgb(payload: bytes):
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
     if channels is None:
         raise ValueError(f"unsupported PNG color type {color}")
+    if depth == 16 and color == 3:
+        # spec §11.2.2: palette images allow depths 1/2/4/8 only
+        raise ValueError("16-bit palette PNG is not a legal profile")
+    # filters operate on BYTES at a bpp-byte pixel offset (spec §9), so
+    # the same unfilter kernel serves both depths; 16-bit samples are
+    # big-endian pairs reduced to their high byte afterwards
+    bpp = channels * (depth // 8)
     raw = zlib.decompress(bytes(idat))
     if interlace == 1:
         # Adam7: seven independently-filtered sub-images, concatenated
         # in pass order; empty passes (zero width or height) emit no
         # scanlines at all (spec §8.2)
-        px = np.zeros((height, width, channels), dtype=np.uint8)
+        px = np.zeros((height, width, bpp), dtype=np.uint8)
         off = 0
         for x0, y0, xs, ys in _ADAM7_PASSES:
             pw = (width - x0 + xs - 1) // xs
             ph = (height - y0 + ys - 1) // ys
             if pw <= 0 or ph <= 0:
                 continue
-            nbytes = ph * (pw * channels + 1)
-            sub = _png_unfilter(raw[off : off + nbytes], pw, ph, channels)
+            nbytes = ph * (pw * bpp + 1)
+            sub = _png_unfilter(raw[off : off + nbytes], pw, ph, bpp)
             off += nbytes
-            px[y0::ys, x0::xs] = sub.reshape(ph, pw, channels)
+            px[y0::ys, x0::xs] = sub.reshape(ph, pw, bpp)
         if off != len(raw):
             # quarantine contract: a raster that isn't exactly the
             # seven passes is corrupt — reject, don't render a prefix
             raise ValueError("PNG raster length mismatch (Adam7)")
     else:
-        px = _png_unfilter(raw, width, height, channels).reshape(
-            height, width, channels
+        px = _png_unfilter(raw, width, height, bpp).reshape(
+            height, width, bpp
         )
+    if depth == 16:
+        # high-byte reduction (libpng png_set_strip_16 semantics):
+        # deterministic, and the feature kernel is 8-bit-luma anyway
+        px = px[:, :, 0::2]
     if color == 2:
         return px
     if color == 6:

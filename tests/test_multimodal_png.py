@@ -81,8 +81,8 @@ def _flat_rows(pixels):
     ]
 
 
-def _assemble_png(raw, w, h, color_type, palette, interlace=0):
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, interlace)
+def _assemble_png(raw, w, h, color_type, palette, interlace=0, depth=8):
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, interlace)
     out = b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr)
     if palette is not None:
         out += _chunk(b"PLTE", bytes(c for rgb in palette for c in rgb))
@@ -133,6 +133,44 @@ def _encode_png_adam7(pixels, color_type, palette=None):
             next_ft += 1
         raw += _filter_scanlines(_flat_rows(sub), channels, filters)
     return _assemble_png(raw, w, h, color_type, palette, interlace=1)
+
+
+def _flat_rows16(pixels):
+    """Flatten 16-bit sample tuples into big-endian BYTE rows."""
+    return [
+        [
+            b
+            for px in row
+            for s in (px if isinstance(px, tuple) else (px,))
+            for b in ((s >> 8) & 0xFF, s & 0xFF)
+        ]
+        for row in pixels
+    ]
+
+
+def _encode_png16(pixels, color_type, filters, interlace=False):
+    """Independent 16-bit writer: big-endian sample pairs, filters
+    applied at the 2-byte-per-sample pixel offset (spec §9)."""
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
+    bpp = channels * 2
+    h, w = len(pixels), len(pixels[0])
+    if not interlace:
+        raw = _filter_scanlines(_flat_rows16(pixels), bpp, filters)
+        return _assemble_png(raw, w, h, color_type, None, depth=16)
+    raw = bytearray()
+    next_ft = 0
+    for x0, y0, xs, ys in _ADAM7:
+        sub = [row[x0::xs] for row in pixels[y0::ys]]
+        if not sub or not sub[0]:
+            continue
+        fts = []
+        for _ in sub:
+            fts.append(next_ft % 5)
+            next_ft += 1
+        raw += _filter_scanlines(_flat_rows16(sub), bpp, fts)
+    return _assemble_png(
+        raw, w, h, color_type, None, interlace=1, depth=16
+    )
 
 
 def _gradient_rgb(w, h):
@@ -287,6 +325,61 @@ def test_adam7_truncated_or_padded_raster_rejects():
         png_to_rgb(_rebuild(lambda r: r + b"\x00\x00"))  # padded
 
 
+def test_16bit_depth_reduces_to_high_byte():
+    """16-bit PNG (r15): filters run at the 2-byte pixel offset; the
+    decoded image is the big-endian HIGH byte of every sample (libpng
+    strip-16 semantics) — pinned by packing a known 8-bit gradient
+    into the high bytes and junk into the low bytes."""
+    hi = _gradient_rgb(9, 10)
+    pixels16 = [
+        [
+            tuple((c << 8) | ((x * 31 + y * 7 + c) % 256) for c in px)
+            for x, px in enumerate(row)
+        ]
+        for y, row in enumerate(hi)
+    ]
+    png = _encode_png16(pixels16, 2, [0, 1, 2, 3, 4, 4, 3, 2, 1, 0])
+    rgb = png_to_rgb(png)
+    assert rgb.shape == (10, 9, 3)
+    assert [
+        [tuple(int(c) for c in rgb[y, x]) for x in range(9)]
+        for y in range(10)
+    ] == hi
+
+    # gray and gray+alpha at depth 16
+    gray = [[(x * 25 + y) % 256 for x in range(6)] for y in range(5)]
+    g16 = [[((g << 8) | 0xAB,) for g in row] for row in gray]
+    rgb0 = png_to_rgb(_encode_png16(g16, 0, [0, 1, 2, 3, 4]))
+    assert [[int(rgb0[y, x, 0]) for x in range(6)] for y in range(5)] == gray
+    ga16 = [[((g << 8) | 1, 0xFFFF) for g in row] for row in gray]
+    rgb4 = png_to_rgb(_encode_png16(ga16, 4, [4, 3, 2, 1, 0]))
+    assert [[int(rgb4[y, x, 0]) for x in range(6)] for y in range(5)] == gray
+
+
+def test_16bit_adam7_composes():
+    """Depth 16 and Adam7 together: the two orthogonal axes share the
+    byte-level filter kernel, so the interlaced 16-bit decode equals
+    the plain 8-bit decode of the high bytes."""
+    hi = _gradient_rgb(11, 7)
+    pixels16 = [
+        [tuple((c << 8) | 0x5A for c in px) for px in row] for row in hi
+    ]
+    lace16 = _encode_png16(pixels16, 2, None, interlace=True)
+    plain8 = _encode_png(hi, 2, [(y % 5) for y in range(7)])
+    assert (png_to_rgb(lace16) == png_to_rgb(plain8)).all()
+    assert decode_png_bytes(lace16) == decode_png_bytes(plain8)
+
+
+def test_16bit_palette_rejects():
+    """Spec §11.2.2: palette images allow depths 1/2/4/8 only."""
+    palette = [(1, 2, 3), (4, 5, 6)]
+    idx = [[(i % 2,) for i in range(4)] for _ in range(4)]
+    png = bytearray(_encode_png(idx, 3, [0, 0, 0, 0], palette))
+    png[16 + 8] = 16  # depth byte
+    with pytest.raises(ValueError, match="palette"):
+        png_to_rgb(bytes(png))
+
+
 def test_unsupported_profiles_reject_loudly():
     pixels = _gradient_rgb(4, 4)
     png = bytearray(_encode_png(pixels, 2, [0, 0, 0, 0]))
@@ -304,7 +397,7 @@ def test_unsupported_profiles_reject_loudly():
         png_to_rgb(bytes(bad_lace))
     with pytest.raises(ValueError, match="bit depth"):
         bad_depth = bytearray(_encode_png(pixels, 2, [0, 0, 0, 0]))
-        bad_depth[16 + 8] = 16
+        bad_depth[16 + 8] = 4  # sub-byte depths stay quarantined
         png_to_rgb(bytes(bad_depth))
     with pytest.raises(ValueError):
         png_to_rgb(b"\x89PNG\r\n\x1a\nnot-a-chunk")
