@@ -109,6 +109,9 @@ SWEEP_SAMPLE_TWINS: tuple[str, ...] = (
     "stream_curated_corpus",  # availableNow drain machinery (carried
     #   by stream_rollup_1h) + the settle's CC/exact-rep/quality axes
     #   (carried by curated_corpus + simhash_hamming_pairs, measured)
+    "stream_ann_index",  # drain + snapshot-commit machinery (carried
+    #   by stream_rollup_1h) + the PQ-encode/assign data axes (carried
+    #   by pq_adc_topk + ann_ivfpq_topk, measured)
 )
 
 

@@ -2490,6 +2490,179 @@ _register(
 
 
 # --------------------------------------------------------------------------
+# X3+T2 streaming ANN-index maintenance, oracle-paired (r15): the
+# incremental IVF-PQ maintainer (streaming/ann_stream.py, pytest-only
+# through r14 — the next entry in the streaming-receipt program after
+# r15's curation row).  Embeddings arrive as an availableNow drain in
+# three shuffled batches; each micro-batch is assigned (frozen seeded
+# coarse centroids) and PQ-encoded (frozen seeded codebooks) against
+# the reference corpus, then appended to the snapshot index lake under
+# a replay-ledger batch identity.  The row returns the final INDEX
+# CONTENT, exploded to (nid, list_id, j, code) scalars.
+# Why this is hash-checkable: the quantizers are FROZEN (the standard
+# FAISS/Milvus discipline — retraining is an offline event), so each
+# vector's (list_id, codes) is a pure function of (vector, reference)
+# regardless of which batch carried it — streaming N batches produces
+# exactly the rows batch-encoding their union would, for any split or
+# arrival order.  The oracle re-derives assignment + codebooks + codes
+# from the same seeded constructions (the ann_ivfpq_topk CTEs minus
+# the probe).  Replay idempotence (ledger skip of a re-delivered batch
+# id) stays pytest-pinned (tests/test_ann_stream.py).
+# 100 TB shape: per batch the encode is one Arrow pass over the batch
+# against broadcast quantizers (16 centroids + m*k codebook rows);
+# the lake is partitioned by list_id so probers bucket-prune; commit
+# cost is manifest machinery, independent of index history.
+# --------------------------------------------------------------------------
+
+_STREAM_ANN_FILES: dict[str, str] = {}
+_STREAM_ANN_SCRATCH: list[str] = []
+
+
+def _stream_ann_index_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from crypto_data_ingestion_module_spark.streaming.ann_stream import (
+        read_index,
+        stream_index_embeddings,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    inp = _STREAM_ANN_FILES.get(sf_dir)
+    if inp is None:
+        stage = tempfile.mkdtemp(prefix="sgraft_stream_ann_")
+        inp = os.path.join(stage, "emb_in")
+        os.makedirs(inp)
+        # three id-striped files in SHUFFLED arrival order — the claim
+        # is split- and order-independence under frozen quantizers
+        for n, i in enumerate((1, 0, 2)):
+            tmp = os.path.join(stage, f"_e{i}")
+            emb.filter(F.col("vec_id") % 3 == i).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(tmp)
+            (f,) = [x for x in os.listdir(tmp) if x.endswith(".parquet")]
+            shutil.move(
+                os.path.join(tmp, f), os.path.join(inp, f"e{n}.parquet")
+            )
+        _STREAM_ANN_FILES[sf_dir] = inp
+    while _STREAM_ANN_SCRATCH:
+        shutil.rmtree(_STREAM_ANN_SCRATCH.pop(), ignore_errors=True)
+    scratch = tempfile.mkdtemp(prefix="sgraft_stream_ann_run_")
+    lake = os.path.join(scratch, "index")
+    src = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(inp)
+    )
+    q = stream_index_embeddings(
+        src,
+        reference=emb,
+        lake_root=lake,
+        checkpoint=os.path.join(scratch, "ck"),
+        n_lists=16,
+        m=8,
+        k_codes=16,
+    )
+    q.awaitTermination()
+    _STREAM_ANN_SCRATCH.append(scratch)
+    return read_index(spark, lake).select(
+        "nid",
+        F.col("list_id").cast("long").alias("list_id"),
+        F.posexplode("codes").alias("j", "code"),
+    ).select(
+        "nid",
+        "list_id",
+        F.col("j").cast("int").alias("j"),
+        F.col("code").cast("int").alias("code"),
+    )
+
+
+def _ann_index_oracle(n_lists: int, m: int, k: int, sub: int) -> str:
+    zd2 = (
+        "list_sum(list_transform(list_zip(sv, cv),"
+        " p -> (p[1] - p[2]) * (p[1] - p[2])))"
+    )
+    return f"""
+WITH c AS (SELECT vec_id AS nid, embedding AS nv FROM embeddings),
+cn AS (
+  SELECT nid, sqrt({_COS_DOT.format(a='x', b='x')}) AS nnorm
+  FROM (SELECT nid, unnest(nv) AS x FROM c) GROUP BY nid
+),
+cent AS (
+  SELECT row_number() OVER (ORDER BY md5(CAST(nid AS VARCHAR)), nid) - 1
+           AS list_id,
+         nid AS cid, nv AS cv2
+  FROM c ORDER BY md5(CAST(nid AS VARCHAR)), nid LIMIT {n_lists}
+),
+centn AS (SELECT cent.list_id, cn.nnorm AS cnorm
+          FROM cent JOIN cn ON cn.nid = cent.cid),
+adots AS (
+  SELECT nid, list_id, {_COS_DOT.format(a='xn', b='xc')} AS dot
+  FROM (SELECT c.nid, cent.list_id, unnest(c.nv) AS xn,
+               unnest(cent.cv2) AS xc
+        FROM c CROSS JOIN cent)
+  GROUP BY nid, list_id
+),
+assigned AS (
+  SELECT nid, list_id FROM (
+    SELECT a.nid, a.list_id,
+           row_number() OVER (PARTITION BY a.nid
+                              ORDER BY a.dot / n.cnorm DESC, a.list_id) AS rn
+    FROM adots a JOIN centn n USING (list_id)
+  ) WHERE rn = 1
+),
+pts AS (
+  SELECT vec_id AS nid,
+         list_transform(embedding,
+                        x -> round(CAST(x AS DOUBLE) * 1000000.0)) AS xu
+  FROM embeddings
+),
+js AS (SELECT unnest(range({m})) AS j),
+seeds AS (
+  SELECT row_number() OVER (ORDER BY md5(CAST(nid AS VARCHAR)), nid) - 1
+           AS code, xu
+  FROM pts ORDER BY md5(CAST(nid AS VARCHAR)), nid LIMIT {k}
+),
+cb AS (
+  SELECT code, j, xu[j * {sub} + 1 : j * {sub} + {sub}] AS cv
+  FROM seeds CROSS JOIN js
+),
+sv AS (
+  SELECT nid, j, xu[j * {sub} + 1 : j * {sub} + {sub}] AS sv
+  FROM pts CROSS JOIN js
+),
+codes AS (
+  SELECT nid, j, code FROM (
+    SELECT s.nid, s.j, cb.code,
+           row_number() OVER (PARTITION BY s.nid, s.j
+                              ORDER BY {zd2}, cb.code) AS rn
+    FROM sv s JOIN cb ON s.j = cb.j
+  ) WHERE rn = 1
+)
+SELECT a.nid, CAST(a.list_id AS BIGINT) AS list_id,
+       CAST(co.j AS INT) AS j, CAST(co.code AS INT) AS code
+FROM assigned a JOIN codes co USING (nid)
+"""
+
+
+_register(
+    QuerySpec(
+        name="stream_ann_index",
+        survey_ids=("X3", "T2", "K2"),
+        description="streaming IVF-PQ index maintenance: embeddings "
+        "drain availableNow in shuffled batches, each assigned and "
+        "PQ-encoded against frozen seeded quantizers and appended to "
+        "the snapshot index lake; frozen quantizers make the final "
+        "index content equal the one-shot batch encode for any split "
+        "or arrival order",
+        spark=_stream_ann_index_q,
+        oracle=_ann_index_oracle(16, 8, 16, 8),
+    )
+)
+
+
+# --------------------------------------------------------------------------
 # X4: BPE merge training — the tokenizer trainer itself as a
 # hash-checked DataFrame loop (operators/bpe.py).  5 rounds over the
 # distinct-word table; each round's winning pair and its count are the

@@ -2693,6 +2693,18 @@ _register(
 #       in-window; salting mechanics stay pytest-pinned
 #   value_quantiles_exact — quantile family keeps value_deciles
 #       in-window
+# Second r15 addendum: stream_ann_index (streaming IVF-PQ index
+# maintenance — the next entry in the streaming-receipt program:
+# frozen seeded quantizers make the streamed index content equal the
+# one-shot batch encode for any split/arrival order, so the
+# maintainer itself is hash-checkable; same admission bar, settled
+# 7.11 s sf0.1, 3.59x at 10x — linear encode + fixed commit
+# machinery, receipts in PERF.md §r15) enters for pq_adc_topk (r14
+# receipt; X3 keeps label_centroids + hybrid_rrf_per_query in-window,
+# ann_ivfpq_topk stays registered/measured, and the new row's oracle
+# re-derives the ENTIRE PQ-encode pipeline, so the ADC family's
+# encode axis gains a second in-window receipt rather than losing
+# one).
 # r15 capability addendum: stream_curated_corpus (streaming curation —
 # quality gate + incremental SimHash pair log per micro-batch, settle
 # electing exact/near-dup reps; the last large pytest-only streaming
@@ -2751,7 +2763,7 @@ CHECKED_QUERIES: tuple[str, ...] = (
     "quality_classifier_train",
     "quality_classifier_trained_scores",
     "label_centroids",
-    "pq_adc_topk",
+    "stream_ann_index",
     "hybrid_rrf_per_query",
     "length_weighted_sample",
     "decontaminate_docs_bloom",
