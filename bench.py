@@ -112,6 +112,9 @@ SWEEP_SAMPLE_TWINS: tuple[str, ...] = (
     "stream_ann_index",  # drain + snapshot-commit machinery (carried
     #   by stream_rollup_1h) + the PQ-encode/assign data axes (carried
     #   by pq_adc_topk + ann_ivfpq_topk, measured)
+    "stream_frequent_tokens",  # drain + partial-commit machinery
+    #   (carried by stream_rollup_1h) + the tokenize/two-pass axes
+    #   (carried by frequent_tokens_exact, measured)
 )
 
 

@@ -3757,6 +3757,133 @@ ORDER BY cnt DESC, tok
 
 
 # --------------------------------------------------------------------------
+# A2+T2 STREAMING sketch-partial maintenance, oracle-paired (r15): the
+# continuous-monitoring face of the partial lake
+# (streaming/sketch_stream.py, pytest-only through r14 — the third
+# r15 entry in the streaming-receipt program after curation and ANN
+# maintenance).  Documents drain availableNow in three batches; each
+# micro-batch appends its own bounded Misra-Gries partial to the
+# snapshot lake under a stream-scoped replay identity; the serving
+# step then runs the SAME two-pass exact recipe as
+# frequent_tokens_from_partials with pass 1 read from the STREAMED
+# partials.
+# Why this is hash-checkable: per-batch MG partial CONTENT is
+# batching-dependent (eviction order), but the telescoped
+# completeness bound (summed deficit over all stored partials <=
+# n/(k+1)) guarantees the streamed survivor UNION contains every item
+# above the threshold for ANY batch split, and the exact second pass
+# then makes the OUTPUT the plain GROUP BY/HAVING answer — identical
+# oracle to the batch from_partials row.  Replay idempotence stays
+# pytest-pinned (tests/test_sketch_stream.py).
+# 100 TB shape: per batch one bounded partial (<= k rows per stratum)
+# appends — the fact is never rescanned by the store; the exact pass
+# is one broadcast semi-join at read time.
+# --------------------------------------------------------------------------
+
+_STREAM_MG_FILES: dict[str, str] = {}
+_STREAM_MG_SCRATCH: list[str] = []
+
+
+def _stream_frequent_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from crypto_data_ingestion_module_spark.operators.sketch_store import (
+        frequent_items_exact_from_partials,
+    )
+    from crypto_data_ingestion_module_spark.sinks.snapshot import (
+        read_snapshot,
+    )
+    from crypto_data_ingestion_module_spark.streaming.sketch_stream import (
+        stream_mg_partials,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    inp = _STREAM_MG_FILES.get(sf_dir)
+    if inp is None:
+        stage = tempfile.mkdtemp(prefix="sgraft_stream_mg_")
+        inp = os.path.join(stage, "docs_in")
+        os.makedirs(inp)
+        for i in range(3):
+            tmp = os.path.join(stage, f"_d{i}")
+            docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(tmp)
+            (f,) = [x for x in os.listdir(tmp) if x.endswith(".parquet")]
+            shutil.move(
+                os.path.join(tmp, f), os.path.join(inp, f"d{i}.parquet")
+            )
+        _STREAM_MG_FILES[sf_dir] = inp
+    while _STREAM_MG_SCRATCH:
+        shutil.rmtree(_STREAM_MG_SCRATCH.pop(), ignore_errors=True)
+    scratch = tempfile.mkdtemp(prefix="sgraft_stream_mg_run_")
+    lake = os.path.join(scratch, "mg")
+
+    def _toks(frame: DataFrame) -> DataFrame:
+        return (
+            frame.filter(F.col("text").isNotNull())
+            .select(
+                F.col("source").alias("stratum"),
+                F.explode(F.split(F.lower("text"), " ")).alias("tok"),
+            )
+            .filter(F.col("tok") != "")
+        )
+
+    src = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(inp)
+    )
+    q = stream_mg_partials(
+        _toks(src),
+        lake,
+        os.path.join(scratch, "ck"),
+        "tok",
+        stratum="stratum",
+        k=_HH_STORE_K,
+    )
+    q.awaitTermination()
+    _STREAM_MG_SCRATCH.append(scratch)
+    out = frequent_items_exact_from_partials(
+        _toks(docs).select("tok"),
+        read_snapshot(spark, lake),
+        "tok",
+        k=_HH_STORE_K,
+    )
+    return out.select(F.col("item").alias("tok"), "cnt")
+
+
+_register(
+    QuerySpec(
+        name="stream_frequent_tokens",
+        survey_ids=("A2", "A3", "X4", "T2"),
+        description="exact heavy-hitter tokens with pass 1 served from "
+        "STREAMED Misra-Gries partials (one bounded partial appended "
+        "per availableNow micro-batch, replay-immune): the telescoped "
+        "MG bound makes the streamed survivor union complete for any "
+        "batch split, so the exact second pass equals plain SQL "
+        "GROUP BY/HAVING",
+        spark=_stream_frequent_tokens,
+        oracle=f"""
+WITH toks AS (
+  SELECT unnest(string_split(lower(text), ' ')) AS tok
+  FROM documents WHERE text IS NOT NULL
+), t AS (
+  SELECT tok, count(*) AS cnt FROM toks WHERE tok <> '' GROUP BY tok
+), n AS (
+  SELECT CAST(sum(cnt) AS BIGINT) AS n FROM t
+)
+SELECT tok, CAST(cnt AS BIGINT) AS cnt
+FROM t, n
+WHERE cnt * {_HH_STORE_K + 1} > n
+ORDER BY cnt DESC, tok
+""",
+    )
+)
+
+
+# --------------------------------------------------------------------------
 # A2/A3 sketch breadth: mergeable count-distinct (HyperLogLog++) per
 # (event_type, day) — the third leg of the sketch family (quantiles,
 # heavy hitters, distinct) that 100 TB monitoring actually runs.

@@ -2693,6 +2693,22 @@ _register(
 #       in-window; salting mechanics stay pytest-pinned
 #   value_quantiles_exact — quantile family keeps value_deciles
 #       in-window
+# Third r15 addendum: stream_frequent_tokens (streaming Misra-Gries
+# partial maintenance + exact serving — the telescoped MG bound makes
+# the streamed survivor union complete for any batch split, so the
+# two-pass output equals plain GROUP BY/HAVING; same admission bar,
+# settled 4.45 s sf0.1, 2.01x at 10x — receipts in PERF.md §r15)
+# enters for frequent_tokens_exact (r14 receipt; the EXACT same
+# oracle text stays in-window via the new row, so the exact-HH family
+# loses nothing, and A2 keeps distinct_users_kmv + value_deciles
+# in-window).  With curation, ANN-index, and sketch-partial rows all
+# paired this round, every foreachBatch streaming module now holds an
+# oracle-paired driver row except dedup_stream (whose band-index +
+# pair-log discipline is receipted by the isomorphic
+# stream_curated_corpus; its xxhash64 MinHash family is rows-only by
+# the same contract as minhash_lsh_pairs, with the md5 twin paired)
+# and live.py (wall-clock trigger alignment — not oracle-pairable by
+# nature, pytest-pinned).
 # Second r15 addendum: stream_ann_index (streaming IVF-PQ index
 # maintenance — the next entry in the streaming-receipt program:
 # frozen seeded quantizers make the streamed index content equal the
@@ -2750,7 +2766,7 @@ CHECKED_QUERIES: tuple[str, ...] = (
     "stream_classifier_train",
     "value_deciles",
     "cross_stream_spread_1h",
-    "frequent_tokens_exact",
+    "stream_frequent_tokens",
     "distinct_users_kmv",
     "interval_completeness",
     # technical indicators (round-4: the candle lake's downstream analytics)

@@ -46,6 +46,7 @@ NL_ALLOW = {
     "ann_ivfpq_topk": "k-row centroid/codebook tables broadcast",
     "frequent_tokens_exact": "single-row scalar (total n) threshold crossJoin",
     "frequent_tokens_from_partials": "single-row scalar (total n) threshold crossJoin",
+    "stream_frequent_tokens": "single-row scalar (total n) threshold crossJoin",
     "decontaminate_docs_bloom": "single-row Bloom-bitset broadcast (value-not-literal ship)",
     "lsh_pair_recall": "three single-row pair-set counts crossJoined into the one metrics row",
     "semdedup_pair_recall": "three single-row pair-set counts crossJoined into the one metrics row",
