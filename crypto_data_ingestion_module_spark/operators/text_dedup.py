@@ -889,6 +889,130 @@ def _md5_ab48(shingle: Column) -> tuple[Column, Column]:
     return a, b
 
 
+def minhash_band_rows_md5(
+    df: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """``(id, sig, bkey)`` band rows of the md5 Kirsch–Mitzenmacher
+    MinHash family — the accumulable index unit of
+    :func:`minhash_lsh_pairs_md5` (one row per doc per band; ``bkey``
+    is the band-index-prefixed CSV of the band's minima, a pure
+    function of the document alone, which is what makes the index
+    incrementally accumulable)."""
+    rows_per_band = num_hashes // bands
+    sh = _shingle_rows(df, shingle_n, text_col, id_col).drop("sz")
+    ha, hb = _md5_ab48(F.col("shingle"))
+    sh = sh.select("id", ha.alias("_a"), hb.alias("_b"))
+    mins = [
+        F.min((F.col("_a") + i * F.col("_b")) % F.lit(_H48_MOD)).alias(
+            f"h{i}"
+        )
+        for i in range(num_hashes)
+    ]
+    sigs = (
+        sh.groupBy("id")
+        .agg(*mins)
+        .select(
+            "id",
+            F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias(
+                "sig"
+            ),
+        )
+    )
+    return sigs.select(
+        "id",
+        "sig",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.concat(
+                    b.cast("string"),
+                    F.lit(":"),
+                    F.array_join(
+                        F.transform(
+                            F.slice(
+                                F.col("sig"),
+                                b * rows_per_band + 1,
+                                rows_per_band,
+                            ),
+                            lambda v: v.cast("string"),
+                        ),
+                        ",",
+                    ),
+                ),
+            )
+        ).alias("bkey"),
+    )
+
+
+def _md5_pair_select(cand: DataFrame, num_hashes: int) -> DataFrame:
+    """Canonical (id_a, id_b, n_match, est_jaccard) projection shared by
+    the one-shot and incremental md5-MinHash pair generators."""
+    n_match = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    return cand.select(
+        "id_a",
+        "id_b",
+        n_match.cast("int").alias("n_match"),
+        (n_match.cast("double") / F.lit(float(num_hashes))).alias(
+            "est_jaccard"
+        ),
+    )
+
+
+def incremental_minhash_md5_pairs(
+    new_docs: DataFrame,
+    index: DataFrame | None,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, DataFrame]:
+    """Check a new batch against an accumulated md5-MinHash band index —
+    the :func:`incremental_simhash_pairs` move on the oracle-pairable
+    MinHash family (the xxhash64 twin lives in
+    ``operators/incremental.py``).
+
+    Returns ``(pairs, new_band_rows)`` with the
+    :func:`minhash_lsh_pairs_md5` output contract.  Band keys are pure
+    per-document functions, so an unordered pair surfaces exactly once
+    — in the batch that carries its LATER side — and the accumulated
+    pair log over any batch split equals the one-shot pair set.
+    """
+    new_bands = minhash_band_rows_md5(
+        new_docs, num_hashes, bands, shingle_n, text_col, id_col
+    ).localCheckpoint(eager=True)
+    full = new_bands if index is None else new_bands.unionByName(index)
+    a, b = new_bands.alias("a"), full.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.id") != F.col("b.id")),
+        )
+        .select(
+            F.least(F.col("a.id"), F.col("b.id")).alias("id_a"),
+            F.greatest(F.col("a.id"), F.col("b.id")).alias("id_b"),
+            F.when(F.col("a.id") < F.col("b.id"), F.col("a.sig"))
+            .otherwise(F.col("b.sig"))
+            .alias("sig_a"),
+            F.when(F.col("a.id") < F.col("b.id"), F.col("b.sig"))
+            .otherwise(F.col("a.sig"))
+            .alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return _md5_pair_select(cand, num_hashes), new_bands
+
+
 def minhash_lsh_pairs_md5(
     df: DataFrame,
     num_hashes: int = 16,
@@ -914,47 +1038,8 @@ def minhash_lsh_pairs_md5(
     (exact integer / power-of-two-free but single-division double —
     engine-exact).  Returns (id_a, id_b, n_match, est_jaccard).
     """
-    rows_per_band = num_hashes // bands
-    sh = _shingle_rows(df, shingle_n, text_col, id_col).drop("sz")
-    ha, hb = _md5_ab48(F.col("shingle"))
-    sh = sh.select("id", ha.alias("_a"), hb.alias("_b"))
-    mins = [
-        F.min((F.col("_a") + i * F.col("_b")) % F.lit(_H48_MOD)).alias(
-            f"h{i}"
-        )
-        for i in range(num_hashes)
-    ]
-    sigs = (
-        sh.groupBy("id")
-        .agg(*mins)
-        .select(
-            "id",
-            F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias(
-                "sig"
-            ),
-        )
-    )
-    banded = sigs.select(
-        "id",
-        "sig",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.concat(
-                    b.cast("string"),
-                    F.lit(":"),
-                    F.array_join(
-                        F.transform(
-                            F.slice(
-                                F.col("sig"), b * rows_per_band + 1, rows_per_band
-                            ),
-                            lambda v: v.cast("string"),
-                        ),
-                        ",",
-                    ),
-                ),
-            )
-        ).alias("bkey"),
+    banded = minhash_band_rows_md5(
+        df, num_hashes, bands, shingle_n, text_col, id_col
     )
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
@@ -971,19 +1056,7 @@ def minhash_lsh_pairs_md5(
         )
         .dropDuplicates(["id_a", "id_b"])
     )
-    n_match = F.aggregate(
-        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
-        F.lit(0),
-        lambda acc, v: acc + v,
-    )
-    return cand.select(
-        "id_a",
-        "id_b",
-        n_match.cast("int").alias("n_match"),
-        (n_match.cast("double") / F.lit(float(num_hashes))).alias(
-            "est_jaccard"
-        ),
-    )
+    return _md5_pair_select(cand, num_hashes)
 
 
 def pair_set_metrics(

@@ -4895,27 +4895,7 @@ _register(
 # --------------------------------------------------------------------------
 
 
-def _minhash_md5_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from crypto_data_ingestion_module_spark.operators.text_dedup import (
-        minhash_lsh_pairs_md5,
-    )
-
-    return minhash_lsh_pairs_md5(
-        _t(spark, sf_dir, "documents"), num_hashes=16, bands=4, shingle_n=3
-    )
-
-
-_register(
-    QuerySpec(
-        name="minhash_lsh_pairs_md5",
-        survey_ids=("X2",),
-        description="MinHash LSH candidate pairs on a portable md5-derived "
-        "hash family (one md5 per shingle, 16 Kirsch-Mitzenmacher minima, "
-        "4 bands of 4, CSV band keys): the whole "
-        "banded pipeline - shingles, per-hash minima, band join, "
-        "matching-fraction estimate - hash-checked against plain SQL",
-        spark=_minhash_md5_q,
-        oracle="""
+_MINHASH_MD5_ORACLE = """
 WITH w AS (
   SELECT doc_id, regexp_extract_all(text, '[A-Za-z0-9]+') AS ws FROM documents
 ),
@@ -4961,6 +4941,121 @@ m AS (
 SELECT id_a, id_b, CAST(n_match AS INT) AS n_match,
        CAST(n_match AS DOUBLE) / 16.0 AS est_jaccard
 FROM m
-""",
+"""
+
+
+def _minhash_md5_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crypto_data_ingestion_module_spark.operators.text_dedup import (
+        minhash_lsh_pairs_md5,
+    )
+
+    return minhash_lsh_pairs_md5(
+        _t(spark, sf_dir, "documents"), num_hashes=16, bands=4, shingle_n=3
+    )
+
+
+_register(
+    QuerySpec(
+        name="minhash_lsh_pairs_md5",
+        survey_ids=("X2",),
+        description="MinHash LSH candidate pairs on a portable md5-derived "
+        "hash family (one md5 per shingle, 16 Kirsch-Mitzenmacher minima, "
+        "4 bands of 4, CSV band keys): the whole "
+        "banded pipeline - shingles, per-hash minima, band join, "
+        "matching-fraction estimate - hash-checked against plain SQL",
+        spark=_minhash_md5_q,
+        oracle=_MINHASH_MD5_ORACLE,
+    )
+)
+
+
+
+# --------------------------------------------------------------------------
+# X2+T2 STREAMING dedup pair log, oracle-paired (r15: the fourth and
+# final entry in the round's streaming-receipt program —
+# streaming/dedup_stream.py held the last pytest-only pair-log sink).
+# Documents drain availableNow in three batches; each micro-batch
+# probes the accumulated md5-MinHash band index
+# (incremental_minhash_md5_pairs — the oracle-pairable Kirsch–
+# Mitzenmacher family; the xxhash64 production twin stays rows-only by
+# the same contract as minhash_lsh_pairs) and appends its band rows,
+# pair log and index both batch-partitioned with dynamic overwrite
+# (replay replaces exactly its own output).
+# Why this is hash-checkable: band keys are pure per-document
+# functions, so an unordered pair surfaces exactly once — in the batch
+# carrying its LATER side — and the accumulated pair log over ANY
+# batch split equals minhash_lsh_pairs_md5's one-shot pair set; the
+# row reuses that oracle verbatim.
+# 100 TB shape: per batch one equi-join of the batch's band rows
+# against the index on bkey — O(batch + collisions), never all-pairs,
+# never a corpus rescan.
+# --------------------------------------------------------------------------
+
+_STREAM_DEDUP_FILES: dict[str, str] = {}
+_STREAM_DEDUP_SCRATCH: list[str] = []
+
+
+def _stream_dedup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from crypto_data_ingestion_module_spark.streaming.dedup_stream import (
+        read_dedup_pairs_md5,
+        stream_dedup_ingest_md5,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    inp = _STREAM_DEDUP_FILES.get(sf_dir)
+    if inp is None:
+        stage = tempfile.mkdtemp(prefix="sgraft_stream_dedup_")
+        inp = os.path.join(stage, "docs_in")
+        os.makedirs(inp)
+        for i in range(3):
+            tmp = os.path.join(stage, f"_d{i}")
+            docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(tmp)
+            (f,) = [x for x in os.listdir(tmp) if x.endswith(".parquet")]
+            shutil.move(
+                os.path.join(tmp, f), os.path.join(inp, f"d{i}.parquet")
+            )
+        _STREAM_DEDUP_FILES[sf_dir] = inp
+    while _STREAM_DEDUP_SCRATCH:
+        shutil.rmtree(_STREAM_DEDUP_SCRATCH.pop(), ignore_errors=True)
+    scratch = tempfile.mkdtemp(prefix="sgraft_stream_dedup_run_")
+    lake = os.path.join(scratch, "lake")
+    src = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(inp)
+    )
+    q = stream_dedup_ingest_md5(
+        src,
+        lake_root=lake,
+        checkpoint=os.path.join(scratch, "ck"),
+        num_hashes=16,
+        bands=4,
+        shingle_n=3,
+    )
+    q.awaitTermination()
+    _STREAM_DEDUP_SCRATCH.append(scratch)
+    return read_dedup_pairs_md5(spark, lake).select(
+        "id_a", "id_b", "n_match", "est_jaccard"
+    )
+
+
+_register(
+    QuerySpec(
+        name="stream_dedup_pairs",
+        survey_ids=("X2", "T2"),
+        description="streaming near-dup pair log on the md5-MinHash "
+        "band index: each availableNow micro-batch probes the "
+        "accumulated index and appends its band rows (replay replaces "
+        "its own partition); pure per-document band keys emit every "
+        "pair exactly once, so the accumulated log equals the one-shot "
+        "minhash_lsh_pairs_md5 pair set for any batch split",
+        spark=_stream_dedup_pairs_q,
+        oracle=_MINHASH_MD5_ORACLE,
     )
 )

@@ -2693,6 +2693,20 @@ _register(
 #       in-window; salting mechanics stay pytest-pinned
 #   value_quantiles_exact — quantile family keeps value_deciles
 #       in-window
+# Fourth r15 addendum: stream_dedup_pairs (streaming near-dup pair
+# log on the md5-MinHash band index — incremental_minhash_md5_pairs
+# probes the accumulated index per micro-batch; pure per-document
+# band keys emit each pair exactly once, so the accumulated log
+# equals the one-shot minhash_lsh_pairs_md5 set for any batch split,
+# reusing that oracle verbatim; same admission bar, settled 3.95 s
+# sf0.1, 2.74x at 10x — receipts in PERF.md §r15) enters for
+# dedup_clusters (r14 receipt; the CC discipline keeps its in-window
+# receipt via stream_curated_corpus's recursive-CTE oracle, and
+# dedup_clusters stays a measured HEADLINE row in every bench).  With
+# this row the r15 streaming-receipt program closes COMPLETELY: every
+# foreachBatch module holds a paired driver row; only the wall-clock
+# live loop (not oracle-pairable by nature) and the protobuf-gated
+# transformWithState builder (COVERAGE.md residue) remain outside.
 # Third r15 addendum: stream_frequent_tokens (streaming Misra-Gries
 # partial maintenance + exact serving — the telescoped MG bound makes
 # the streamed survivor union complete for any batch split, so the
@@ -2773,7 +2787,7 @@ CHECKED_QUERIES: tuple[str, ...] = (
     "vwap_1h",
     "order_flow_1h",
     # LLM-data-pipeline operators (X1–X5)
-    "dedup_clusters",
+    "stream_dedup_pairs",
     "trade_graph_pagerank",
     "quality_classifier_scores",
     "quality_classifier_train",
