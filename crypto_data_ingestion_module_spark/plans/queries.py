@@ -2715,14 +2715,8 @@ _register(
 # enters for frequent_tokens_exact (r14 receipt; the EXACT same
 # oracle text stays in-window via the new row, so the exact-HH family
 # loses nothing, and A2 keeps distinct_users_kmv + value_deciles
-# in-window).  With curation, ANN-index, and sketch-partial rows all
-# paired this round, every foreachBatch streaming module now holds an
-# oracle-paired driver row except dedup_stream (whose band-index +
-# pair-log discipline is receipted by the isomorphic
-# stream_curated_corpus; its xxhash64 MinHash family is rows-only by
-# the same contract as minhash_lsh_pairs, with the md5 twin paired)
-# and live.py (wall-clock trigger alignment — not oracle-pairable by
-# nature, pytest-pinned).
+# in-window).  (The fourth addendum below then closed the program
+# completely by pairing dedup_stream's md5 pair log too.)
 # Second r15 addendum: stream_ann_index (streaming IVF-PQ index
 # maintenance — the next entry in the streaming-receipt program:
 # frozen seeded quantizers make the streamed index content equal the
