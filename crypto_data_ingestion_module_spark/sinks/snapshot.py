@@ -215,14 +215,67 @@ def read_manifest(spark: SparkSession, root: str, version: int) -> dict:
     return json.loads(text)
 
 
+def _publish_if_absent(spark: SparkSession, fs, tmp, final) -> None:
+    """Make ``final`` visible iff it does not exist, ATOMICALLY.
+
+    On HDFS-like filesystems ``fs.rename`` already has server-side
+    rename-if-absent semantics (returns false when the destination
+    exists).  The LOCAL filesystem does NOT: Hadoop's local rename is a
+    client-side exists-check followed by POSIX ``rename(2)``, and
+    rename(2) silently REPLACES an existing destination — so two
+    commit racers can both pass the check inside Hadoop's rename and
+    both "succeed", the second replacing the first's manifest with no
+    error anywhere (one upsert silently lost; caught once by the
+    writer-stress test under full-suite load).  For ``file:`` schemes
+    the publish therefore uses ``link(2)`` via
+    ``java.nio.Files.createLink``, which fails with
+    FileAlreadyExistsException atomically in the kernel — the classic
+    lock-file primitive.  Either loser path raises
+    :class:`CommitConflict` for the optimistic-retry wrappers.
+    """
+    if fs.getUri().getScheme() == "file":
+        jvm = spark._jvm
+        # java.io.File(...).toPath() — Paths.get is String varargs,
+        # which py4j cannot dispatch
+        src = jvm.java.io.File(
+            fs.makeQualified(tmp).toUri().getPath()
+        ).toPath()
+        dst = jvm.java.io.File(
+            fs.makeQualified(final).toUri().getPath()
+        ).toPath()
+        try:
+            jvm.java.nio.file.Files.createLink(dst, src)
+        except Exception as e:
+            fs.delete(tmp, False)
+            je = getattr(e, "java_exception", None)
+            cls = je.getClass().getName() if je is not None else ""
+            if "FileAlreadyExistsException" in cls:
+                raise CommitConflict(
+                    f"link to {final} failed: a concurrent writer won "
+                    "the version race — recompute against the new "
+                    "current version and retry"
+                ) from None
+            raise
+        fs.delete(tmp, False)
+        return
+    if not fs.rename(tmp, final):
+        fs.delete(tmp, False)
+        raise CommitConflict(
+            f"rename to {final} failed: a concurrent writer won the "
+            "version race — recompute against the new current version "
+            "and retry"
+        )
+
+
 def commit_version(
     spark: SparkSession, root: str, manifest: dict, version: int
 ) -> None:
     """Make ``v{version}.json`` visible atomically: full write to a hidden
-    temp name in the same directory, then one rename.  A reader listing
-    ``_versions`` either sees the finished file or nothing — never a
-    partial manifest (``_``/``.``-prefixed temp names are filtered by the
-    lister above and by parquet tooling conventions)."""
+    temp name in the same directory, then one atomic publish-if-absent
+    (:func:`_publish_if_absent`).  A reader listing ``_versions`` either
+    sees the finished file or nothing — never a partial manifest
+    (``_``/``.``-prefixed temp names are filtered by the lister above
+    and by parquet tooling conventions)."""
     Path, fs = _fs(spark, root)
     vdir = f"{root.rstrip('/')}/{_VERSIONS}"
     fs.mkdirs(Path(vdir))
@@ -239,13 +292,7 @@ def commit_version(
         out.write(json.dumps(manifest, sort_keys=True).encode("utf-8"))
     finally:
         out.close()
-    if not fs.rename(tmp, final):
-        fs.delete(tmp, False)
-        raise CommitConflict(
-            f"rename to {final} failed: a concurrent writer won the "
-            "version race — recompute against the new current version "
-            "and retry"
-        )
+    _publish_if_absent(spark, fs, tmp, final)
 
 
 def snapshot_files(spark: SparkSession, root: str,

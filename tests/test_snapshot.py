@@ -1358,3 +1358,50 @@ def test_snapshot_overwrite_replaces_everything_and_keeps_ledger(
     # time travel still serves the pre-overwrite snapshot
     old = sorted(r.id for r in read_snapshot(spark, root, v1).collect())
     assert old == [0, 1, 2, 3, 4]
+
+
+def test_publish_if_absent_never_replaces_a_landed_manifest(spark, tmp_path):
+    """The commit linearization point (ADVICE-class r15 finding, caught
+    by the writer-stress test under full-suite load): Hadoop's LOCAL
+    rename is a client-side exists-check + POSIX rename(2), and
+    rename(2) silently REPLACES an existing destination — two commit
+    racers could both pass the check inside Hadoop's rename and both
+    "succeed", the second replacing the first's manifest with no error
+    anywhere (one upsert lost).  The publish is now link(2)-based on
+    file: schemes: publishing onto an existing final must raise
+    CommitConflict and leave the landed manifest byte-identical."""
+    import pytest as _pytest
+
+    from crypto_data_ingestion_module_spark.sinks.snapshot import (
+        CommitConflict,
+        _fs,
+        _publish_if_absent,
+    )
+
+    vdir = str(tmp_path / "_versions")
+    Path, fs = _fs(spark, vdir)
+    fs.mkdirs(Path(vdir))
+
+    def _write(name, payload):
+        p = Path(f"{vdir}/{name}")
+        out = fs.create(p, True)
+        try:
+            out.write(payload)
+        finally:
+            out.close()
+        return p
+
+    final = _write("v00000001.json", b'{"winner": "A"}')
+    # a racer that already passed commit_version's exists-check now
+    # publishes its own tmp onto the same final
+    tmp = _write(".tmp-racer.json", b'{"loser": "B"}')
+    with _pytest.raises(CommitConflict):
+        _publish_if_absent(spark, fs, tmp, final)
+    # the landed manifest is untouched and the loser's tmp is cleaned up
+    assert open(f"{vdir}/v00000001.json", "rb").read() == b'{"winner": "A"}'
+    assert not fs.exists(Path(f"{vdir}/.tmp-racer.json"))
+    # and a publish onto a genuinely absent final still lands
+    tmp2 = _write(".tmp-c.json", b'{"winner": "C"}')
+    final2 = Path(f"{vdir}/v00000002.json")
+    _publish_if_absent(spark, fs, tmp2, final2)
+    assert open(f"{vdir}/v00000002.json", "rb").read() == b'{"winner": "C"}'
