@@ -16,12 +16,16 @@ all three
 containers land in the SAME grid-luminance feature kernel, and integer
 box-average resampling emits a valid P6 (PNG/GIF transcoded to P6
 first), all numpy-vectorized (golden-file pytest with independent
-test-side encoders).  VIDEO demuxing is REAL for THREE container
+test-side encoders).  VIDEO demuxing is REAL for FOUR container
 formats: concatenated-P6 streams (``demux_ppm_stream``: back-to-back
 binary PPM frames, nominal 25 fps timing), YUV4MPEG2 (``demux_y4m``:
 true ``F<num>:<den>`` header timing, C420/C444 colorspaces, BT.601
-integer YUV→RGB), and animated GIF (``demux_gif``: LZW-compressed
-frames, REAL per-frame GCE delays) — every emitted frame is a
+integer YUV→RGB), animated GIF (``demux_gif``: LZW-compressed
+frames, REAL per-frame GCE delays), and AVI/MJPEG (``demux_avi``,
+r15: RIFF chunk walk, real ``avih`` per-frame timing, per-frame JPEG
+decode through the shared decoder, T.81 Annex-K typical-table
+injection for DHT-less frames — the dominant real-world MJPEG form —
+and loud rejection of non-MJPG codecs) — every emitted frame is a
 standalone valid P6 that feeds the real decode/resize kernels.
 
 QUARANTINE CONTRACT (r12 — the fake-decode seam is retired): a payload
@@ -1567,15 +1571,215 @@ def demux_y4m(payload: bytes) -> tuple[int, int, list[bytes]]:
     return num, den, frames
 
 
+#: T.81 Annex K.3 "typical" Huffman tables (K.3–K.6), as raw DHT
+#: segment payloads ``(Tc<<4|Th, BITS[16], HUFFVAL...)``.  MJPEG-in-AVI
+#: conventionally omits DHT from every frame and decoders supply these
+#: (the OpenDML convention ffmpeg and every hardware MJPEG encoder
+#: follow), so the AVI demuxer injects them into DHT-less frames before
+#: the shared JPEG decoder runs.  Transcribed from the spec here and
+#: INDEPENDENTLY in tests/test_multimodal_avi.py's encoder — a
+#: transcription error on either side fails the golden test.
+_JPEG_STD_HUFF: tuple[tuple[int, bytes, bytes], ...] = (
+    # (Tc<<4|Th, BITS, HUFFVAL)
+    (0x00,
+     bytes([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]),
+     bytes(range(12))),
+    (0x01,
+     bytes([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]),
+     bytes(range(12))),
+    (0x10,
+     bytes([0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125]),
+     bytes([
+         0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+         0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+         0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+         0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+         0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+         0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+         0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+         0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+         0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+         0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+         0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+         0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+         0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+         0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+         0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+         0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+         0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+         0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+         0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+         0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+         0xF9, 0xFA,
+     ])),
+    (0x11,
+     bytes([0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 119]),
+     bytes([
+         0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+         0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+         0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+         0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+         0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+         0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+         0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+         0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+         0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+         0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+         0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+         0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+         0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+         0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+         0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+         0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+         0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+         0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+         0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+         0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+         0xF9, 0xFA,
+     ])),
+)
+
+
+def _std_dht_block() -> bytes:
+    import struct
+
+    out = bytearray()
+    for tcth, bits, vals in _JPEG_STD_HUFF:
+        out += b"\xff\xc4" + struct.pack(">H", 19 + len(vals))
+        out += bytes([tcth]) + bits + vals
+    return bytes(out)
+
+
+def ensure_jpeg_dht(payload: bytes) -> bytes:
+    """Inject the T.81 Annex K typical Huffman tables into a JPEG that
+    carries NO DHT segment (the MJPEG-in-AVI convention), immediately
+    before the first SOS.  A stream that defines any DHT is returned
+    unchanged — its own tables win."""
+    import struct
+
+    pos, n = 2, len(payload)
+    first_sos = None
+    while pos + 2 <= n:
+        if payload[pos] != 0xFF:
+            raise ValueError("bad JPEG marker alignment")
+        marker = payload[pos + 1]
+        if marker == 0xFF:
+            pos += 1
+            continue
+        pos += 2
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker == 0xC4:  # has its own tables
+            return payload
+        if marker == 0xD9:
+            break
+        if pos + 2 > n:
+            raise ValueError("truncated JPEG segment")
+        (seglen,) = struct.unpack(">H", payload[pos : pos + 2])
+        if marker == 0xDA:
+            first_sos = pos - 2
+            break
+        pos += seglen
+    if first_sos is None:
+        raise ValueError("JPEG missing SOS")
+    return payload[:first_sos] + _std_dht_block() + payload[first_sos:]
+
+
+def is_avi(payload: bytes) -> bool:
+    """RIFF/AVI signature sniff."""
+    return payload[:4] == b"RIFF" and payload[8:12] == b"AVI "
+
+
+def demux_avi(payload: bytes) -> list[tuple[int, bytes]]:
+    """REAL pure-stdlib AVI (RIFF) demux for MJPEG video streams →
+    ``[(ts_ms, p6_bytes), ...]`` — the first genuinely COMPRESSED
+    general-purpose video container on the real-decode list (Y4M and
+    P6 streams are raw; GIF is an image format moonlighting).
+
+    Walks the RIFF chunk tree: ``hdrl``'s ``avih`` supplies the real
+    per-frame timing (dwMicroSecPerFrame), ``strl``/``strh`` must
+    declare a ``vids``/MJPG stream (anything else rejects loudly —
+    no silent misdecode of DV/rawvideo payloads), and the ``movi``
+    list's ``..dc``/``..db`` chunks are standalone JPEG frames
+    (``rec `` sub-lists are descended).  Frames ride the shared
+    :func:`jpeg_to_rgb` decoder; DHT-less frames (the dominant
+    real-world MJPEG form) get the Annex K typical tables via
+    :func:`ensure_jpeg_dht` first.  Word alignment (odd-size chunk
+    padding) per the RIFF spec.
+    """
+    import struct
+
+    import numpy as np
+
+    if not is_avi(payload):
+        raise ValueError("not an AVI payload")
+    n = len(payload)
+
+    usec_per_frame: int | None = None
+    handler_ok = False
+    frames_jpeg: list[bytes] = []
+
+    def _walk(start: int, end: int) -> None:
+        nonlocal usec_per_frame, handler_ok
+        pos = start
+        while pos + 8 <= end:
+            cid = payload[pos : pos + 4]
+            (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+            body0, body1 = pos + 8, pos + 8 + size
+            if body1 > end:
+                raise ValueError("truncated AVI chunk")
+            if cid == b"LIST":
+                ltype = payload[body0 : body0 + 4]
+                if ltype in (b"hdrl", b"strl", b"movi", b"rec "):
+                    _walk(body0 + 4, body1)
+                # other lists (odml, INFO) are metadata — skipped
+            elif cid == b"avih":
+                (usec_per_frame,) = struct.unpack(
+                    "<I", payload[body0 : body0 + 4]
+                )
+            elif cid == b"strh":
+                fcc_type = payload[body0 : body0 + 4]
+                fcc_handler = payload[body0 + 4 : body0 + 8]
+                if fcc_type == b"vids":
+                    if fcc_handler.upper() not in (b"MJPG", b"\x00\x00\x00\x00"):
+                        raise ValueError(
+                            "unsupported AVI video codec "
+                            f"{fcc_handler!r} (MJPG only)"
+                        )
+                    handler_ok = True
+            elif cid[2:4] in (b"dc", b"db") and cid[:2].isdigit():
+                frames_jpeg.append(payload[body0:body1])
+            pos = body1 + (size & 1)  # RIFF word alignment
+
+    (riff_size,) = struct.unpack("<I", payload[4:8])
+    _walk(12, min(8 + riff_size, n))
+    if usec_per_frame is None or not handler_ok:
+        raise ValueError("AVI missing avih header or vids/MJPG stream")
+    if not frames_jpeg:
+        raise ValueError("AVI movi list has no video frames")
+
+    out: list[tuple[int, bytes]] = []
+    for i, jp in enumerate(frames_jpeg):
+        rgb = jpeg_to_rgb(ensure_jpeg_dht(bytes(jp)))
+        header = f"P6\n{rgb.shape[1]} {rgb.shape[0]}\n255\n".encode()
+        out.append(
+            (i * int(usec_per_frame) // 1000,
+             header + np.ascontiguousarray(rgb).tobytes())
+        )
+    return out
+
+
 def sample_frames_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """mapInPandas kernel: one VIDEO row → N frame rows (row-expanding).
 
-    THREE real demux paths: Y4M (``demux_y4m``, true F<num>:<den>
+    FOUR real demux paths: Y4M (``demux_y4m``, true F<num>:<den>
     header timing), concatenated-P6 streams (``demux_ppm_stream``,
-    nominal 25 fps), and animated GIF (``demux_gif``, LZW-compressed
-    frames with REAL per-frame GCE delays) — every emitted frame is a
-    standalone valid P6 directly consumable by the real decode/resize
-    kernels.  Unrecognized containers (mp4 & friends — no ffmpeg in
+    nominal 25 fps), animated GIF (``demux_gif``, LZW-compressed
+    frames with REAL per-frame GCE delays), and AVI/MJPEG
+    (``demux_avi``, r15: RIFF walk + per-frame JPEG decode at real
+    avih timing, Annex-K table injection for DHT-less frames) — every
+    emitted frame is a standalone valid P6 directly consumable by the
+    real decode/resize kernels.  Unrecognized containers (mp4 & friends — no ffmpeg in
     this environment) emit ONE quarantine row (``demux_ok = false``,
     NULL frame_idx/ts/frame) instead of the pre-r12 sha256 fake frames:
     bad assets stay visible downstream, synthetic frames never flow.
@@ -1602,6 +1806,10 @@ def sample_frames_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
             if is_gif(raw):
                 return [
                     (i, ts, f) for i, (ts, f) in enumerate(demux_gif(raw))
+                ]
+            if is_avi(raw):
+                return [
+                    (i, ts, f) for i, (ts, f) in enumerate(demux_avi(raw))
                 ]
         except Exception:  # corrupt body behind a recognized magic
             pass

@@ -103,9 +103,88 @@ def _huff_tables(symbols):
     return bytes(counts), bytes(values), code_map
 
 
-def _encode_jpeg(rgb, subsample=False, gray=False, restart_interval=0):
+def _canonical_map(counts, values):
+    """Annex C canonical code assignment over explicit (BITS, HUFFVAL)
+    — the test's own transcription, shared with nothing in the
+    decoder."""
+    code_map = {}
+    code = 0
+    k = 0
+    for ln in range(1, 17):
+        for _ in range(counts[ln - 1]):
+            code_map[values[k]] = (ln, code)
+            code += 1
+            k += 1
+        code <<= 1
+    return bytes(counts), bytes(values), code_map
+
+
+#: T.81 Annex K "typical" tables, transcribed HERE independently of the
+#: decoder's copy (operators/multimodal.py _JPEG_STD_HUFF) — the
+#: MJPEG golden test encodes with these and decodes with the decoder's
+#: injected copy, so a transcription slip on either side fails loudly.
+_STD_DC_LUM = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+               list(range(12)))
+_STD_DC_CHR = ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+               list(range(12)))
+_STD_AC_LUM = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125],
+    [0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+     0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+     0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+     0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+     0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+     0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+     0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+     0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+     0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+     0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+     0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+     0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+     0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+     0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+     0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+     0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+     0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+     0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+     0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+     0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+     0xF9, 0xFA],
+)
+_STD_AC_CHR = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 119],
+    [0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+     0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+     0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+     0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+     0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+     0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+     0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+     0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+     0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+     0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+     0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+     0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+     0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+     0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+     0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+     0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+     0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+     0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+     0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+     0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+     0xF9, 0xFA],
+)
+
+
+def _encode_jpeg(rgb, subsample=False, gray=False, restart_interval=0,
+                 huff="dynamic", emit_dht=True):
     """Independent baseline JPEG writer, quality = lossless-ish (all
-    quantizers 1).  ``rgb[y][x]`` = (r, g, b) ints."""
+    quantizers 1).  ``rgb[y][x]`` = (r, g, b) ints.
+
+    ``huff="std"`` entropy-codes with the test's own Annex-K table
+    transcription; ``emit_dht=False`` omits the DHT segments entirely
+    (the MJPEG-in-AVI convention — decoders must supply Annex K)."""
     h, w = len(rgb), len(rgb[0])
     # color convert (float, rounded) ------------------------------------
     if gray:
@@ -238,11 +317,18 @@ def _encode_jpeg(rgb, subsample=False, gray=False, restart_interval=0):
     t_of = [0] + [1] * (len(planes) - 1)
     dc_tabs = {}
     ac_tabs = {}
-    for t in set(t_of):
-        dsy = [s for ci in range(len(planes)) if t_of[ci] == t for s in dc_syms[ci]]
-        asy = [s for ci in range(len(planes)) if t_of[ci] == t for s in ac_syms[ci]]
-        dc_tabs[t] = _huff_tables(dsy or [0])
-        ac_tabs[t] = _huff_tables(asy or [0])
+    if huff == "std":
+        std_dc = {0: _STD_DC_LUM, 1: _STD_DC_CHR}
+        std_ac = {0: _STD_AC_LUM, 1: _STD_AC_CHR}
+        for t in set(t_of):
+            dc_tabs[t] = _canonical_map(*std_dc[t])
+            ac_tabs[t] = _canonical_map(*std_ac[t])
+    else:
+        for t in set(t_of):
+            dsy = [s for ci in range(len(planes)) if t_of[ci] == t for s in dc_syms[ci]]
+            asy = [s for ci in range(len(planes)) if t_of[ci] == t for s in ac_syms[ci]]
+            dc_tabs[t] = _huff_tables(dsy or [0])
+            ac_tabs[t] = _huff_tables(asy or [0])
 
     # assemble the stream ------------------------------------------------
     out = bytearray(b"\xff\xd8")  # SOI
@@ -253,14 +339,15 @@ def _encode_jpeg(rgb, subsample=False, gray=False, restart_interval=0):
     )
     for ci, (sh, sv) in enumerate(samp):
         out += bytes([ci + 1, (sh << 4) | sv, t_of[ci]])
-    for t, (counts, values, _) in sorted(dc_tabs.items()):
-        out += b"\xff\xc4" + struct.pack(
-            ">H", 19 + len(values)
-        ) + bytes([t]) + counts + values
-    for t, (counts, values, _) in sorted(ac_tabs.items()):
-        out += b"\xff\xc4" + struct.pack(
-            ">H", 19 + len(values)
-        ) + bytes([0x10 | t]) + counts + values
+    if emit_dht:
+        for t, (counts, values, _) in sorted(dc_tabs.items()):
+            out += b"\xff\xc4" + struct.pack(
+                ">H", 19 + len(values)
+            ) + bytes([t]) + counts + values
+        for t, (counts, values, _) in sorted(ac_tabs.items()):
+            out += b"\xff\xc4" + struct.pack(
+                ">H", 19 + len(values)
+            ) + bytes([0x10 | t]) + counts + values
     if restart_interval:
         out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * len(planes), len(planes))

@@ -232,7 +232,7 @@ def test_decoders_total_on_fuzzed_payloads(blob, data):
 
     magics = [
         b"", b"P6 ", b"\x89PNG\r\n\x1a\n", b"GIF89a",
-        b"\xff\xd8\xff", b"RIFF",
+        b"\xff\xd8\xff", b"RIFF", b"RIFF\x00\x00\x00\x00AVI ",
     ]
     payload = data.draw(st.sampled_from(magics)) + blob
     ok, w, h, feats = _decode_any(payload)
