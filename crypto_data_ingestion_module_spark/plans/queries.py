@@ -2741,10 +2741,13 @@ _register(
 # pytest- and validate-pinned).
 # Round-16 rotation plan (pre-committed): if CORRECTNESS_r15 is green,
 # rotate the next-stalest cohort per COVERAGE.md (run
-# scripts/round_open.py at round open — expected: the r5-receipt
-# rows), taking outs from the r15 re-entry rows once they hold their
-# fresh receipt, family twins kept as always; new r16 capabilities
-# enter under the unchanged admission bar.
+# scripts/round_open.py at round open — the helper names the
+# r5-receipt rows: ann_ivf_topk, bpe_merge_table,
+# candlestick_patterns, event_transitions, order_cube_status_year,
+# revenue_by_nation, semantic_near_dup_pairs, sliding_distinct_users,
+# 8 rows), taking outs from the r15 re-entry rows once they hold
+# their fresh receipt, family twins kept as always; new r16
+# capabilities enter under the unchanged admission bar.
 # --------------------------------------------------------------------------
 
 CHECKED_QUERIES: tuple[str, ...] = (
