@@ -2739,15 +2739,42 @@ _register(
 # merge_upsert_keep_last in-window, the streaming disciplines keep
 # five paired rows in-window, and the bounded-dedup mechanics stay
 # pytest- and validate-pinned).
-# Round-16 rotation plan (pre-committed): if CORRECTNESS_r15 is green,
+# Round-16 rotation (EXECUTED — CORRECTNESS_r15 came in 50/50 green, so
+# the pre-committed plan fired verbatim): the r5-receipt cohort
+# (ann_ivf_topk, bpe_merge_table, candlestick_patterns,
+# event_transitions, order_cube_status_year, revenue_by_nation,
+# semantic_near_dup_pairs, sliding_distinct_users — confirmed by
+# scripts/round_open.py as the 8 stalest paired rows at round open)
+# enters, taking outs from the r15 re-entry rows, each of which now
+# holds a fresh r15 receipt.  Family coverage after the swap:
+#  - ann_lsh_seed_topk out / ann_ivf_topk in: X3 similarity keeps
+#    label_centroids, stream_ann_index, hybrid_rrf_per_query in-window;
+#    the LSH seed path stays pytest- and validate-pinned.
+#  - embedding_near_dup_pairs out / semantic_near_dup_pairs in: X2
+#    near-dup keeps stream_dedup_pairs in-window; the embedding-cosine
+#    pair family swaps one paired variant for its semantic twin.
+#  - market_share_by_year, min_acctbal_supplier_per_part,
+#    order_priority_exists out / revenue_by_nation,
+#    order_cube_status_year in: §2.5 joins keep pricing_summary,
+#    important_parts, revenue_cube in-window (TPC-H shapes Q8/Q2/Q4
+#    rotate for Q5/cube — same join+agg disciplines).
+#  - session_purchase_attribution, stream_pair_correlation out /
+#    event_transitions, sliding_distinct_users, candlestick_patterns
+#    in: windowed/sessionized analytics keep cross_stream_spread_1h,
+#    stream_sessions_30m in-window and gain lag-window, sliding-
+#    distinct, and pattern-detection receipts.
+#  - vocab_stats out / bpe_merge_table in: X4 text keeps
+#    bpe_encode_docs, conjunctive_search_bm25, quality_classifier_*
+#    in-window; the BPE family swaps serving for training.
+# Round-17 rotation plan (pre-committed): if CORRECTNESS_r16 is green,
 # rotate the next-stalest cohort per COVERAGE.md (run
-# scripts/round_open.py at round open — the helper names the
-# r5-receipt rows: ann_ivf_topk, bpe_merge_table,
-# candlestick_patterns, event_transitions, order_cube_status_year,
-# revenue_by_nation, semantic_near_dup_pairs, sliding_distinct_users,
-# 8 rows), taking outs from the r15 re-entry rows once they hold
-# their fresh receipt, family twins kept as always; new r16
-# capabilities enter under the unchanged admission bar.
+# scripts/round_open.py at round open — as of r16 open the r6-receipt
+# rows are: cosine_topk, dedup_exact_documents, hybrid_search_rerank,
+# max_drawdown, daily_type_pivot, shipping_priority_topk,
+# text_quality, user_sessions_30m, candles_gap_filled — take the
+# helper's top 8 at r17 open), taking outs from the r16 re-entry rows
+# once they hold their fresh receipt, family twins kept as always; new
+# r17 capabilities enter under the unchanged admission bar.
 # --------------------------------------------------------------------------
 
 CHECKED_QUERIES: tuple[str, ...] = (
@@ -2798,15 +2825,15 @@ CHECKED_QUERIES: tuple[str, ...] = (
     "bpe_encode_docs",
     "conjunctive_search_bm25",
     "multimodal_meta",
-    # r15 rotation: the 8-row r4-receipt cohort (11 rounds stale)
-    "ann_lsh_seed_topk",
-    "embedding_near_dup_pairs",
-    "market_share_by_year",
-    "min_acctbal_supplier_per_part",
-    "order_priority_exists",
-    "session_purchase_attribution",
-    "stream_pair_correlation",
-    "vocab_stats",
+    # r16 rotation: the 8-row r5-receipt cohort (11 rounds stale)
+    "ann_ivf_topk",
+    "bpe_merge_table",
+    "candlestick_patterns",
+    "event_transitions",
+    "order_cube_status_year",
+    "revenue_by_nation",
+    "semantic_near_dup_pairs",
+    "sliding_distinct_users",
 )
 
 assert len(CHECKED_QUERIES) <= 50, len(CHECKED_QUERIES)
