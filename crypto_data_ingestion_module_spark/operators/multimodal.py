@@ -1640,11 +1640,13 @@ _JPEG_STD_HUFF: tuple[tuple[int, bytes, bytes], ...] = (
 )
 
 
-def _std_dht_block() -> bytes:
+def _std_dht_block(skip_slots: frozenset[int] = frozenset()) -> bytes:
     import struct
 
     out = bytearray()
     for tcth, bits, vals in _JPEG_STD_HUFF:
+        if tcth in skip_slots:
+            continue
         out += b"\xff\xc4" + struct.pack(">H", 19 + len(vals))
         out += bytes([tcth]) + bits + vals
     return bytes(out)
@@ -1652,13 +1654,17 @@ def _std_dht_block() -> bytes:
 
 def ensure_jpeg_dht(payload: bytes) -> bytes:
     """Inject the T.81 Annex K typical Huffman tables into a JPEG that
-    carries NO DHT segment (the MJPEG-in-AVI convention), immediately
-    before the first SOS.  A stream that defines any DHT is returned
-    unchanged — its own tables win."""
+    omits them (the MJPEG-in-AVI convention), immediately before the
+    first SOS.  Only the table SLOTS the frame does not define itself
+    are injected — a conforming DHT-less frame gets all four Annex-K
+    tables, a frame with a full DHT is returned unchanged, and a
+    nonstandard frame defining e.g. only DC tables gets just the
+    standard AC tables (its own tables always win their slot)."""
     import struct
 
     pos, n = 2, len(payload)
     first_sos = None
+    defined: set[int] = set()
     while pos + 2 <= n:
         if payload[pos] != 0xFF:
             raise ValueError("bad JPEG marker alignment")
@@ -1669,20 +1675,28 @@ def ensure_jpeg_dht(payload: bytes) -> bytes:
         pos += 2
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             continue
-        if marker == 0xC4:  # has its own tables
-            return payload
         if marker == 0xD9:
             break
         if pos + 2 > n:
             raise ValueError("truncated JPEG segment")
         (seglen,) = struct.unpack(">H", payload[pos : pos + 2])
+        if marker == 0xC4:
+            # one DHT segment may pack several tables: (Tc<<4|Th,
+            # BITS[16], sum(BITS) values) repeated to the segment end
+            t, seg_end = pos + 2, pos + seglen
+            while t < seg_end:
+                defined.add(payload[t])
+                t += 17 + sum(payload[t + 1 : t + 17])
         if marker == 0xDA:
             first_sos = pos - 2
             break
         pos += seglen
     if first_sos is None:
         raise ValueError("JPEG missing SOS")
-    return payload[:first_sos] + _std_dht_block() + payload[first_sos:]
+    block = _std_dht_block(frozenset(defined))
+    if not block:  # every standard slot already defined by the frame
+        return payload
+    return payload[:first_sos] + block + payload[first_sos:]
 
 
 def is_avi(payload: bytes) -> bool:
@@ -1716,11 +1730,16 @@ def demux_avi(payload: bytes) -> list[tuple[int, bytes]]:
     n = len(payload)
 
     usec_per_frame: int | None = None
-    handler_ok = False
+    # AVI streams are numbered by strl order in hdrl; data chunks carry
+    # that number as their two-digit prefix.  Track which stream is the
+    # MJPG video so an audio (or second video) stream's '##dc'/'##db'
+    # chunks can never interleave into the frame timeline.
+    stream_count = 0
+    vids_stream: int | None = None
     frames_jpeg: list[bytes] = []
 
     def _walk(start: int, end: int) -> None:
-        nonlocal usec_per_frame, handler_ok
+        nonlocal usec_per_frame, stream_count, vids_stream
         pos = start
         while pos + 8 <= end:
             cid = payload[pos : pos + 4]
@@ -1741,19 +1760,30 @@ def demux_avi(payload: bytes) -> list[tuple[int, bytes]]:
                 fcc_type = payload[body0 : body0 + 4]
                 fcc_handler = payload[body0 + 4 : body0 + 8]
                 if fcc_type == b"vids":
+                    if vids_stream is not None:
+                        raise ValueError(
+                            "multiple AVI video streams (one timeline "
+                            "per file; demux each stream separately)"
+                        )
                     if fcc_handler.upper() not in (b"MJPG", b"\x00\x00\x00\x00"):
                         raise ValueError(
                             "unsupported AVI video codec "
                             f"{fcc_handler!r} (MJPG only)"
                         )
-                    handler_ok = True
-            elif cid[2:4] in (b"dc", b"db") and cid[:2].isdigit():
+                    vids_stream = stream_count
+                stream_count += 1
+            elif (
+                cid[2:4] in (b"dc", b"db")
+                and cid[:2].isdigit()
+                and vids_stream is not None
+                and int(cid[:2]) == vids_stream
+            ):
                 frames_jpeg.append(payload[body0:body1])
             pos = body1 + (size & 1)  # RIFF word alignment
 
     (riff_size,) = struct.unpack("<I", payload[4:8])
     _walk(12, min(8 + riff_size, n))
-    if usec_per_frame is None or not handler_ok:
+    if usec_per_frame is None or vids_stream is None:
         raise ValueError("AVI missing avih header or vids/MJPG stream")
     if not frames_jpeg:
         raise ValueError("AVI movi list has no video frames")

@@ -17,6 +17,46 @@ from crypto_data_ingestion_module_spark.plans.queries import (
     _t,
 )
 
+
+def _cleanup_stream_scratch() -> None:
+    """atexit hook: remove the staged streaming-input dirs (built once
+    per process per sf_dir, previously never removed) and whatever run
+    scratch survives in each ``*_SCRATCH`` list (the in-function ``while
+    lst: rmtree(pop())`` sweeps only run N-1's scratch on run N, so the
+    LAST run's dir outlived the process).  Globals resolve at call time,
+    so registering here — before the registries below are defined — is
+    safe; ``ignore_errors`` keeps interpreter teardown quiet."""
+    import shutil as _sh
+    import os as _os
+
+    for d in (
+        _STREAM_CURATE_FILES,
+        _STREAM_ANN_FILES,
+        _STREAM_MG_FILES,
+        _STREAM_DEDUP_FILES,
+        _STREAM_QC_INPUT,
+        _STREAM_QC_TRAIN_INPUT,
+    ):
+        while d:
+            # values are inner landing dirs; the mkdtemp root is their
+            # parent (e.g. sgraft_stream_curate_*/docs_in)
+            _sh.rmtree(_os.path.dirname(d.popitem()[1]), ignore_errors=True)
+    for lst in (
+        _STREAM_CURATE_SCRATCH,
+        _STREAM_ANN_SCRATCH,
+        _STREAM_MG_SCRATCH,
+        _STREAM_DEDUP_SCRATCH,
+        _STREAM_QC_TRAIN_SCRATCH,
+        _STREAM_QC_CKPTS,
+    ):
+        while lst:
+            _sh.rmtree(lst.pop(), ignore_errors=True)
+
+
+import atexit as _atexit  # noqa: E402
+
+_atexit.register(_cleanup_stream_scratch)
+
 # --------------------------------------------------------------------------
 # X1 exact dedup
 # --------------------------------------------------------------------------
@@ -3291,6 +3331,7 @@ WHERE l.doc_id % 2 = 1
 # --------------------------------------------------------------------------
 
 _STREAM_QC_INPUT: dict[str, str] = {}
+_STREAM_QC_CKPTS: list[str] = []
 
 
 def _stream_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3318,7 +3359,10 @@ def _stream_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.catalog.dropTempView(t.name)
     run_id = uuid.uuid4().hex[:12]
     tbl = "stream_qc_" + run_id
+    while _STREAM_QC_CKPTS:
+        shutil.rmtree(_STREAM_QC_CKPTS.pop(), ignore_errors=True)
     ckpt = os.path.join(tempfile.gettempdir(), f"sgraft_qc_ckpt_{run_id}")
+    _STREAM_QC_CKPTS.append(ckpt)
     zero = F.lit(0).cast("long")
     if wmap:
         wlit = F.create_map(

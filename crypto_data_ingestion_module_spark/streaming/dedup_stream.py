@@ -175,6 +175,11 @@ def read_fingerprint_index(spark: SparkSession, lake_root: str) -> DataFrame:
 
 
 INDEX_MD5_SUBDIR = "fingerprints_md5"
+# Dedicated pair-log subdir (mirrors INDEX_MD5_SUBDIR): if the md5 and
+# xxhash ingests shared a lake_root AND the 'pairs' subdir, dynamic
+# partition overwrite keyed by batch_id would silently replace the
+# other stream's pair partitions.
+PAIRS_MD5_SUBDIR = "pairs_md5"
 
 
 def stream_dedup_ingest_md5(
@@ -196,7 +201,7 @@ def stream_dedup_ingest_md5(
     pair log hold a driver receipt (registry row ``stream_dedup_pairs``).
 
     ``lake_root`` gains ``fingerprints_md5/`` (band rows ``(id, sig,
-    bkey)``) and ``pairs/`` — both batch-partitioned with dynamic
+    bkey)``) and ``pairs_md5/`` — both batch-partitioned with dynamic
     overwrite, so a replayed micro-batch replaces exactly its own
     output (the curate_stream recovery contract).
     """
@@ -209,7 +214,7 @@ def stream_dedup_ingest_md5(
     )
 
     index_path = os.path.join(lake_root, INDEX_MD5_SUBDIR)
-    pairs_path = os.path.join(lake_root, PAIRS_SUBDIR)
+    pairs_path = os.path.join(lake_root, PAIRS_MD5_SUBDIR)
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -237,6 +242,6 @@ def stream_dedup_ingest_md5(
 
 
 def read_dedup_pairs_md5(spark: SparkSession, lake_root: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(lake_root, PAIRS_SUBDIR)).drop(
+    return spark.read.parquet(os.path.join(lake_root, PAIRS_MD5_SUBDIR)).drop(
         "batch_id"
     )

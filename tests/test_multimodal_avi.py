@@ -101,6 +101,115 @@ def test_dhtless_mjpeg_decodes_via_annex_k_injection():
     assert ensure_jpeg_dht(own) == own
 
 
+def _strl_auds() -> bytes:
+    """Minimal audio stream header list (strh 'auds' + WAVEFORMATEX-ish
+    strf) for multi-stream layouts."""
+    strh = (
+        b"auds" + b"\x00\x00\x00\x00"
+        + struct.pack("<IIIIIIIIII", 0, 0, 0, 1, 8000, 0, 8000, 0,
+                      0xFFFFFFFF, 0)
+        + struct.pack("<4H", 0, 0, 0, 0)
+    )
+    strf = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+    return _list(b"strl", _chunk(b"strh", strh) + _chunk(b"strf", strf))
+
+
+def test_avi_frames_come_only_from_the_vids_stream():
+    """Streams are numbered by strl order; with an audio stream at
+    index 0 and the MJPG video at index 1, only '01dc' chunks are
+    frames.  A stray '00dc' chunk carrying a perfectly valid (but
+    different) JPEG must NOT interleave into the timeline — pre-fix the
+    demuxer collected every '##dc' chunk regardless of stream."""
+    img = _gradient(16, 16)
+    real = _encode_jpeg(img)
+    decoy = _encode_jpeg([row[::-1] for row in img])
+    avih = struct.pack(
+        "<14I", 40000, 0, 0, 0x10, 2, 0, 2, 0, 16, 16, 0, 0, 0, 0
+    )
+    strh_vids = (
+        b"vids" + b"MJPG"
+        + struct.pack("<IIIIIIIIII", 0, 0, 0, 1, 25, 0, 2, 0,
+                      0xFFFFFFFF, 0)
+        + struct.pack("<4H", 0, 0, 16, 16)
+    )
+    strf_vids = struct.pack(
+        "<IiiHH4sIiiII", 40, 16, 16, 1, 24, b"MJPG", 16 * 16 * 3,
+        0, 0, 0, 0,
+    )
+    hdrl = _list(
+        b"hdrl",
+        _chunk(b"avih", avih)
+        + _strl_auds()  # stream 00 = audio
+        + _list(       # stream 01 = video
+            b"strl",
+            _chunk(b"strh", strh_vids) + _chunk(b"strf", strf_vids),
+        ),
+    )
+    movi = _list(
+        b"movi",
+        _chunk(b"01dc", real)
+        + _chunk(b"00wb", b"\x80" * 64)   # audio data — never frames
+        + _chunk(b"00dc", decoy)          # stray non-video 'dc' chunk
+        + _chunk(b"01dc", real),
+    )
+    body = b"AVI " + hdrl + movi
+    avi = b"RIFF" + struct.pack("<I", len(body)) + body
+    out = demux_avi(avi)
+    assert [ts for ts, _ in out] == [0, 40]
+    want = _p6(jpeg_to_rgb(real))
+    assert all(f == want for _, f in out)  # decoy never interleaved
+
+
+def test_avi_rejects_multiple_video_streams_loudly():
+    """Two vids/MJPG streams share no single per-frame clock — one
+    timeline per file, so a second video stream must reject, not
+    silently interleave both streams' frames under one avih clock."""
+    j = _encode_jpeg(_gradient(8, 8))
+    one = _encode_avi([j], 8, 8)
+    # duplicate the strl list inside hdrl: splice a second copy of the
+    # vids strl right after the first
+    strl_at = one.index(b"LIST", one.index(b"strl") - 8 - 4)
+    (strl_size,) = struct.unpack("<I", one[strl_at + 4 : strl_at + 8])
+    strl_end = strl_at + 8 + strl_size + (strl_size & 1)
+    strl_blob = one[strl_at:strl_end]
+    hdrl_at = one.index(b"hdrl") - 8
+    (hdrl_size,) = struct.unpack("<I", one[hdrl_at + 4 : hdrl_at + 8])
+    two = bytearray(one[:strl_end] + strl_blob + one[strl_end:])
+    two[hdrl_at + 4 : hdrl_at + 8] = struct.pack(
+        "<I", hdrl_size + len(strl_blob)
+    )
+    two[4:8] = struct.pack("<I", len(two) - 8)
+    with pytest.raises(ValueError, match="multiple AVI video streams"):
+        demux_avi(bytes(two))
+
+
+def test_jpeg_dht_injection_fills_only_missing_slots():
+    """A nonstandard frame defining ONLY DC tables gets just the
+    standard AC tables injected (its own DC tables win their slots) and
+    then decodes bit-identically to the fully self-contained stream —
+    pre-fix any DHT before SOS suppressed injection entirely and the
+    frame failed decode."""
+    from tests.test_multimodal_jpeg import _STD_DC_CHR, _STD_DC_LUM
+
+    img = _gradient(24, 16)
+    with_dht = _encode_jpeg(img, huff="std", emit_dht=True)
+    dhtless = _encode_jpeg(img, huff="std", emit_dht=False)
+    dc_only = b""
+    for slot, (counts, values) in ((0x00, _STD_DC_LUM), (0x01, _STD_DC_CHR)):
+        dc_only += (
+            b"\xff\xc4"
+            + struct.pack(">H", 19 + len(values))
+            + bytes([slot]) + bytes(counts) + bytes(values)
+        )
+    sos = dhtless.index(b"\xff\xda")  # headers only before SOS
+    partial = dhtless[:sos] + dc_only + dhtless[sos:]
+    repaired = ensure_jpeg_dht(partial)
+    assert repaired != partial  # AC slots were injected
+    assert (jpeg_to_rgb(repaired) == jpeg_to_rgb(with_dht)).all()
+    # idempotent: all four slots now defined, nothing more to inject
+    assert ensure_jpeg_dht(repaired) == repaired
+
+
 def test_avi_rec_list_and_odd_padding():
     """'rec '-wrapped interleave lists are descended, and odd-sized
     frame chunks are word-padded per the RIFF spec (an off-by-one walk
