@@ -120,6 +120,11 @@ SWEEP_SAMPLE_TWINS: tuple[str, ...] = (
     #   minhash_lsh_pairs_md5... which is itself a twin; the still-
     #   measured cost carriers are minhash_lsh_pairs (xxhash twin, same
     #   plan shape) and ngram_jaccard_pairs)
+    # r16 admission (VERDICT r15 item 2): twin-listed at admission —
+    # standalone + 10x receipts in PERF.md §r16.
+    "stream_candles_stateful",  # availableNow drain machinery (carried
+    #   by stream_rollup_1h) + the 1h OHLCV data axis (carried by the
+    #   measured ohlcv_resample_15m/1h batch rows)
 )
 
 

@@ -628,6 +628,149 @@ FROM sess GROUP BY user_id, sid
 
 
 # --------------------------------------------------------------------------
+# A1+T3 applyInPandasWithState candle builder, oracle-paired (r16,
+# VERDICT r15 item 2): the custom stateful operator
+# (streaming/stateful.py candles_from_ticks, pytest-only through r15 —
+# the last stateful operator with a pairable path and no driver row;
+# its transformWithState twin stays protobuf-gated, COVERAGE.md) gets a
+# driver receipt via the stream_sessions_30m recipe: availableNow drain
+# over TWO TIME-DISJOINT ascending halves (split at the epoch-ms
+# midpoint, so batch i's min ts >= the watermark carried out of batch
+# i-1 and no real tick is ever late) plus a far-future sentinel tick
+# whose watermark push finalizes every real bucket; the sentinel's own
+# bucket never finalizes and is filtered anyway.
+#
+# Why the FOLD is hash-checkable for any batch/chunk split (the r16
+# determinism work, streaming/stateful.py fold_ticks): open/close
+# tiebreak lexicographically on (event time, tick_id) — not arrival
+# order — and volume accumulates integer micro-units converted JVM-side
+# by the same F.round(x*1e6) the dsum policy uses, so the streamed
+# candle is bit-identical to the batch aggregate no matter how ticks
+# were chunked.  A bucket STRADDLING the half boundary exercises the
+# cross-batch fold; straddle parity is also pytest-pinned
+# (tests/test_pipelines_streaming.py).
+# 100 TB shape: state is one tuple per OPEN (symbol, bucket) — bounded
+# by symbols × lateness/interval, independent of tick volume; one
+# exchange on (symbol, bucket_ts) per micro-batch, the same shuffle as
+# the batch resample.
+# --------------------------------------------------------------------------
+
+_STREAM_CANDLE_INPUT: dict[str, str] = {}
+
+
+def _stream_candles_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+    import time
+    import uuid
+
+    from crypto_data_ingestion_module_spark.streaming.stateful import (
+        candles_from_ticks,
+    )
+
+    ticks = _t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("symbol"),
+        "ts",
+        F.col("value").alias("price"),
+        F.col("value").alias("qty"),
+        F.col("event_id").alias("tick_id"),
+    )
+    inp = _STREAM_CANDLE_INPUT.get(sf_dir)
+    if inp is None:
+        root = tempfile.mkdtemp(prefix="sgraft_stream_candle_")
+        inp = os.path.join(root, "in")
+        os.makedirs(inp)
+        stats = ticks.agg(
+            F.unix_millis(F.min("ts")).alias("lo"),
+            F.unix_millis(F.max("ts")).alias("hi"),
+        ).collect()[0]
+        mid, hi = (stats["lo"] + stats["hi"]) // 2, stats["hi"]
+        sentinel = spark.range(1).select(
+            F.lit("__sentinel__").alias("symbol"),
+            (
+                F.timestamp_millis(F.lit(hi))
+                + F.expr("INTERVAL 3650 DAYS")
+            ).alias("ts"),
+            F.lit(0.0).alias("price"),
+            F.lit(0.0).alias("qty"),
+            F.lit(-1).cast("long").alias("tick_id"),
+        )
+        halves = [
+            ticks.filter(F.unix_millis("ts") < mid),
+            ticks.filter(F.unix_millis("ts") >= mid),
+            sentinel,
+        ]
+        now = time.time()
+        for i, part in enumerate(halves):
+            tmp = os.path.join(root, f"w{i}")
+            part.coalesce(1).write.mode("overwrite").parquet(tmp)
+            (src_file,) = [
+                f for f in os.listdir(tmp) if f.endswith(".parquet")
+            ]
+            dst = os.path.join(inp, f"{i}.parquet")
+            shutil.move(os.path.join(tmp, src_file), dst)
+            # the file source replays oldest-mtime-first: pin the
+            # half-then-sentinel order explicitly
+            os.utime(dst, (now + 600 * i, now + 600 * i))
+        _STREAM_CANDLE_INPUT[sf_dir] = inp
+    for t in spark.catalog.listTables():
+        if t.isTemporary and t.name.startswith("stream_candle_"):
+            spark.catalog.dropTempView(t.name)
+    run_id = uuid.uuid4().hex[:12]
+    tbl = "stream_candle_" + run_id
+    ckpt = os.path.join(tempfile.gettempdir(), f"sgraft_sc_ckpt_{run_id}")
+    src = (
+        spark.readStream.schema(ticks.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(inp)
+    )
+    q = (
+        candles_from_ticks(
+            src, interval_ms=3_600_000, lateness="30 minutes"
+        )
+        .writeStream.format("memory")
+        .queryName(tbl)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.table(tbl).filter(F.col("symbol") != "__sentinel__").select(
+        "symbol", "bucket_ts", "open", "high", "low", "close",
+        "volume", "n_ticks",
+    )
+
+
+_register(
+    QuerySpec(
+        name="stream_candles_stateful",
+        survey_ids=("A1", "T3", "T2"),
+        description="applyInPandasWithState tick→candle builder, "
+        "availableNow-drained with a sentinel watermark flush so every "
+        "real bucket finalizes exactly once; the (ts, tick_id)-"
+        "deterministic fold makes the streamed candles equal the batch "
+        "1h OHLCV aggregate for any batch split",
+        spark=_stream_candles_stateful,
+        oracle=f"""
+SELECT event_type AS symbol,
+       {obucket('ts', 3_600_000)} AS bucket_ts,
+       first(value ORDER BY ts, event_id) AS open,
+       max(value) AS high,
+       min(value) AS low,
+       last(value ORDER BY ts, event_id) AS close,
+       {osum('value')} AS volume,
+       count(*) AS n_ticks
+FROM events
+GROUP BY symbol, bucket_ts
+""",
+    )
+)
+
+
+# --------------------------------------------------------------------------
 # K2+T2 streaming incremental JOIN-view maintenance, oracle-paired
 # (r14): the IVM maintainer (operators/ivm.py + streaming/ivm_stream.py,
 # pytest-only through r13) gets a driver receipt.  orders (left) and
@@ -2766,6 +2909,17 @@ _register(
 #  - vocab_stats out / bpe_merge_table in: X4 text keeps
 #    bpe_encode_docs, conjunctive_search_bm25, quality_classifier_*
 #    in-window; the BPE family swaps serving for training.
+# r16 capability admission: stream_candles_stateful (the
+# applyInPandasWithState candle builder's driver receipt — VERDICT r15
+# item 2, the last pairable stateful operator without one) enters under
+# the unchanged admission bar (validate-green 3 SFs, straddle-parity
+# pytest, settled 6.55 s sf0.1 standalone, 1.04x at 10x — drain
+# machinery dominates; receipts in PERF.md §r16, twin-listed at
+# admission in bench.py) for forecast_revenue_change (r6–r15 receipts,
+# fresh r15; its join+window disciplines keep pricing_summary,
+# important_parts, revenue_cube, revenue_by_nation,
+# order_cube_status_year, cross_stream_spread_1h, event_transitions,
+# candlestick_patterns in-window).
 # Round-17 rotation plan (pre-committed): if CORRECTNESS_r16 is green,
 # rotate the next-stalest cohort per COVERAGE.md (run
 # scripts/round_open.py at round open — as of r16 open the r6-receipt
@@ -2797,7 +2951,7 @@ CHECKED_QUERIES: tuple[str, ...] = (
     "stream_cross_venue_spread",
     # joins / windows / grouping (§2.5 capability extensions)
     "pricing_summary",
-    "forecast_revenue_change",
+    "stream_candles_stateful",
     "important_parts",
     "revenue_cube",
     # windowed / stateful analytics

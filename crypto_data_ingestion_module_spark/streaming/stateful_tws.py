@@ -33,7 +33,6 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
 from pyspark.sql.streaming.stateful_processor import (
     ExpiredTimerInfo,
     StatefulProcessor,
@@ -42,19 +41,23 @@ from pyspark.sql.streaming.stateful_processor import (
 )
 
 from crypto_data_ingestion_module_spark.streaming.stateful import (
+    EMPTY_CANDLE,
     OUTPUT_SCHEMA,
     STATE_SCHEMA,
+    finalized_candle,
+    fold_ticks,
+    with_candle_columns,
 )
 
 
 class CandleProcessor(StatefulProcessor):
     """Per-(symbol, bucket) OHLCV accumulator with exactly-once emission.
 
-    State slot ``candle``: (open_ts_us, open, high, low, close_ts_us,
-    close, volume, n).  Close is by EVENT time — a late tick arriving in
-    a later micro-batch never overwrites a newer close.  A single
-    event-time timer at bucket-end finalizes the candle once the
-    watermark (event time − lateness) passes it.
+    State slot ``candle``: the shared ``stateful.STATE_SCHEMA`` tuple —
+    open/close carry their (event time, tick_id) so ties resolve
+    deterministically for any arrival order, volume is exact integer
+    micro-units.  A single event-time timer at bucket-end finalizes the
+    candle once the watermark (event time − lateness) passes it.
     """
 
     def __init__(self, interval_ms: int):
@@ -69,11 +72,9 @@ class CandleProcessor(StatefulProcessor):
     ) -> Iterator[pd.DataFrame]:
         _symbol, bucket_ts = key
         if self._state.exists():
-            open_ts_us, o, h, lo, close_ts_us, c, v, n = self._state.get()
+            acc = self._state.get()
         else:
-            open_ts_us, o, h, lo, close_ts_us, c, v, n = (
-                None, None, None, None, None, None, 0.0, 0,
-            )
+            acc = EMPTY_CANDLE
             # first sight of this bucket: one timer at bucket end; the
             # event-time timer fires when the WATERMARK passes it, so
             # lateness is already accounted for
@@ -83,22 +84,9 @@ class CandleProcessor(StatefulProcessor):
             self._handle.registerTimer(bucket_end_ms)
 
         for pdf in rows:
-            ts_us = (pdf["ts"].astype("int64") // 1000).to_numpy()  # ns → µs
-            prices = pdf["price"].to_numpy()
-            qtys = pdf["qty"].to_numpy()
-            for t_us, p, q in zip(ts_us, prices, qtys):
-                if open_ts_us is None or t_us < open_ts_us:
-                    open_ts_us, o = int(t_us), float(p)
-                if h is None or p > h:
-                    h = float(p)
-                if lo is None or p < lo:
-                    lo = float(p)
-                if close_ts_us is None or t_us >= close_ts_us:
-                    close_ts_us, c = int(t_us), float(p)
-                v += float(q)
-                n += 1
+            acc = fold_ticks(acc, pdf)
 
-        self._state.update((open_ts_us, o, h, lo, close_ts_us, c, v, n))
+        self._state.update(acc)
         return iter(())
 
     def handleExpiredTimer(
@@ -107,22 +95,9 @@ class CandleProcessor(StatefulProcessor):
         symbol, bucket_ts = key
         if not self._state.exists():
             return
-        (_open_ts_us, o, h, lo, _close_ts_us, c, v, n) = self._state.get()
+        acc = self._state.get()
         self._state.clear()
-        yield pd.DataFrame(
-            [
-                {
-                    "symbol": symbol,
-                    "bucket_ts": bucket_ts,
-                    "open": o,
-                    "high": h,
-                    "low": lo,
-                    "close": c,
-                    "volume": v,
-                    "n_ticks": n,
-                }
-            ]
-        )
+        yield finalized_candle(symbol, bucket_ts, acc)
 
     def close(self) -> None:
         pass
@@ -143,8 +118,6 @@ def candles_from_ticks_tws(
     """
     import sys
 
-    from crypto_data_ingestion_module_spark.functions.timeutil import bucket_start
-
     # transformWithState spawns a DRIVER-SIDE pre-init Python worker (state
     # schema validation) that does not see addPyFile and cannot import this
     # package — same runtime split as sources/datasource.py::register.  The
@@ -159,9 +132,7 @@ def candles_from_ticks_tws(
     except Exception:  # pragma: no cover - older pickle fallback
         pass
 
-    with_bucket = ticks.withWatermark(ts_col, lateness).withColumn(
-        "bucket_ts", bucket_start(F.col(ts_col), interval_ms)
-    )
+    with_bucket = with_candle_columns(ticks, interval_ms, lateness, ts_col)
     return with_bucket.groupBy("symbol", "bucket_ts").transformWithStateInPandas(
         CandleProcessor(interval_ms),
         outputStructType=OUTPUT_SCHEMA,

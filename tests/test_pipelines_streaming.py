@@ -283,6 +283,60 @@ def test_stateful_candle_builder(spark, tmp_path):
     assert r.volume == 5.0 and r.n_ticks == 4
 
 
+def test_stateful_candle_straddle_and_tie_parity(spark, tmp_path):
+    """Batch-split independence (what makes the operator oracle-
+    pairable, registry row stream_candles_stateful): a bucket whose
+    ticks STRADDLE two micro-batches — including equal-timestamp ties
+    delivered in 'wrong' arrival order (the smaller tick_id arrives in
+    the LATER batch) — must finalize to the same candle as a one-shot
+    fold: open/close tiebreak on (ts, tick_id), volume micro-exact."""
+    import time as _time
+
+    from crypto_data_ingestion_module_spark.streaming.stateful import (
+        candles_from_ticks,
+    )
+
+    src = str(tmp_path / "ticks")
+    os.makedirs(src)
+    ddl = "symbol string, ts timestamp, price double, qty double, tick_id long"
+    m0 = dt.datetime(2024, 1, 1, 0, 0)
+
+    def write(rows):
+        spark.createDataFrame(rows, ddl).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    t0 = m0 + dt.timedelta(seconds=10)   # tied open timestamp
+    t1 = m0 + dt.timedelta(seconds=50)   # tied close timestamp
+    # batch 1: tick_id 5 at t0, tick_id 2 at t1
+    write([("BTC", t0, 20.0, 0.1, 5), ("BTC", t1, 30.0, 0.2, 2)])
+    # batch 2 (same bucket): the TRUE open (t0, tick_id=1) and the TRUE
+    # close (t1, tick_id=9) arrive later
+    write([("BTC", t0, 10.0, 0.3, 1), ("BTC", t1, 40.0, 0.4, 9)])
+    # watermark advancer
+    write([("BTC", m0 + dt.timedelta(minutes=10), 1.0, 1.0, 99)])
+
+    ticks = (
+        spark.readStream.schema(ddl).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = (
+        candles_from_ticks(ticks, interval_ms=60_000, lateness="10 seconds")
+        .writeStream.format("memory").queryName("straddle_candles")
+        .outputMode("append").trigger(processingTime="1 second")
+        .option("checkpointLocation", str(tmp_path / "ck")).start()
+    )
+    deadline = _time.time() + 120
+    while _time.time() < deadline:
+        if spark.sql("SELECT count(*) c FROM straddle_candles").first().c >= 1:
+            break
+        _time.sleep(1)
+    q.stop()
+    r = {x.bucket_ts: x for x in spark.table("straddle_candles").collect()}[m0]
+    assert (r.open, r.close) == (10.0, 40.0)  # (ts, tick_id) order, not arrival
+    assert (r.high, r.low, r.n_ticks) == (40.0, 10.0, 4)
+    assert r.volume == 1.0  # 0.1+0.2+0.3+0.4 exact in micro-units
+
+
 def test_stateful_candle_late_tick_does_not_overwrite_close(spark, tmp_path):
     """Regression: a late tick arriving in a LATER micro-batch must not
     become the close — close is by event time, not arrival order."""
