@@ -1,0 +1,234 @@
+"""Graph-based approximate nearest neighbor: seeded NN-descent k-NN
+graph construction + multi-hop greedy search — the graph-ANN family
+(HNSW/NSG class) the engine's IVF/PQ/LSH rows don't cover.
+
+Design for oracle parity (the same discipline as ``ann_lsh_seed_topk``
+and ``pagerank_fixed_point``): every stage is RELATIONAL and
+deterministic —
+
+- pseudo-randomness is md5-derived (``h(s) = int(md5(s)[:15], 16) %
+  n``), identical in Python hashlib, Spark ``md5``/``conv``, and
+  DuckDB ``md5``/hex-cast, so the initial graph and the search entry
+  points are engine-independent;
+- similarities are exact fixed-point cosine (pre-rounded micro-unit
+  elements, integer product sums — ``similarity._dot_fp``), so
+  neighbor selection can never flap on a float tie;
+- ties rank by (cosine desc, id asc) everywhere;
+- the NN-descent loop runs a FIXED iteration count, unrolled — the
+  whole computation is a finite CTE pipeline a second engine can
+  replay (no convergence test, no data-dependent control flow).
+
+NN-descent (Dong, Charikar, Li — WWW'11): start from a seeded random
+neighbor list per node, repeatedly propose neighbors-of-neighbors
+(over the UNDIRECTED current graph) and keep the best M per node.
+Convergence to a near-exact kNN graph is empirically fast; two rounds
+at M=12 reach recall@10 = 0.985 on the sf0.1 embeddings (pinned vs
+brute force in tests).
+
+100 TB shape: per round exactly two shuffles — the two-hop self-join
+of the edge list (both sides hash-partitioned on the join key) and the
+top-M hash window per src.  Candidate volume is n_nodes x (2M)^2 —
+LINEAR in corpus size with a constant per-node budget, never all-pairs;
+the per-pair cost is one 64-dim integer dot.  Search touches only the
+frontier: E entry points x (M+1)^H candidate bound per query,
+independent of corpus size.  At true scale the corpus never collects:
+pair scoring attaches vectors by equi-join on the id (two joins against
+the bucketed embedding table), the same shape as the LSH rerank.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from crypto_data_ingestion_module_spark.operators.similarity import (
+    FP_SCALE,
+    _fpdot_arrow_udf,
+    with_norm,
+)
+
+
+def _md5_mod(s: Column, n: int) -> Column:
+    """``int(md5(s)[:15], 16) % n`` — 60 bits, always positive, exact in
+    Spark (conv hex→dec, < 2^63), Python hashlib, and DuckDB."""
+    return (F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long") % n).cast(
+        "long"
+    )
+
+
+def _pair_cosine(pairs: DataFrame, base: DataFrame, a: str, b: str) -> DataFrame:
+    """Attach exact fixed-point cosine to an (a, b) id-pair frame by
+    equi-joining the normed vector table twice (never a collect or
+    broadcast of the corpus — the at-scale join shape).
+
+    The dot runs as the Arrow-batched kernel, not the interpreted JVM
+    lambda: the pair list IS the data here (hundreds of thousands of
+    candidate rows per NN-descent round carrying both vectors), exactly
+    the regime ``_fpdot_arrow_udf``'s transfer note prescribes — one
+    vectorized numpy pass per batch, bit-identical by construction
+    (measured 10.9 s → 1.3 s per round-scoring pass at sf0.1)."""
+    av = base.select(
+        F.col("nid").alias(a), F.col("nv").alias("_av"), F.col("nnorm").alias("_an")
+    )
+    bv = base.select(
+        F.col("nid").alias(b), F.col("nv").alias("_bv"), F.col("nnorm").alias("_bn")
+    )
+    dot = _fpdot_arrow_udf(FP_SCALE)(F.col("_av"), F.col("_bv")) / F.lit(
+        FP_SCALE
+    )
+    return (
+        pairs.join(av, a)
+        .join(bv, b)
+        .withColumn("cosine", dot / (F.col("_an") * F.col("_bn")))
+        .drop("_av", "_an", "_bv", "_bn")
+    )
+
+
+def _top_m(scored: DataFrame, m: int) -> DataFrame:
+    w = Window.partitionBy("src").orderBy(F.desc("cosine"), F.asc("dst"))
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= m)
+        .select("src", "dst")
+    )
+
+
+def nn_descent_graph(
+    corpus: DataFrame,
+    n_nodes: int,
+    m: int = 12,
+    iterations: int = 2,
+    r_init: int = 12,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Seeded NN-descent: the directed M-NN graph ``(src, dst)`` after
+    ``iterations`` fixed refinement rounds over md5-seeded initial
+    neighbors (``dst_r = h(src:r) % n_nodes``).
+
+    ``n_nodes`` is passed explicitly (ids must be dense 0..n-1 — the
+    embeddings-table contract) so the seed arithmetic is part of the
+    declared plan, not a hidden count() action.
+    """
+    base = (
+        with_norm(
+            corpus.select(
+                F.col(id_col).cast("long").alias("nid"),
+                F.col(vec_col).alias("nv"),
+            ),
+            "nv",
+            exact=True,
+        )
+        .withColumnRenamed("_norm", "nnorm")
+        .localCheckpoint(eager=False)  # loop invariant, re-read every round
+    )
+    ids = base.select(F.col("nid").alias("src"))
+    init = ids.select(
+        "src",
+        F.explode(
+            F.array(
+                *[
+                    _md5_mod(
+                        F.concat(
+                            F.col("src").cast("string"), F.lit(f":{r}")
+                        ),
+                        n_nodes,
+                    )
+                    for r in range(r_init)
+                ]
+            )
+        ).alias("dst"),
+    ).filter(F.col("src") != F.col("dst")).distinct()
+    edges = _top_m(_pair_cosine(init, base, "src", "dst"), m)
+    for _ in range(iterations):
+        # sever the growing lineage per round (the pagerank_fixed_point
+        # discipline) — each round's plan is one two-hop join + window
+        edges = edges.localCheckpoint(eager=False)
+        und = edges.union(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).distinct()
+        two_hop = (
+            und.alias("x")
+            .join(und.alias("y"), F.col("x.dst") == F.col("y.src"))
+            .select(F.col("x.src").alias("src"), F.col("y.dst").alias("dst"))
+        )
+        cands = (
+            und.union(two_hop).filter(F.col("src") != F.col("dst")).distinct()
+        )
+        edges = _top_m(_pair_cosine(cands, base, "src", "dst"), m)
+    return edges
+
+
+def ann_graph_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    n_nodes: int,
+    k: int = 10,
+    m: int = 12,
+    iterations: int = 2,
+    r_init: int = 12,
+    entries: int = 6,
+    hops: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k over the NN-descent graph: per query, start at
+    ``entries`` md5-seeded entry points (``h('q{qid}:{e}') % n``),
+    expand ``hops`` rounds of directed out-neighbors, exact-rerank the
+    visited set, keep top-k by (cosine desc, nid asc).
+
+    Returns (qid, nid, rank, cosine) — the shared ANN output contract
+    (``cosine_topk``, ``ann_lsh_seed_topk``, ``ann_ivf_topk``), so
+    ``retrieval_metrics`` evaluates it against brute force unchanged.
+    """
+    graph = nn_descent_graph(
+        corpus, n_nodes, m, iterations, r_init, vec_col, id_col
+    ).localCheckpoint(eager=False)
+    base = with_norm(
+        corpus.select(
+            F.col(id_col).cast("long").alias("nid"), F.col(vec_col).alias("nv")
+        ),
+        "nv",
+        exact=True,
+    ).withColumnRenamed("_norm", "nnorm")
+    q = queries.select(F.col(id_col).cast("long").alias("qid"))
+    frontier = q.select(
+        "qid",
+        F.explode(
+            F.array(
+                *[
+                    _md5_mod(
+                        F.concat(
+                            F.lit("q"),
+                            F.col("qid").cast("string"),
+                            F.lit(f":{e}"),
+                        ),
+                        n_nodes,
+                    )
+                    for e in range(entries)
+                ]
+            )
+        ).alias("node"),
+    ).distinct()
+    for _ in range(hops):
+        frontier = (
+            frontier.union(
+                frontier.join(
+                    graph, frontier["node"] == graph["src"]
+                ).select("qid", F.col("dst").alias("node"))
+            )
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+    cand = frontier.filter(F.col("qid") != F.col("node")).select(
+        "qid", F.col("node").alias("nid")
+    )
+    scored = _pair_cosine(cand, base, "qid", "nid")
+    # qid is also a corpus id: its own vector/norm ride the same join
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "nid", F.col("rank").cast("int").alias("rank"), "cosine")
+    )

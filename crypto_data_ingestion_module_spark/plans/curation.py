@@ -993,3 +993,136 @@ FROM s
         ),
     )
 )
+
+
+# --------------------------------------------------------------------------
+# Graph-based ANN: seeded NN-descent + multi-hop search (r16, VERDICT
+# r15 item 3 — the one major ANN paradigm the IVF/PQ/LSH rows left
+# uncovered; HNSW-class graph search is the industry default for
+# high-recall serving).  Oracle-checkable by the same discipline as
+# ann_lsh_seed_topk: md5-seeded randomness, exact fixed-point cosine,
+# (cosine desc, id asc) ties, FIXED unrolled iteration count — the
+# whole build+search is a finite CTE pipeline DuckDB replays
+# bit-for-bit.  Measured recall@10 vs brute force: 1.000 at sf0.001/
+# sf0.01 (500 vecs), 0.985 at sf0.1 (2000 vecs) — pinned in
+# tests/test_graph_ann.py via retrieval_metrics.
+# 100 TB shape: NN-descent candidate volume is n x (2M)^2 — linear in
+# corpus size with a constant per-node budget, never all-pairs; two
+# shuffles per round (two-hop self-join + top-M window).  Search is
+# frontier-bounded per query (E x (M+1)^H), independent of corpus size.
+# --------------------------------------------------------------------------
+
+_GANN_M, _GANN_T, _GANN_R = 12, 2, 12
+_GANN_E, _GANN_H, _GANN_K = 6, 3, 10
+
+
+def _ann_graph_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crypto_data_ingestion_module_spark.operators.graph_ann import (
+        ann_graph_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    n = emb.count()  # dense 0..n-1 ids: the embeddings-table contract
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    return ann_graph_topk(
+        emb, queries, n_nodes=n, k=_GANN_K, m=_GANN_M,
+        iterations=_GANN_T, r_init=_GANN_R, entries=_GANN_E, hops=_GANN_H,
+    )
+
+
+def _ann_graph_oracle() -> str:
+    dot = _FPD.format(a="ax.x", b="bx.x")
+    nrm = _FPD.format(a="x", b="x")
+    seed = (
+        "('0x' || substr(md5(nid || ':' || r), 1, 15))::BIGINT"
+        " % (SELECT n FROM nn)"
+    )
+    qseed = (
+        "('0x' || substr(md5('q' || qid || ':' || e), 1, 15))::BIGINT"
+        " % (SELECT n FROM nn)"
+    )
+
+    def score(cand: str, a: str = "src", b: str = "dst") -> str:
+        return (
+            f"SELECT p.{a}, p.{b}, {dot} AS dot FROM {cand} p "
+            f"JOIN cx ax ON ax.nid = p.{a} "
+            f"JOIN cx bx ON bx.nid = p.{b} AND bx.d = ax.d "
+            f"GROUP BY p.{a}, p.{b}"
+        )
+
+    def top_m(s: str) -> str:
+        return (
+            "SELECT src, dst FROM ("
+            "SELECT s.src, s.dst, row_number() OVER (PARTITION BY s.src "
+            "ORDER BY s.dot / (na.nrm * nb.nrm) DESC, s.dst) AS rk "
+            f"FROM {s} s JOIN norms na ON na.nid = s.src "
+            "JOIN norms nb ON nb.nid = s.dst"
+            f") WHERE rk <= {_GANN_M}"
+        )
+
+    parts = [
+        "WITH c AS MATERIALIZED (SELECT vec_id AS nid, embedding AS nv FROM embeddings)",
+        "cx AS MATERIALIZED (SELECT nid, unnest(range(0, len(nv))) AS d,"
+        " CAST(unnest(nv) AS DOUBLE) AS x FROM c)",
+        f"norms AS MATERIALIZED (SELECT nid, sqrt({nrm}) AS nrm FROM cx GROUP BY nid)",
+        "nn AS MATERIALIZED (SELECT count(*) AS n FROM c)",
+        f"cand0 AS MATERIALIZED (SELECT DISTINCT nid AS src, {seed} AS dst"
+        f" FROM c, range({_GANN_R}) rr(r) WHERE nid <> {seed})",
+        f"s0 AS MATERIALIZED ({score('cand0')})",
+        f"g0 AS MATERIALIZED ({top_m('s0')})",
+    ]
+    for i in range(_GANN_T):
+        parts += [
+            f"u{i} AS MATERIALIZED (SELECT src, dst FROM g{i}"
+            f" UNION SELECT dst, src FROM g{i})",
+            f"cand{i + 1} AS MATERIALIZED (SELECT DISTINCT src, dst FROM ("
+            f"SELECT src, dst FROM u{i} UNION ALL "
+            f"SELECT a.src, b.dst FROM u{i} a JOIN u{i} b ON a.dst = b.src"
+            f") WHERE src <> dst)",
+            f"s{i + 1} AS MATERIALIZED ({score(f'cand{i + 1}')})",
+            f"g{i + 1} AS MATERIALIZED ({top_m(f's{i + 1}')})",
+        ]
+    g = f"g{_GANN_T}"
+    parts += [
+        "q AS MATERIALIZED (SELECT nid AS qid FROM c WHERE nid % 100 = 0)",
+        f"f0 AS MATERIALIZED (SELECT DISTINCT qid, {qseed} AS node"
+        f" FROM q, range({_GANN_E}) ee(e))",
+    ]
+    for h in range(_GANN_H):
+        parts.append(
+            f"f{h + 1} AS MATERIALIZED (SELECT DISTINCT qid, node FROM ("
+            f"SELECT qid, node FROM f{h} UNION ALL "
+            f"SELECT f.qid, g.dst AS node FROM f{h} f"
+            f" JOIN {g} g ON g.src = f.node))"
+        )
+    parts += [
+        f"fc AS MATERIALIZED (SELECT qid, node AS nid FROM f{_GANN_H} WHERE qid <> node)",
+        f"sc AS MATERIALIZED ({score('fc', 'qid', 'nid')})",
+        "ranked AS MATERIALIZED (SELECT s.qid, s.nid,"
+        " s.dot / (na.nrm * nb.nrm) AS cosine,"
+        " row_number() OVER (PARTITION BY s.qid"
+        " ORDER BY s.dot / (na.nrm * nb.nrm) DESC, s.nid) AS rank"
+        " FROM sc s JOIN norms na ON na.nid = s.qid"
+        " JOIN norms nb ON nb.nid = s.nid)",
+    ]
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT qid, nid, CAST(rank AS INT) AS rank, cosine"
+        f" FROM ranked WHERE rank <= {_GANN_K}"
+    )
+
+
+_register(
+    QuerySpec(
+        name="ann_graph_topk",
+        survey_ids=("X3",),
+        description="graph-based ANN: md5-seeded NN-descent kNN graph "
+        f"(M={_GANN_M}, {_GANN_T} unrolled rounds) + {_GANN_H}-hop "
+        f"seeded search from {_GANN_E} entry points; every stage "
+        "relational and fixed-point, so the oracle hash-checks graph "
+        "construction AND search end-to-end (recall 0.985 vs brute "
+        "force at sf0.1, pinned in pytest)",
+        spark=_ann_graph_q,
+        oracle=_ann_graph_oracle(),
+    )
+)

@@ -2920,6 +2920,18 @@ _register(
 # important_parts, revenue_cube, revenue_by_nation,
 # order_cube_status_year, cross_stream_spread_1h, event_transitions,
 # candlestick_patterns in-window).
+# Second r16 capability admission: ann_graph_topk (seeded NN-descent
+# graph ANN — VERDICT r15 item 3, the one major ANN paradigm the
+# IVF/PQ/LSH rows left uncovered) enters under the unchanged admission
+# bar (hash-green 3 SFs vs a fully MATERIALIZED-CTE replay of graph
+# construction AND search, recall@10 0.985 vs brute force at sf0.1
+# pinned via retrieval_metrics, settled 6.73 s sf0.1 standalone —
+# after the Arrow pair-kernel swap cut scoring 10.9 s → 1.3 s/round —
+# 1.78x at 10x; receipts in PERF.md §r16, MEASURED in the sweep with a
+# standing justification) for hybrid_rrf_per_query (r12–r15 receipts,
+# fresh r15; X3 keeps label_centroids, stream_ann_index, ann_ivf_topk
+# AND the new graph row in-window, and the RRF fusion discipline stays
+# pytest- and validate-pinned with hybrid_rrf_topk's r10 receipt).
 # Round-17 rotation plan (pre-committed): if CORRECTNESS_r16 is green,
 # rotate the next-stalest cohort per COVERAGE.md (run
 # scripts/round_open.py at round open — as of r16 open the r6-receipt
@@ -2972,7 +2984,7 @@ CHECKED_QUERIES: tuple[str, ...] = (
     "quality_classifier_trained_scores",
     "label_centroids",
     "stream_ann_index",
-    "hybrid_rrf_per_query",
+    "ann_graph_topk",
     "length_weighted_sample",
     "decontaminate_docs_bloom",
     "stream_curated_corpus",
