@@ -620,6 +620,34 @@ def rademacher_planes_md5(
     }
 
 
+def seeded_bucket_udf(n_tables: int, n_planes: int, dim: int):
+    """Arrow-batched md5-seeded Rademacher bucket assignment: one
+    ``array<long>`` of ``n_tables`` bucket ids per vector.  Exact-integer
+    projections (see :func:`ann_lsh_seed_topk`'s parity note), so the
+    assignment is identical wherever it runs — per query, or once at
+    write time for the at-rest index (``sinks.ann_lake``)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    planes = rademacher_planes_md5(n_tables, n_planes, dim)
+    S = np.array(
+        [planes[(t, p)] for t in range(n_tables) for p in range(n_planes)],
+        dtype=np.float64,
+    ).T  # (dim, n_tables*n_planes)
+    weights = 2 ** np.arange(n_planes, dtype=np.int64)
+
+    def _bucket_fn(vecs: "pd.Series") -> "pd.Series":
+        M = np.vstack(vecs.to_numpy()).astype(np.float64) * 1e12
+        R = np.floor(np.abs(M) + 0.5) * np.sign(M)  # round half away from 0
+        bits = (R @ S) >= 0
+        bits = bits.reshape(len(M), n_tables, n_planes)
+        ids = (bits * weights).sum(axis=2).astype(np.int64)
+        return pd.Series(list(ids))
+
+    return pandas_udf(_bucket_fn, "array<long>", PandasUDFType.SCALAR)
+
+
 def ann_lsh_seed_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -651,24 +679,8 @@ def ann_lsh_seed_topk(
     """
     import numpy as np
     import pandas as pd
-    from pyspark.sql.functions import PandasUDFType, pandas_udf
 
-    planes = rademacher_planes_md5(n_tables, n_planes, dim)
-    S = np.array(
-        [planes[(t, p)] for t in range(n_tables) for p in range(n_planes)],
-        dtype=np.float64,
-    ).T  # (dim, n_tables*n_planes)
-    weights = 2 ** np.arange(n_planes, dtype=np.int64)
-
-    def _bucket_fn(vecs: "pd.Series") -> "pd.Series":
-        M = np.vstack(vecs.to_numpy()).astype(np.float64) * 1e12
-        R = np.floor(np.abs(M) + 0.5) * np.sign(M)  # round half away from 0
-        bits = (R @ S) >= 0
-        bits = bits.reshape(len(M), n_tables, n_planes)
-        ids = (bits * weights).sum(axis=2).astype(np.int64)
-        return pd.Series(list(ids))
-
-    bucket_ids = pandas_udf(_bucket_fn, "array<long>", PandasUDFType.SCALAR)
+    bucket_ids = seeded_bucket_udf(n_tables, n_planes, dim)
 
     def bucketed(df: DataFrame, vec: str) -> DataFrame:
         b = df.withColumn("_buckets", bucket_ids(F.col(vec)))
@@ -677,34 +689,85 @@ def ann_lsh_seed_topk(
             F.posexplode(F.col("_buckets")).alias("tbl", "bucket"),
         )
 
-    q = with_norm(
-        queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")),
-        "qv",
-        exact=True,
-    ).withColumnRenamed("_norm", "qnorm")
-    c = with_norm(
-        corpus.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nv")),
-        "nv",
-        exact=True,
-    ).withColumnRenamed("_norm", "nnorm")
+    q = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"))
+    c = corpus.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nv"))
 
+    # Collision pairs stay SLIM (ids only): LSH collision volume grows
+    # faster than the corpus (2.55M pairs at sf1 for a 20k corpus, ~64%
+    # of it per query at this operating point), so dragging two vectors
+    # per pair through the dedup Exchange and then an interpreted
+    # fixed-point lambda dominated the whole query (25 s of 29.5 s
+    # measured r16).
     cand = (
-        F.broadcast(bucketed(q, "qv"))
-        .join(bucketed(c, "nv"), ["tbl", "bucket"])
+        F.broadcast(bucketed(q, "qv").select("qid", "tbl", "bucket"))
+        .join(bucketed(c, "nv").select("nid", "tbl", "bucket"), ["tbl", "bucket"])
         .filter(F.col("qid") != F.col("nid"))
-        .select("qid", "qv", "qnorm", "nid", "nv", "nnorm")
+        .select("qid", "nid")
         .dropDuplicates(["qid", "nid"])
     )
-    # rerank dot stays a JVM lambda (LONG-accumulated): candidate rows
-    # already carry both vectors, so an Arrow pair kernel would pay more
-    # in transfer than it saves (measured; see _fpdot_arrow_udf's note)
-    dot = _dot_fp(F.col("qv"), F.col("nv"), FP_SCALE, long_safe=True).cast(
-        "double"
-    ) / F.lit(FP_SCALE)
+    # Rerank as a grouped closure-matrix kernel (the _cosine_topk_kernel
+    # shape applied to a candidate list): candidates group by nid so
+    # each corpus vector ships through Arrow ONCE with its qid list —
+    # 5 MB of vectors + 20 MB of ids at sf1 instead of 1.3 GB of
+    # per-pair vector copies — and each batch emits only its per-query
+    # partial top-k (lossless: a global top-k row is top-k within its
+    # own batch under the same (cosine desc, nid asc) order).  Query
+    # vectors ride in the closure (bounded by the search contract).
+    # Bit-parity: identical exact-integer dots (pre-rounded micro-unit
+    # elements, half-away-from-zero) and the same IEEE divide sequence.
+    qpd = with_norm(q, "qv", exact=True).toPandas()
+    if len(qpd) == 0:
+        return corpus.sparkSession.createDataFrame(
+            [], "qid long, nid long, rank int, cosine double"
+        )
+    qids_np = qpd["qid"].to_numpy().astype(np.int64)
+    qidx = {int(v): i for i, v in enumerate(qids_np)}
+    Qs = np.vstack(qpd["qv"].to_numpy()).astype(np.float64) * 1e6
+    Q = np.floor(np.abs(Qs) + 0.5) * np.sign(Qs)
+    qnorm = qpd["_norm"].to_numpy().astype(np.float64)
+
+    def rerank(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            nids = pdf["nid"].to_numpy().astype(np.int64)
+            Ms = np.vstack(pdf["nv"].to_numpy()).astype(np.float64) * 1e6
+            R = np.floor(np.abs(Ms) + 0.5) * np.sign(Ms)
+            nnorm = np.sqrt((R * R).sum(axis=1) / FP_SCALE)
+            lens = pdf["qids"].map(len).to_numpy()
+            rep = np.repeat(np.arange(len(pdf)), lens)
+            flat_q = np.fromiter(
+                (qidx[int(x)] for lst in pdf["qids"] for x in lst),
+                dtype=np.int64,
+                count=int(lens.sum()),
+            )
+            out = []
+            for lo in range(0, len(rep), 200_000):  # bound peak memory
+                r, fq = rep[lo : lo + 200_000], flat_q[lo : lo + 200_000]
+                dots = (R[r] * Q[fq]).sum(axis=1) / FP_SCALE
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "qid": qids_np[fq],
+                            "nid": nids[r],
+                            "cosine": dots / (qnorm[fq] * nnorm[r]),
+                        }
+                    )
+                )
+            allb = pd.concat(out, ignore_index=True)
+            # per-(query, batch) partial top-k by (cosine desc, nid asc)
+            allb = allb.sort_values(
+                ["qid", "cosine", "nid"], ascending=[True, False, True]
+            )
+            yield allb.groupby("qid", sort=False).head(k)
+
+    per_n = cand.groupBy("nid").agg(F.collect_list("qid").alias("qids"))
+    scored = per_n.join(c, "nid").mapInPandas(
+        rerank, "qid long, nid long, cosine double"
+    )
     w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nid"))
     return (
-        cand.withColumn("cosine", dot / (F.col("qnorm") * F.col("nnorm")))
-        .withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("qid", "nid", "rank", "cosine")
     )

@@ -333,3 +333,157 @@ def ann_ivfpq_probe_bucketed(
         .select("qid", "nid", "rank", "adc_d2")
     )
     return topk, cand
+
+
+# --------------------------------------------------------------------------
+# Seeded-LSH index at rest (r16, VERDICT r15 item 4): ann_lsh_seed_topk
+# recomputed the corpus-side hyperplane buckets on every run — right for
+# ad-hoc search, wrong for a served index, where bucketing is paid once
+# at WRITE time and a probe should read only the colliding buckets.
+# --------------------------------------------------------------------------
+
+def _lsh_bkey(n_planes: int):
+    """Single bucket-prunable key: ``tbl * 2^n_planes + bucket`` (a
+    bijection over (table, sign-bucket) — bucket pruning needs ONE
+    bucketing column, and ``isin`` over literal bkeys is what prunes)."""
+    return (F.col("tbl") * (1 << n_planes) + F.col("bucket")).alias("bkey")
+
+
+def write_lsh_index(
+    corpus: DataFrame,
+    table: str,
+    n_planes: int = 4,
+    n_tables: int = 16,
+    dim: int = 64,
+    num_buckets: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    path: str | None = None,
+) -> None:
+    """Materialize the seeded-LSH postings: (nid, bkey, nv, nnorm),
+    bucketed by ``bkey`` (sorted by (bkey, nid)).  The md5-seeded
+    assignment is a pure function of the vector, so the index is
+    self-describing — a prober re-derives the query-side buckets from
+    the same seeds and never needs a side-channel plane file."""
+    from crypto_data_ingestion_module_spark.operators.similarity import (
+        seeded_bucket_udf,
+        with_norm,
+    )
+
+    c = with_norm(
+        corpus.select(
+            F.col(id_col).cast("long").alias("nid"), F.col(vec_col).alias("nv")
+        ),
+        "nv",
+        exact=True,
+    ).withColumnRenamed("_norm", "nnorm")
+    b = c.withColumn(
+        "_buckets", seeded_bucket_udf(n_tables, n_planes, dim)(F.col("nv"))
+    ).select(
+        "nid",
+        "nv",
+        "nnorm",
+        F.posexplode(F.col("_buckets")).alias("tbl", "bucket"),
+    )
+    write_bucketed(
+        b.select("nid", _lsh_bkey(n_planes), "nv", "nnorm"),
+        table,
+        bucket_cols=["bkey"],
+        num_buckets=num_buckets,
+        sort_cols=["bkey", "nid"],
+        path=path,
+    )
+
+
+def ann_lsh_probe_bucketed(
+    spark: SparkSession,
+    table: str,
+    queries: DataFrame,
+    k: int = 10,
+    n_planes: int = 4,
+    n_tables: int = 16,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> tuple[DataFrame, DataFrame]:
+    """Probe a stored LSH index.
+
+    Returns ``(topk, candidates)`` like :func:`ann_ivf_probe_bucketed`:
+    the candidate plan reads ONLY the buckets the query set collides
+    with (``SelectedBucketsCount`` in the plan) and joins them broadcast
+    — zero shuffle Exchange over the corpus.  The final dedup-and-rank
+    (a pair may collide in several tables) exchanges only the bounded
+    collision rows — the scale-irrelevant tail, outside the plan pin
+    for honesty, same split as the IVF probes.
+
+    Results are bit-identical to ``ann_lsh_seed_topk`` with the same
+    parameters (same seeds, same exact fixed-point rerank, same ties) —
+    pinned in tests/test_ann_lake.py.
+    """
+    from crypto_data_ingestion_module_spark.operators.similarity import (
+        FP_SCALE,
+        _fpdot_arrow_udf,
+        seeded_bucket_udf,
+        with_norm,
+    )
+
+    spark.conf.set(
+        "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false"
+    )
+    inv = read_bucketed(spark, table)
+    q = with_norm(
+        queries.select(
+            F.col(id_col).cast("long").alias("qid"), F.col(vec_col).alias("qv")
+        ),
+        "qv",
+        exact=True,
+    ).withColumnRenamed("_norm", "qnorm")
+    # Bounded collect (queries × n_tables rows): probed bkeys must be
+    # LITERALS for the scan's bucket pruning, and the probe rows become
+    # a LocalTableScan so the candidate plan has no query-side Exchange.
+    probe_rows = (
+        q.withColumn(
+            "_buckets", seeded_bucket_udf(n_tables, n_planes, dim)(F.col("qv"))
+        )
+        .select(
+            "qid",
+            "qv",
+            "qnorm",
+            F.posexplode(F.col("_buckets")).alias("tbl", "bucket"),
+        )
+        .select("qid", "qv", "qnorm", _lsh_bkey(n_planes))
+        .collect()
+    )
+    if not probe_rows:
+        empty = spark.createDataFrame(
+            [], "qid long, nid long, rank int, cosine double"
+        )
+        return empty, empty
+    probed_keys = sorted({r["bkey"] for r in probe_rows})
+    probes = spark.createDataFrame(probe_rows)
+
+    pruned = inv.filter(F.col("bkey").isin(probed_keys))
+    cand = (
+        F.broadcast(probes)
+        .join(pruned, "bkey")
+        .filter(F.col("qid") != F.col("nid"))
+        .select(
+            "qid",
+            "nid",
+            (
+                _fpdot_arrow_udf(FP_SCALE)(F.col("qv"), F.col("nv"))
+                / F.lit(FP_SCALE)
+                / (F.col("qnorm") * F.col("nnorm"))
+            ).alias("cosine"),
+        )
+    )
+    # a pair colliding in several tables yields identical cosine rows;
+    # MAX-dedup before ranking (no row_number over duplicates)
+    deduped = cand.groupBy("qid", "nid").agg(F.max("cosine").alias("cosine"))
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nid"))
+    topk = (
+        deduped.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "nid", "rank", "cosine")
+    )
+    return topk, cand

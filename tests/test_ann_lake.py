@@ -139,3 +139,54 @@ def test_bucketed_ivfpq_probe_pruned_no_shuffle_and_exact(spark, tmp_path):
     finally:
         for t in (table, f"{table}_cent", f"{table}_cb"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_bucketed_lsh_probe_pruned_no_shuffle_and_exact(spark, tmp_path):
+    """LSH-at-rest (r16): the probe reads only the colliding buckets
+    (SelectedBucketsCount), never shuffles the corpus, and returns
+    bit-identically what the per-run ann_lsh_seed_topk returns."""
+    from crypto_data_ingestion_module_spark.operators.similarity import (
+        ann_lsh_seed_topk,
+    )
+    from crypto_data_ingestion_module_spark.sinks.ann_lake import (
+        ann_lsh_probe_bucketed,
+        write_lsh_index,
+    )
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    # a SMALL query set (the serving shape) so pruning is observable:
+    # 3 queries x 16 tables <= 48 of 64 physical buckets
+    queries = emb.filter(F.col("vec_id") % 200 == 0)
+    table = f"lsh_test_{uuid.uuid4().hex[:8]}"
+    n_planes, n_tables, k = 4, 16, 10
+
+    write_lsh_index(
+        emb,
+        table,
+        n_planes=n_planes,
+        n_tables=n_tables,
+        num_buckets=64,
+        path=str(tmp_path / "lsh"),
+    )
+    try:
+        topk, cand = ann_lsh_probe_bucketed(
+            spark, table, queries, k=k, n_planes=n_planes, n_tables=n_tables
+        )
+        n_queries = queries.count()
+        assert_pruned_no_shuffle_probe(
+            cand, nprobe_lists=n_queries * n_tables
+        )
+
+        want = {
+            (r.qid, r.nid, r.rank): _bits(r.cosine)
+            for r in ann_lsh_seed_topk(
+                emb, queries, k=k, n_planes=n_planes, n_tables=n_tables
+            ).collect()
+        }
+        got = {
+            (r.qid, r.nid, r.rank): _bits(r.cosine) for r in topk.collect()
+        }
+        assert got == want
+        assert len(got) > 0
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
