@@ -191,9 +191,16 @@ def _update(assigned: DataFrame) -> DataFrame:
     el = assigned.select(
         "cluster", F.posexplode(F.col("xu")).alias("pos", "v")
     )
+    # v is an exact micro-unit integer (|v| ≲ 1e6): sum on the split-long
+    # fast path (functions.exactsum) — same integer total as the
+    # DECIMAL(38,0)-per-row form, limb headroom ≥ 2^43 rows per cluster
+    from crypto_data_ingestion_module_spark.functions.exactsum import (
+        lsum_dec,
+    )
+
     means = el.groupBy("cluster", "pos").agg(
         F.round(
-            F.sum(F.col("v").cast("decimal(38,0)")).cast("double")
+            lsum_dec(F.col("v").cast("long")).cast("double")
             / F.count(F.lit(1))
         ).alias("m")
     )

@@ -31,12 +31,24 @@ top-M hash window per src.  Candidate volume is n_nodes x (2M)^2 —
 LINEAR in corpus size with a constant per-node budget, never all-pairs;
 the per-pair cost is one 64-dim integer dot.  Search touches only the
 frontier: E entry points x (M+1)^H candidate bound per query,
-independent of corpus size.  At true scale the corpus never collects:
-pair scoring attaches vectors by equi-join on the id (two joins against
-the bucketed embedding table), the same shape as the LSH rerank.
+independent of corpus size.
+
+Pair scoring (r17, guide §8 "decide with small rows"): the candidate
+list is pure ids, and dragging two 64-dim vectors per candidate through
+two equi-joins and the Arrow boundary was ~60x the bytes of the ids
+themselves (≈1.2 GB per NN-descent round at sf0.1).  At or below
+``GANN_CLOSURE_MAX`` nodes (default 262,144 → a 128 MB matrix,
+env-tunable) the corpus matrix rides in the scoring kernel's closure —
+one bounded driver collect per build, pairs ship ids only, each Arrow
+batch scores via vectorized row lookups.  Above the bound the original
+fully-distributed join shape remains (vectors attached by equi-join on
+the id, the LSH-rerank shape) — the 100 TB path never collects the
+corpus.  Both paths emit bit-identical cosines (kernel docstring).
 """
 
 from __future__ import annotations
+
+import os
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -47,6 +59,16 @@ from crypto_data_ingestion_module_spark.operators.similarity import (
     _fpdot_arrow_udf,
     with_norm,
 )
+
+#: Above this corpus size the pair scorer keeps the fully-distributed
+#: join shape; at or below it the corpus matrix (n x dim x 8 bytes —
+#: 128 MB at the default bound for 64-dim vectors) rides in the scoring
+#: kernel's closure so candidate pairs ship IDS ONLY through the shuffle
+#: and the Arrow boundary (guide §8: decide with small rows, move heavy
+#: bytes never).  n_nodes is an explicit argument (the dense-id
+#: contract), so the gate is part of the declared plan, not a hidden
+#: action.  Env-tunable for cluster deployments.
+GANN_CLOSURE_MAX = int(os.environ.get("SPARK_GRAFT_GANN_CLOSURE_MAX", "262144"))
 
 
 def _md5_mod(s: Column, n: int) -> Column:
@@ -85,6 +107,66 @@ def _pair_cosine(pairs: DataFrame, base: DataFrame, a: str, b: str) -> DataFrame
     )
 
 
+def _corpus_matrix(corpus_ids: DataFrame, n_nodes: int):
+    """Collect the corpus into a dense (n_nodes x dim) fixed-point matrix
+    + norm vector, indexed by nid (the dense 0..n-1 id contract).
+
+    Bounded by the ``GANN_CLOSURE_MAX`` gate at the call sites — the same
+    boundedness argument as ``_cosine_topk_kernel``'s query collect and
+    the LSH rerank's query matrix.  Rounding is half-away-from-zero on
+    micro-unit elements and the norm is ``sqrt(exact_int / FP_SCALE)`` —
+    the identical IEEE ops of ``with_norm(exact=True)`` (squares ≤ 1e12,
+    64-term sums ≤ 6.4e13: exact integers in float64, any order).
+    """
+    import numpy as np
+
+    pdf = corpus_ids.select("nid", "nv").toPandas()
+    dim = len(pdf["nv"].iloc[0]) if len(pdf) else 0
+    R = np.zeros((n_nodes, dim), dtype=np.float64)
+    norms = np.ones(n_nodes, dtype=np.float64)
+    idx = pdf["nid"].to_numpy().astype(np.int64)
+    Ms = np.vstack(pdf["nv"].to_numpy()).astype(np.float64) * 1e6
+    R[idx] = np.floor(np.abs(Ms) + 0.5) * np.sign(Ms)
+    norms[idx] = np.sqrt(
+        np.einsum("ij,ij->i", R[idx], R[idx]) / FP_SCALE
+    )
+    return R, norms
+
+
+def _pair_cosine_kernel(
+    pairs: DataFrame, R, norms, a: str, b: str
+) -> DataFrame:
+    """Closure-matrix twin of :func:`_pair_cosine`: the candidate list
+    streams through ONE Arrow pass carrying ids only, each batch computes
+    its dots as vectorized numpy row lookups against the closure-held
+    corpus matrix — no join, no per-pair vector copies through the
+    exchange or the Python boundary (measured 8.3 s → ~3 s for the whole
+    ann_graph_topk row at sf0.1).
+
+    Bit-parity with the join form: identical pre-rounded micro-unit
+    integers, per-pair products ≤ 1e12 and 64-term sums ≤ 6.4e13 — exact
+    integers in float64, any accumulation order — and the same IEEE
+    divide sequence ``(dot / FP_SCALE) / (norm_a * norm_b)``."""
+    import numpy as np
+    import pandas as pd
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ai = pdf[a].to_numpy().astype(np.int64)
+            bi = pdf[b].to_numpy().astype(np.int64)
+            out = pdf.copy()
+            dots = np.einsum("ij,ij->i", R[ai], R[bi])
+            out["cosine"] = (dots / FP_SCALE) / (norms[ai] * norms[bi])
+            yield out
+
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in pairs.schema.fields
+    )
+    return pairs.mapInPandas(kernel, f"{schema}, cosine double")
+
+
 def _top_m(scored: DataFrame, m: int) -> DataFrame:
     w = Window.partitionBy("src").orderBy(F.desc("cosine"), F.asc("dst"))
     return (
@@ -102,6 +184,7 @@ def nn_descent_graph(
     r_init: int = 12,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    _matrix=None,
 ) -> DataFrame:
     """Seeded NN-descent: the directed M-NN graph ``(src, dst)`` after
     ``iterations`` fixed refinement rounds over md5-seeded initial
@@ -110,20 +193,36 @@ def nn_descent_graph(
     ``n_nodes`` is passed explicitly (ids must be dense 0..n-1 — the
     embeddings-table contract) so the seed arithmetic is part of the
     declared plan, not a hidden count() action.
+
+    Pair scoring (r17): at or below ``GANN_CLOSURE_MAX`` nodes the
+    corpus matrix rides in the scoring kernel's closure and candidate
+    pairs ship IDS ONLY (``_pair_cosine_kernel``); above the bound the
+    fully-distributed vector-attach joins remain (``_pair_cosine``).
+    Both paths emit bit-identical cosines (kernel docstring).
     """
-    base = (
-        with_norm(
-            corpus.select(
-                F.col(id_col).cast("long").alias("nid"),
-                F.col(vec_col).alias("nv"),
-            ),
-            "nv",
-            exact=True,
-        )
-        .withColumnRenamed("_norm", "nnorm")
-        .localCheckpoint(eager=False)  # loop invariant, re-read every round
+    nodes = corpus.select(
+        F.col(id_col).cast("long").alias("nid"), F.col(vec_col).alias("nv")
     )
-    ids = base.select(F.col("nid").alias("src"))
+    if _matrix is not None or n_nodes <= GANN_CLOSURE_MAX:
+        R, norms = _matrix if _matrix is not None else _corpus_matrix(
+            nodes, n_nodes
+        )
+
+        def score(pairs: DataFrame, a: str, b: str) -> DataFrame:
+            return _pair_cosine_kernel(pairs, R, norms, a, b)
+
+        ids = nodes.select(F.col("nid").alias("src"))
+    else:
+        base = (
+            with_norm(nodes, "nv", exact=True)
+            .withColumnRenamed("_norm", "nnorm")
+            .localCheckpoint(eager=False)  # loop invariant, re-read per round
+        )
+
+        def score(pairs: DataFrame, a: str, b: str) -> DataFrame:
+            return _pair_cosine(pairs, base, a, b)
+
+        ids = base.select(F.col("nid").alias("src"))
     init = ids.select(
         "src",
         F.explode(
@@ -140,7 +239,7 @@ def nn_descent_graph(
             )
         ).alias("dst"),
     ).filter(F.col("src") != F.col("dst")).distinct()
-    edges = _top_m(_pair_cosine(init, base, "src", "dst"), m)
+    edges = _top_m(score(init, "src", "dst"), m)
     for _ in range(iterations):
         # sever the growing lineage per round (the pagerank_fixed_point
         # discipline) — each round's plan is one two-hop join + window
@@ -156,7 +255,7 @@ def nn_descent_graph(
         cands = (
             und.union(two_hop).filter(F.col("src") != F.col("dst")).distinct()
         )
-        edges = _top_m(_pair_cosine(cands, base, "src", "dst"), m)
+        edges = _top_m(score(cands, "src", "dst"), m)
     return edges
 
 
@@ -181,17 +280,27 @@ def ann_graph_topk(
     Returns (qid, nid, rank, cosine) — the shared ANN output contract
     (``cosine_topk``, ``ann_lsh_seed_topk``, ``ann_ivf_topk``), so
     ``retrieval_metrics`` evaluates it against brute force unchanged.
+
+    Queries must be corpus members (their vectors/norms attach by the
+    same corpus-id lookup as candidates — a non-member qid emits no
+    rows); this is the dense-id contract's flip side.
     """
+    nodes = corpus.select(
+        F.col(id_col).cast("long").alias("nid"), F.col(vec_col).alias("nv")
+    )
+    matrix = (
+        _corpus_matrix(nodes, n_nodes)
+        if n_nodes <= GANN_CLOSURE_MAX
+        else None
+    )
     graph = nn_descent_graph(
-        corpus, n_nodes, m, iterations, r_init, vec_col, id_col
+        corpus, n_nodes, m, iterations, r_init, vec_col, id_col,
+        _matrix=matrix,
     ).localCheckpoint(eager=False)
-    base = with_norm(
-        corpus.select(
-            F.col(id_col).cast("long").alias("nid"), F.col(vec_col).alias("nv")
-        ),
-        "nv",
-        exact=True,
-    ).withColumnRenamed("_norm", "nnorm")
+    if matrix is None:
+        base = with_norm(nodes, "nv", exact=True).withColumnRenamed(
+            "_norm", "nnorm"
+        )
     q = queries.select(F.col(id_col).cast("long").alias("qid"))
     frontier = q.select(
         "qid",
@@ -224,8 +333,11 @@ def ann_graph_topk(
     cand = frontier.filter(F.col("qid") != F.col("node")).select(
         "qid", F.col("node").alias("nid")
     )
-    scored = _pair_cosine(cand, base, "qid", "nid")
-    # qid is also a corpus id: its own vector/norm ride the same join
+    # qid is also a corpus id: its own vector/norm ride the same lookup
+    if matrix is not None:
+        scored = _pair_cosine_kernel(cand, matrix[0], matrix[1], "qid", "nid")
+    else:
+        scored = _pair_cosine(cand, base, "qid", "nid")
     w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nid"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -56,11 +56,13 @@ def resample_ohlcv(
     def _sum(c: Column) -> Column:
         if exact_sums:
             # Fixed-point micro-unit sum: bit-identical across engines and
-            # aggregation orders (see plans.queries.dsum for the analysis).
-            return (
-                F.sum(F.round(c * 1_000_000.0).cast("decimal(38,0)")).cast("double")
-                / 1_000_000.0
+            # aggregation orders (see plans.queries.dsum for the analysis),
+            # accumulated on the split-long fast path (functions.exactsum).
+            from crypto_data_ingestion_module_spark.functions.exactsum import (
+                fsum,
             )
+
+            return fsum(c, 1_000_000.0)
         return F.sum(c)
 
     aggs = [

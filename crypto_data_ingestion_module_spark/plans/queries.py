@@ -23,6 +23,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from crypto_data_ingestion_module_spark.functions import symbols as sym
+from crypto_data_ingestion_module_spark.functions.exactsum import fsum, usum_dec
 from crypto_data_ingestion_module_spark.functions.timeutil import (
     bucket_start,
     interval_ms_col,
@@ -91,14 +92,49 @@ def dsum(c: Column) -> Column:
     """Order-insensitive, engine-exact sum of doubles.
 
     Fixed-point policy: values are rounded to micro-units (1e-6) before
-    summing, and the sum is exact DECIMAL(38,0) integer arithmetic.  A
-    plain double sum varies with aggregation order; a double→DECIMAL(s>0)
-    cast rounds *differently* in Spark (exact binary expansion, HALF_UP)
-    vs DuckDB (multiply by 10^s in double) — measured 6e-8 drift at sf0.01.
+    summing, and the sum is exact integer arithmetic.  A plain double sum
+    varies with aggregation order; a double→DECIMAL(s>0) cast rounds
+    *differently* in Spark (exact binary expansion, HALF_UP) vs DuckDB
+    (multiply by 10^s in double) — measured 6e-8 drift at sf0.01.
     ``round(x*1e6)`` yields the identical integer-valued double in both
     engines (HALF_UP == half-away-from-zero, both signs), so the result is
     bit-identical regardless of partitioning, at 1e-6 declared precision.
+
+    Physical form (r17, guide §2.3 "narrower types"): the r1–r16 shape was
+    one ``sum(DECIMAL(38,0))``, but Spark's decimal aggregation runs
+    object-path BigDecimal adds (never whole-stage-codegen longs) — 5.1 s
+    vs 1.0 s measured on the Q1 aggregate at sf0.1.  The micro-unit total
+    is instead accumulated as TWO long sums via a 20-bit limb split,
+    ``u = (u >> 20)·2^20 + (u & 0xFFFFF)`` (exact in two's complement for
+    negatives), and the limbs are recombined in DECIMAL(38,0) once per
+    GROUP, not per row:
+
+        total = sum(u >> 20)·2^20 + sum(u & 0xFFFFF)
+
+    Bit-parity with the decimal form (pinned in tests): every per-row limb
+    and every partial sum is an exact long, the recombination is exact
+    decimal arithmetic on two terms, and the final DECIMAL→DOUBLE cast of
+    the identical integer rounds identically.  NULL rows drop from both
+    limb sums together, so null semantics match ``sum`` exactly.
+
+    Overflow bound (the price of the fast path, documented domain):
+    - per row, ``|round(c·1e6)|`` must fit a long → |c| ≤ 9.2e12 (the
+      engine-wide micro-unit domain; prices/quantities/values here are
+      ≤ 1e9);
+    - per GROUP, the low-limb sum bounds rows at 2^43 ≈ 8.8e12 and the
+      high-limb sum at 2^63 / (max|c|·1e6 / 2^20) — for |c| ≤ 1e6 that is
+      also ~8.8e12 rows.  A 100 TB lineitem (~7e11 rows) stays an order
+      of magnitude inside the bound even for a single global group.
+    Callers whose values or group cardinalities can exceed that domain
+    must use the unconditionally-safe wide form ``dsum_wide``.
     """
+    return fsum(c, 1_000_000.0)
+
+
+def dsum_wide(c: Column) -> Column:
+    """The r1–r16 ``dsum`` physical form: unconditionally overflow-safe
+    DECIMAL(38,0) accumulation (BigDecimal adds, ~5× slower).  Same value
+    as :func:`dsum` everywhere inside dsum's documented domain."""
     return (
         F.sum(F.round(c * 1_000_000.0).cast("decimal(38,0)")).cast("double")
         / 1_000_000.0
@@ -2121,7 +2157,9 @@ def _salted_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev,
         ["event_type"],
         {
-            "s": F.sum(F.round(F.col("value") * 1_000_000.0).cast("decimal(38,0)")),
+            # exact micro-unit partial on the split-long fast path; the
+            # recombined DECIMAL(38,0) re-aggregates exactly downstream
+            "s": usum_dec(F.col("value"), 1_000_000.0),
             "n": F.count(F.lit(1)),
         },
         {

@@ -28,6 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from crypto_data_ingestion_module_spark.functions.exactsum import usum_dec
 from crypto_data_ingestion_module_spark.plans.queries import (
     QuerySpec,
     _register,
@@ -1358,9 +1359,7 @@ def _revenue_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     # finest-grouping partials: exact integer micro-units, so cubing the
     # partials equals cubing the fact (dsum policy, re-aggregated)
     base = li.groupBy("nation", "o_year").agg(
-        F.sum(F.round(F.col("rev") * 1_000_000.0).cast("decimal(38,0)")).alias(
-            "rev_u"
-        ),
+        usum_dec(F.col("rev"), 1_000_000.0).alias("rev_u"),
         F.count(F.lit(1)).alias("n"),
     )
     return (
@@ -1436,9 +1435,7 @@ def _revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     base = li.groupBy("region", "nation", "o_year").agg(
-        F.sum(F.round(F.col("rev") * 1_000_000.0).cast("decimal(38,0)")).alias(
-            "rev_u"
-        ),
+        usum_dec(F.col("rev"), 1_000_000.0).alias("rev_u"),
         F.count(F.lit(1)).alias("n"),
     )
     return (

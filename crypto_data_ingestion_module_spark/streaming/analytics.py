@@ -26,6 +26,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from crypto_data_ingestion_module_spark.functions.exactsum import fsum
+
 
 def _round_half_away(y: float) -> int:
     """Spark ``F.round(x, 0)`` semantics on a double: HALF_UP == half away
@@ -46,12 +48,20 @@ def returns_ma_batch(
     w = Window.partitionBy(key_col).orderBy(ts_col)
     wf = w.rowsBetween(-(n - 1), 0)
     prev: Column = F.lag(close_col).over(w)
-    ma = (
-        F.sum(F.round(F.col(close_col) * 1_000_000.0).cast("decimal(38,0)"))
-        .over(wf)
-        .cast("double")
-        / 1_000_000.0
-    ) / F.count(F.lit(1)).over(wf).cast("double")
+    # micro-unit exact window sum, split-long fast path: two long frame
+    # sums recombine in DECIMAL(38,0) per row — same integer total as the
+    # DECIMAL-per-row form (functions.exactsum parity note)
+    _u = F.round(F.col(close_col) * 1_000_000.0).cast("long")
+    _tot = (
+        F.sum(F.shiftright(_u, 20)).over(wf).cast("decimal(38,0)")
+        * F.lit(1 << 20)
+        + F.sum(_u.bitwiseAND(F.lit((1 << 20) - 1))).over(wf).cast(
+            "decimal(38,0)"
+        )
+    )
+    ma = (_tot.cast("double") / 1_000_000.0) / F.count(F.lit(1)).over(
+        wf
+    ).cast("double")
     return candles.select(
         ts_col,
         key_col,
@@ -155,14 +165,9 @@ def user_sessions_stream(
             F.min(ts_col).alias("session_start"),
             F.max(ts_col).alias("session_end"),
             F.count(F.lit(1)).alias("n_events"),
-            (
-                F.sum(
-                    F.round(F.col(value_col) * 1_000_000.0).cast(
-                        "decimal(38,0)"
-                    )
-                ).cast("double")
-                / 1_000_000.0
-            ).alias("total_value"),
+            # split-long exact micro-unit sum (functions.exactsum) — long
+            # state in the streaming store instead of BigDecimal adds
+            fsum(F.col(value_col), 1_000_000.0).alias("total_value"),
         )
         .select(
             key_col, "session_start", "session_end", "n_events", "total_value"
