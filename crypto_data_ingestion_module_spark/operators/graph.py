@@ -42,6 +42,8 @@ structural test removes that round and is collision-free.)
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -61,21 +63,45 @@ def _is_star_forest(edges: DataFrame) -> bool:
     collision caveat): a star forest with unique min-parents reproduces
     itself through both phases, and the fixpoint trivially satisfies
     the two conditions.  Cost: ONE driver action per round on the
-    just-checkpointed frame (r12: the duplicate-child aggregate and the
-    parent-as-child emptiness probe used to run as two separate jobs;
-    both single-row frames now meet in the allowlisted scalar-inject
-    crossJoin so the loop pays one job per round, not two) — paid back
-    by the whole confirmation round the structural test removes.
+    just-checkpointed frame, and (r17) ONE aggregation pass — each edge
+    contributes a child marker for ``a`` and a parent marker for ``b``;
+    per node, >1 child marker violates (a) and child+parent markers
+    together violate (b).  The r12 form (count aggregate ⋈ semi-join
+    aggregate via the scalar crossJoin) read the edge frame through two
+    subtrees and ~5 stages; this is the identical exact test in 3
+    (guide §2.4: operations keyed the same way share one exchange).
     """
-    counts = edges.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.count_distinct("a").alias("nd"),
+    done, _ = _star_forest_probe(edges)
+    return done
+
+
+def _star_forest_probe(edges: DataFrame) -> tuple[bool, int]:
+    """:func:`_is_star_forest` + the max symmetric degree, from the same
+    single aggregation pass (the degree drives the next round's adaptive
+    salt — see ``connected_components_with_stats``)."""
+    marks = edges.select(
+        F.col("a").alias("v"), F.lit(1).alias("c"), F.lit(0).alias("p")
+    ).union(
+        edges.select(
+            F.col("b").alias("v"), F.lit(0).alias("c"), F.lit(1).alias("p")
+        )
     )
-    chains = edges.join(
-        edges.select(F.col("a").alias("b")).distinct(), "b", "left_semi"
-    ).agg(F.count(F.lit(1)).alias("n_chain"))
-    row = counts.crossJoin(chains).first()
-    return row["n"] == row["nd"] and row["n_chain"] == 0
+    row = (
+        marks.groupBy("v")
+        .agg(
+            F.sum("c").alias("nc"),
+            F.max("p").alias("ip"),
+            F.count(F.lit(1)).alias("deg"),
+        )
+        .agg(
+            F.count_if(F.col("nc") > 1).alias("dup_child"),
+            F.count_if((F.col("nc") > 0) & (F.col("ip") > 0)).alias("n_chain"),
+            F.max("deg").alias("max_deg"),
+        )
+        .first()
+    )
+    done = row["dup_child"] == 0 and row["n_chain"] == 0
+    return done, int(row["max_deg"] or 0)
 
 
 def _salted_min_join(sym: DataFrame, mins: DataFrame, salt: int) -> DataFrame:
@@ -142,6 +168,17 @@ def connected_components_with_stats(
     # Star edges, kept oriented (child, parent): start from the raw pairs.
     edges = e.distinct().localCheckpoint(eager=True)
     rounds = 0
+    # Adaptive salt (r17, guide §2.5 "salt the key" — WHEN skew exists):
+    # round 1 salts defensively; every later round salts only if the
+    # probe saw a symmetric degree ≥ the threshold, because each salted
+    # phase costs one extra Exchange (the min table cannot reuse its
+    # aggregation partitioning under the (a, _salt) join key) and
+    # re-buckets nothing when all keys are cold.  The salted and plain
+    # joins are bit-identical by construction (_salted_min_join).
+    salt_round = skew_salt
+    salt_min_degree = int(
+        os.environ.get("SPARK_GRAFT_CC_SALT_DEGREE_MIN", "65536")
+    )
     for _ in range(max_iter):
         rounds += 1
         # --- large-star ---------------------------------------------------
@@ -155,7 +192,7 @@ def connected_components_with_stats(
         # 10⁴⁺-degree hot key and the plain co-located join a one-task
         # straggler (see _salted_min_join).
         large = (
-            _salted_min_join(sym, mins, skew_salt)
+            _salted_min_join(sym, mins, salt_round)
             .filter(F.col("b") > F.col("a"))
             .select(
                 F.col("b").alias("a"),
@@ -175,7 +212,7 @@ def connected_components_with_stats(
         # neighbors at m.  Mirrored skew case: a star whose root is the
         # MAX id concentrates all edges on one large-end key — same salt.
         children = (
-            _salted_min_join(oriented, omins, skew_salt)
+            _salted_min_join(oriented, omins, salt_round)
             .filter(F.col("b") != F.col("_mn"))
             .select(F.col("b").alias("a"), F.col("_mn").alias("b"))
         )
@@ -190,8 +227,10 @@ def connected_components_with_stats(
             .distinct()
             .localCheckpoint(eager=True)
         )
-        if _is_star_forest(edges):
+        done, max_deg = _star_forest_probe(edges)
+        if done:
             break
+        salt_round = skew_salt if max_deg >= salt_min_degree else 1
     # Fixpoint edge set is (child, root) per component; roots label
     # themselves.
     out = edges.select(
@@ -237,6 +276,7 @@ def pagerank_fixed_point(
     damp_den: int = 100,
     src: str = "src",
     dst: str = "dst",
+    assume_distinct: bool = False,
 ) -> DataFrame:
     """PageRank with a fixed iteration count in EXACT integer arithmetic.
 
@@ -267,12 +307,18 @@ def pagerank_fixed_point(
     ``n_nodes * scale * damp_num`` must stay under 2^63 — at the default
     ppm scale that is ~10^11 nodes, far beyond any corpus graph here.
     """
+    e = edges.select(
+        F.col(src).cast("long").alias("src"),
+        F.col(dst).cast("long").alias("dst"),
+    )
+    if not assume_distinct:
+        # multi-edges collapse so each neighbor receives one share;
+        # callers whose edge build is provably duplicate-free pass
+        # ``assume_distinct=True`` and skip this full-edge Exchange
+        # (guide §2.4 "a distinct on data that is already unique")
+        e = e.distinct()
     e = (
-        edges.select(
-            F.col(src).cast("long").alias("src"),
-            F.col(dst).cast("long").alias("dst"),
-        )
-        .distinct()
+        e
         # The edge list is the loop invariant every iteration re-reads;
         # without this the upstream plan (at the call site: a fact-fact
         # join + distinct) re-executes once PER REFERENCE because the

@@ -321,11 +321,14 @@ def ann_graph_topk(
         ).alias("node"),
     ).distinct()
     for _ in range(hops):
+        # the frontier is bounded by the search contract (queries ×
+        # E·(M+1)^hop), so broadcast it: the graph side of the hop join
+        # is never exchanged (one shuffle per hop instead of three)
         frontier = (
             frontier.union(
-                frontier.join(
-                    graph, frontier["node"] == graph["src"]
-                ).select("qid", F.col("dst").alias("node"))
+                F.broadcast(frontier)
+                .join(graph, frontier["node"] == graph["src"])
+                .select("qid", F.col("dst").alias("node"))
             )
             .distinct()
             .localCheckpoint(eager=False)

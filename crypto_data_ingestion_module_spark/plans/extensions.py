@@ -2904,50 +2904,104 @@ def _hashed_doc_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
-    toks = docs.select(
-        "doc_id", F.explode(F.split("text", " ")).alias("tok")
-    ).filter(F.col("tok").rlike("^[a-z]+$"))
+    # md5 + regex once per DISTINCT (doc, token), weighted by the in-doc
+    # count (r17, the simhash60_md5 move: Zipf token repetition makes the
+    # per-instance hash the dominant term; Σ s over instances == s·cnt,
+    # so the weights are bit-identical) — one extra map-side-combined
+    # aggregate of (doc, token) pairs buys back ~½ the md5/regex calls
+    toks = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("tok").rlike("^[a-z]+$"))
+    )
     th = F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long")
     weights = (
         toks.select(
             "doc_id",
             F.pmod(th, F.lit(64)).cast("int").alias("bucket"),
-            F.when(
-                F.shiftright(th, 6).bitwiseAND(F.lit(1)) == 1, F.lit(1)
-            )
-            .otherwise(F.lit(-1))
-            .alias("s"),
+            (
+                F.when(
+                    F.shiftright(th, 6).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+                ).otherwise(F.lit(-1))
+                * F.col("cnt")
+            ).alias("s"),
         )
         .groupBy("doc_id", "bucket")
         .agg(F.sum("s").alias("w"))
         .filter(F.col("w") != 0)
     )
-    norms = weights.groupBy("doc_id").agg(
-        F.sqrt(F.sum(F.col("w") * F.col("w")).cast("double")).alias("norm")
-    )
-    qw = weights.filter(F.col("doc_id") % 100 == 0).select(
-        F.col("doc_id").alias("qid"), "bucket", F.col("w").alias("wq")
-    )
-    dots = (
-        F.broadcast(qw)
-        .join(
-            weights.select(
-                F.col("doc_id").alias("nid"), "bucket", F.col("w").alias("wn")
-            ),
-            "bucket",
+    # r17: score as a closure-matrix kernel instead of the 64-bucket
+    # inverted-index join (50 query docs × ~300k weight rows shared only
+    # 64 join keys → ~14M joined rows through an Exchange + hash
+    # aggregate; that join WAS the query's cost).  The bounded query
+    # side (50 docs × ≤64 buckets) rides in the closure; the corpus
+    # streams ONCE as per-doc (bucket, w) lists; each batch computes all
+    # dots as one integer matmul and emits its per-query partial top-5
+    # (lossless under the same (cosine desc, nid asc) order).  Parity:
+    # weights are small integers (products < 2^40, 64-term sums exact in
+    # float64), norms are the same sqrt(exact-int) the relational form
+    # takes, and a pair enters the candidate set iff it shares a bucket
+    # with nonzero weights on both sides — exactly the join's membership
+    # rule (pairs sharing no bucket stay ABSENT, not zero-scored).
+    import numpy as np
+    import pandas as pd
+
+    qpd = weights.filter(F.col("doc_id") % 100 == 0).toPandas()
+    if len(qpd) == 0:
+        return spark.createDataFrame(
+            [], "qid long, nid long, rank int, cosine double"
         )
-        .filter(F.col("qid") != F.col("nid"))
-        .groupBy("qid", "nid")
-        .agg(F.sum(F.col("wq") * F.col("wn")).cast("double").alias("dot"))
+    qids = np.sort(qpd["doc_id"].unique()).astype(np.int64)
+    qrow = {int(q): i for i, q in enumerate(qids)}
+    Q = np.zeros((len(qids), 64), dtype=np.float64)
+    Q[
+        [qrow[int(d)] for d in qpd["doc_id"]],
+        qpd["bucket"].to_numpy().astype(np.int64),
+    ] = qpd["w"].to_numpy().astype(np.float64)
+    qn = np.sqrt((Q * Q).sum(axis=1))
+    Qnz = (Q != 0).astype(np.float64)
+
+    docvecs = weights.groupBy("doc_id").agg(
+        F.collect_list(F.struct("bucket", "w")).alias("bw")
     )
-    nq = norms.select(F.col("doc_id").alias("qid"), F.col("norm").alias("qn"))
-    nn = norms.select(F.col("doc_id").alias("nid"), F.col("norm").alias("nn"))
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            nids = pdf["doc_id"].to_numpy().astype(np.int64)
+            W = np.zeros((len(pdf), 64), dtype=np.float64)
+            for i, bw in enumerate(pdf["bw"]):
+                for e in bw:
+                    W[i, e["bucket"]] = e["w"]
+            nn = np.sqrt((W * W).sum(axis=1))
+            dots = W @ Q.T
+            shared = ((W != 0).astype(np.float64) @ Qnz.T) > 0
+            C = (dots.T / (qn[:, None] * nn[None, :])).T
+            out_q, out_n, out_c = [], [], []
+            for j in range(len(qids)):
+                keep = shared[:, j] & (nids != qids[j])
+                cj, ij = C[keep, j], nids[keep]
+                if len(ij) == 0:
+                    continue
+                top = np.lexsort((ij, -cj))[:5]
+                out_q.append(np.full(len(top), qids[j], dtype=np.int64))
+                out_n.append(ij[top])
+                out_c.append(cj[top])
+            if out_q:
+                yield pd.DataFrame(
+                    {
+                        "qid": np.concatenate(out_q),
+                        "nid": np.concatenate(out_n),
+                        "cosine": np.concatenate(out_c),
+                    }
+                )
+
+    cand = docvecs.mapInPandas(kernel, "qid long, nid long, cosine double")
     w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nid"))
     return (
-        dots.join(F.broadcast(nq), "qid")
-        .join(nn, "nid")
-        .withColumn("cosine", F.col("dot") / (F.col("qn") * F.col("nn")))
-        .withColumn("rank", F.row_number().over(w))
+        cand.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 5)
         .select("qid", "nid", F.col("rank").cast("int").alias("rank"), "cosine")
     )
@@ -3990,7 +4044,12 @@ def _pagerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pair.select(F.col("s").alias("src"), F.col("c").alias("dst")).union(
         pair.select(F.col("c").alias("src"), F.col("s").alias("dst"))
     )
-    r = pagerank_fixed_point(edges, iterations=3, scale=10**6)
+    # edges are distinct by construction: pair is DISTINCT and the two
+    # union branches are disjoint (src odd in one, even in the other), so
+    # the loop's defensive full-edge distinct Exchange can be skipped
+    r = pagerank_fixed_point(
+        edges, iterations=3, scale=10**6, assume_distinct=True
+    )
     return r.select("node", F.col("rank").alias("rank_micro"))
 
 

@@ -41,6 +41,15 @@ BUILD_CONF = {
     # local[N] has one JVM; give it room.
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"),
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # Guide §3.1/§9: let the planner pick shuffled-hash over sort-merge
+    # when its size conditions hold — same results, no per-partition sort
+    # on either side.  Scale-valid (the guide's own starting config for
+    # batch ETL); per-partition build memory is bounded by AQE's 64 MB
+    # advisory target.  Env override for deployments that prefer SMJ's
+    # graceful spill on very hot keys.
+    "spark.sql.join.preferSortMergeJoin": os.environ.get(
+        "SPARK_GRAFT_PREFER_SMJ", "false"
+    ),
     "spark.ui.enabled": "false",
     "spark.sql.sources.partitionOverwriteMode": "dynamic",
     # The generated-class cache defaults to 100 entries; a workload with

@@ -93,3 +93,30 @@ def test_search_self_excluded_and_ranked(spark):
 
 if __name__ == "__main__":
     raise SystemExit(pytest.main([__file__, "-q"]))
+
+
+def test_closure_kernel_bit_parity_with_join_path(spark):
+    """r17: the closure-matrix pair scorer (ids-only shuffle) must be
+    bit-identical to the fully-distributed vector-attach join path —
+    the gate only changes the physical shape, never a cosine."""
+    import crypto_data_ingestion_module_spark.operators.graph_ann as g
+
+    emb = load_table(spark, SF, "embeddings")
+    n = emb.count()
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+
+    def run():
+        return sorted(
+            tuple(r)
+            for r in ann_graph_topk(emb, queries, n_nodes=n, k=5).collect()
+        )
+
+    saved = g.GANN_CLOSURE_MAX
+    try:
+        g.GANN_CLOSURE_MAX = 10**9  # force kernel path
+        kernel_rows = run()
+        g.GANN_CLOSURE_MAX = -1  # force join path
+        join_rows = run()
+    finally:
+        g.GANN_CLOSURE_MAX = saved
+    assert kernel_rows == join_rows and len(kernel_rows) > 0
