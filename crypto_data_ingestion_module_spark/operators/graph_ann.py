@@ -119,22 +119,26 @@ def _corpus_matrix(corpus_ids: DataFrame, n_nodes: int):
     64-term sums ≤ 6.4e13: exact integers in float64, any order).
     """
     import numpy as np
+    import pandas as pd
 
     pdf = corpus_ids.select("nid", "nv").toPandas()
-    dim = len(pdf["nv"].iloc[0]) if len(pdf) else 0
-    R = np.zeros((n_nodes, dim), dtype=np.float64)
-    norms = np.ones(n_nodes, dtype=np.float64)
-    idx = pdf["nid"].to_numpy().astype(np.int64)
-    Ms = np.vstack(pdf["nv"].to_numpy()).astype(np.float64) * 1e6
-    R[idx] = np.floor(np.abs(Ms) + 0.5) * np.sign(Ms)
-    norms[idx] = np.sqrt(
-        np.einsum("ij,ij->i", R[idx], R[idx]) / FP_SCALE
-    )
-    return R, norms
+    # id→row via a hash index, NOT dense positional indexing: the seed
+    # arithmetic runs mod n_nodes, but actual corpus ids may be sparse
+    # (e.g. the seeded sf1 scale data replicates with id offsets) — the
+    # join path simply drops pairs whose id has no corpus row, and the
+    # kernel must reproduce exactly that inner-join absence.
+    index = pd.Index(pdf["nid"].to_numpy().astype(np.int64))
+    if len(pdf):
+        Ms = np.vstack(pdf["nv"].to_numpy()).astype(np.float64) * 1e6
+        R = np.floor(np.abs(Ms) + 0.5) * np.sign(Ms)
+    else:
+        R = np.zeros((0, 0), dtype=np.float64)
+    norms = np.sqrt(np.einsum("ij,ij->i", R, R) / FP_SCALE)
+    return index, R, norms
 
 
 def _pair_cosine_kernel(
-    pairs: DataFrame, R, norms, a: str, b: str
+    pairs: DataFrame, index, R, norms, a: str, b: str
 ) -> DataFrame:
     """Closure-matrix twin of :func:`_pair_cosine`: the candidate list
     streams through ONE Arrow pass carrying ids only, each batch computes
@@ -154,11 +158,16 @@ def _pair_cosine_kernel(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            ai = pdf[a].to_numpy().astype(np.int64)
-            bi = pdf[b].to_numpy().astype(np.int64)
-            out = pdf.copy()
-            dots = np.einsum("ij,ij->i", R[ai], R[bi])
-            out["cosine"] = (dots / FP_SCALE) / (norms[ai] * norms[bi])
+            ia = index.get_indexer(pdf[a].to_numpy().astype(np.int64))
+            ib = index.get_indexer(pdf[b].to_numpy().astype(np.int64))
+            # ids without a corpus row drop, exactly as the inner join
+            keep = (ia >= 0) & (ib >= 0)
+            if not keep.any():
+                continue
+            out = pdf[keep].copy()
+            ia, ib = ia[keep], ib[keep]
+            dots = np.einsum("ij,ij->i", R[ia], R[ib])
+            out["cosine"] = (dots / FP_SCALE) / (norms[ia] * norms[ib])
             yield out
 
     schema = ", ".join(
@@ -204,12 +213,12 @@ def nn_descent_graph(
         F.col(id_col).cast("long").alias("nid"), F.col(vec_col).alias("nv")
     )
     if _matrix is not None or n_nodes <= GANN_CLOSURE_MAX:
-        R, norms = _matrix if _matrix is not None else _corpus_matrix(
-            nodes, n_nodes
+        index, R, norms = (
+            _matrix if _matrix is not None else _corpus_matrix(nodes, n_nodes)
         )
 
         def score(pairs: DataFrame, a: str, b: str) -> DataFrame:
-            return _pair_cosine_kernel(pairs, R, norms, a, b)
+            return _pair_cosine_kernel(pairs, index, R, norms, a, b)
 
         ids = nodes.select(F.col("nid").alias("src"))
     else:
@@ -338,7 +347,7 @@ def ann_graph_topk(
     )
     # qid is also a corpus id: its own vector/norm ride the same lookup
     if matrix is not None:
-        scored = _pair_cosine_kernel(cand, matrix[0], matrix[1], "qid", "nid")
+        scored = _pair_cosine_kernel(cand, *matrix, "qid", "nid")
     else:
         scored = _pair_cosine(cand, base, "qid", "nid")
     w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nid"))

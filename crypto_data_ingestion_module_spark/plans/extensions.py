@@ -52,6 +52,20 @@ def _cleanup_stream_scratch() -> None:
     ):
         while lst:
             _sh.rmtree(lst.pop(), ignore_errors=True)
+    # queries.py's staged-input registries leak the same sgraft_stream_*
+    # class of dirs (ADVICE r16); import at call time like the rest
+    from crypto_data_ingestion_module_spark.plans import queries as _q
+
+    for d2 in (
+        _q._STREAM_DEDUP_INPUT,
+        _q._STREAM_ROLLUP_INPUT,
+        _q._STREAM_SESS_INPUT,
+        _q._STREAM_CANDLE_INPUT,
+    ):
+        while d2:
+            _sh.rmtree(_os.path.dirname(d2.popitem()[1]), ignore_errors=True)
+    while _q._STREAM_CANDLE_CKPTS:
+        _sh.rmtree(_q._STREAM_CANDLE_CKPTS.pop(), ignore_errors=True)
 
 
 import atexit as _atexit  # noqa: E402

@@ -623,8 +623,13 @@ def _stream_sessions_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()
-    shutil.rmtree(ckpt, ignore_errors=True)
+    _STREAM_CANDLE_CKPTS.append(ckpt)  # same leak class, same sweep
+    try:
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+        if ckpt in _STREAM_CANDLE_CKPTS:
+            _STREAM_CANDLE_CKPTS.remove(ckpt)
     return spark.table(tbl).filter(F.col("user_id") >= 0).select(
         "user_id", "session_start", "session_end", "n_events", "total_value"
     )
@@ -692,6 +697,10 @@ FROM sess GROUP BY user_id, sid
 # --------------------------------------------------------------------------
 
 _STREAM_CANDLE_INPUT: dict[str, str] = {}
+#: checkpoint dirs of in-flight/failed stateful-candle runs; swept by
+#: the atexit hook in plans/extensions.py (ADVICE r16: a run that
+#: raised before its own rmtree leaked sgraft_sc_ckpt_*)
+_STREAM_CANDLE_CKPTS: list[str] = []
 
 
 def _stream_candles_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -756,6 +765,7 @@ def _stream_candles_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     run_id = uuid.uuid4().hex[:12]
     tbl = "stream_candle_" + run_id
     ckpt = os.path.join(tempfile.gettempdir(), f"sgraft_sc_ckpt_{run_id}")
+    _STREAM_CANDLE_CKPTS.append(ckpt)
     src = (
         spark.readStream.schema(ticks.schema)
         .option("maxFilesPerTrigger", 1)
@@ -772,8 +782,15 @@ def _stream_candles_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()
-    shutil.rmtree(ckpt, ignore_errors=True)
+    # try/finally: a raising run must not leak its checkpoint (ADVICE
+    # r16); success removes it here, failure leaves it to the atexit
+    # sweep of _STREAM_CANDLE_CKPTS
+    try:
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+        if ckpt in _STREAM_CANDLE_CKPTS:
+            _STREAM_CANDLE_CKPTS.remove(ckpt)
     return spark.table(tbl).filter(F.col("symbol") != "__sentinel__").select(
         "symbol", "bucket_ts", "open", "high", "low", "close",
         "volume", "n_ticks",

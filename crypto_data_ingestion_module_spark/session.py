@@ -41,14 +41,15 @@ BUILD_CONF = {
     # local[N] has one JVM; give it room.
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"),
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
-    # Guide §3.1/§9: let the planner pick shuffled-hash over sort-merge
-    # when its size conditions hold — same results, no per-partition sort
-    # on either side.  Scale-valid (the guide's own starting config for
-    # batch ETL); per-partition build memory is bounded by AQE's 64 MB
-    # advisory target.  Env override for deployments that prefer SMJ's
-    # graceful spill on very hot keys.
+    # r17 NOTE — preferSortMergeJoin=false was TRIED (guide §3.1/§9) and
+    # REVERTED on measurement: an interleaved SHJ-vs-SMJ probe at sf0.1
+    # read SMJ equal-or-faster on every join-heavy row (1.01–1.10×), and
+    # at the seeded sf1 the SHJ state regressed ann_lsh_topk 13.4→19.1 s
+    # with heavy variance (hash-build memory pressure where SMJ streams).
+    # Spark's default (prefer sort-merge, AQE may still rewrite to SHJ
+    # where safe) stands.  Env hook kept for cluster experiments.
     "spark.sql.join.preferSortMergeJoin": os.environ.get(
-        "SPARK_GRAFT_PREFER_SMJ", "false"
+        "SPARK_GRAFT_PREFER_SMJ", "true"
     ),
     "spark.ui.enabled": "false",
     "spark.sql.sources.partitionOverwriteMode": "dynamic",
