@@ -58,8 +58,21 @@ def lsum_dec(u: Column) -> Column:
 def usum_dec(c: Column, scale: float) -> Column:
     """``lsum_dec(round(c * scale))`` — the unit-rounding fixed-point sum
     as DECIMAL(38,0) (the carried-partial form: exact integer, safe to
-    re-aggregate downstream)."""
-    return lsum_dec(F.round(c * scale).cast("long"))
+    re-aggregate downstream).
+
+    Non-finite inputs map to NULL (row dropped), matching the wide
+    DECIMAL form bit-for-bit: a non-ANSI double→long cast sends NaN to
+    0 and ±Inf to ±Long.MaxValue, silently corrupting the group total,
+    whereas double→DECIMAL yields NULL.  The guard is two codegen
+    comparisons per row — measured noise next to the limb sums.  (Spark
+    comparison semantics make the check exact: ``isnan`` catches NaN,
+    and for ±Inf ``abs(r) = Inf`` is true while for any finite r it is
+    false.)  Finite values beyond ±2^63 units remain OUTSIDE the
+    documented domain — callers with such values must use the wide
+    form, as before."""
+    r = F.round(c * scale)
+    finite = ~F.isnan(r) & (F.abs(r) != float("inf"))
+    return lsum_dec(F.when(finite, r).cast("long"))
 
 
 def fsum(c: Column, scale: float = 1_000_000.0) -> Column:

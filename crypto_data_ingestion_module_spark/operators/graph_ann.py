@@ -68,7 +68,30 @@ from crypto_data_ingestion_module_spark.operators.similarity import (
 #: bytes never).  n_nodes is an explicit argument (the dense-id
 #: contract), so the gate is part of the declared plan, not a hidden
 #: action.  Env-tunable for cluster deployments.
-GANN_CLOSURE_MAX = int(os.environ.get("SPARK_GRAFT_GANN_CLOSURE_MAX", "262144"))
+GANN_CLOSURE_MAX = 262144
+
+
+def _closure_max() -> int:
+    """The effective closure bound, read from the env PER CALL (r18,
+    ADVICE r17 item 4: the old import-time read silently ignored any
+    configuration set after module import).  The module global stays
+    the compiled-in default so tests can still pin it directly."""
+    env = os.environ.get("SPARK_GRAFT_GANN_CLOSURE_MAX")
+    return int(env) if env is not None else GANN_CLOSURE_MAX
+
+
+#: Broadcast budget for the search frontier, in ROWS (qid+node = 16
+#: bytes each → ~128 MB at the default, the same budget class as the
+#: closure matrix).  The frontier grows as queries × E·(M+1)^hop, so an
+#: unconditional broadcast would exceed driver/executor memory for a
+#: large query set where the old shuffle join degraded gracefully
+#: (r18, ADVICE r17 item 3).
+GANN_FRONTIER_BROADCAST_MAX_ROWS = 8388608
+
+
+def _frontier_broadcast_max() -> int:
+    env = os.environ.get("SPARK_GRAFT_GANN_FRONTIER_MAX_ROWS")
+    return int(env) if env is not None else GANN_FRONTIER_BROADCAST_MAX_ROWS
 
 
 def _md5_mod(s: Column, n: int) -> Column:
@@ -212,7 +235,7 @@ def nn_descent_graph(
     nodes = corpus.select(
         F.col(id_col).cast("long").alias("nid"), F.col(vec_col).alias("nv")
     )
-    if _matrix is not None or n_nodes <= GANN_CLOSURE_MAX:
+    if _matrix is not None or n_nodes <= _closure_max():
         index, R, norms = (
             _matrix if _matrix is not None else _corpus_matrix(nodes, n_nodes)
         )
@@ -280,6 +303,7 @@ def ann_graph_topk(
     hops: int = 3,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    n_queries: int | None = None,
 ) -> DataFrame:
     """Approximate top-k over the NN-descent graph: per query, start at
     ``entries`` md5-seeded entry points (``h('q{qid}:{e}') % n``),
@@ -293,13 +317,23 @@ def ann_graph_topk(
     Queries must be corpus members (their vectors/norms attach by the
     same corpus-id lookup as candidates — a non-member qid emits no
     rows); this is the dense-id contract's flip side.
+
+    ``n_queries``: the caller's (upper bound on the) query count, used
+    ONLY to decide whether the hop joins may broadcast the frontier
+    (worst-case frontier rows = n_queries × min(n_nodes, the E·(M+1)^h
+    visit bound) ≤ ``GANN_FRONTIER_BROADCAST_MAX_ROWS``).  Like
+    ``n_nodes`` it is an explicit argument so the gate is part of the
+    declared plan, not a hidden count() action; ``None`` (unknown size)
+    keeps the plain shuffle join, which degrades gracefully at any
+    scale (r18, ADVICE r17 item 3 — results are identical either way,
+    a broadcast hint never changes join semantics).
     """
     nodes = corpus.select(
         F.col(id_col).cast("long").alias("nid"), F.col(vec_col).alias("nv")
     )
     matrix = (
         _corpus_matrix(nodes, n_nodes)
-        if n_nodes <= GANN_CLOSURE_MAX
+        if n_nodes <= _closure_max()
         else None
     )
     graph = nn_descent_graph(
@@ -329,14 +363,25 @@ def ann_graph_topk(
             )
         ).alias("node"),
     ).distinct()
+    # Broadcast the frontier only when the search contract bounds it:
+    # per query the visited set is at most entries·Σ_{h≤hops}(M+1)^h
+    # nodes (and never more than n_nodes), so the worst-case frontier
+    # is n_queries × that bound.  Inside the row budget the graph side
+    # of each hop join is never exchanged (one shuffle per hop instead
+    # of three — the r17 win); above it, or when the caller did not
+    # declare a query count, the plain join degrades gracefully.
+    visit_bound = min(
+        n_nodes, entries * sum((m + 1) ** h for h in range(hops + 1))
+    )
+    may_broadcast = (
+        n_queries is not None
+        and n_queries * visit_bound <= _frontier_broadcast_max()
+    )
     for _ in range(hops):
-        # the frontier is bounded by the search contract (queries ×
-        # E·(M+1)^hop), so broadcast it: the graph side of the hop join
-        # is never exchanged (one shuffle per hop instead of three)
+        build = F.broadcast(frontier) if may_broadcast else frontier
         frontier = (
             frontier.union(
-                F.broadcast(frontier)
-                .join(graph, frontier["node"] == graph["src"])
+                build.join(graph, frontier["node"] == graph["src"])
                 .select("qid", F.col("dst").alias("node"))
             )
             .distinct()

@@ -1026,9 +1026,13 @@ def _ann_graph_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     n = emb.count()  # dense 0..n-1 ids: the embeddings-table contract
     queries = emb.filter(F.col("vec_id") % 100 == 0)
+    # dense ids ⇒ the query count is exact arithmetic, no extra job:
+    # ids divisible by 100 in 0..n-1 number ceil(n/100) — declared so
+    # the frontier-broadcast gate has a size to reason from (r18)
     return ann_graph_topk(
         emb, queries, n_nodes=n, k=_GANN_K, m=_GANN_M,
         iterations=_GANN_T, r_init=_GANN_R, entries=_GANN_E, hops=_GANN_H,
+        n_queries=(n + 99) // 100,
     )
 
 

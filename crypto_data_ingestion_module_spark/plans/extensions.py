@@ -2914,9 +2914,68 @@ _register(
 # O(n^2) and is exactly what the MinHash/SimHash stack exists for).
 # --------------------------------------------------------------------------
 
-def _hashed_doc_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _hds_closure_max() -> int:
+    """Query-side bound for the closure-matrix path (r18, VERDICT r17
+    item 1): at or below this many query docs the 64-dim query matrix
+    rides in the scoring kernel's closure (identical 128 MB-at-bound
+    budget as ``GANN_CLOSURE_MAX``); above it the r16 feature-bucket
+    join keeps the fully-distributed shape — the query side is 1% of
+    ALL documents, so it grows with the corpus and an ungated driver
+    collect would OOM at 100 TB.  Read from the env PER CALL (ADVICE
+    r17 item 4: an import-time read silently ignores later config)."""
+    import os
+
+    return int(os.environ.get("SPARK_GRAFT_HDS_CLOSURE_MAX", "262144"))
+
+
+def _hds_topk(cand: DataFrame) -> DataFrame:
+    """Shared top-5 tail: rank candidates per query (cosine desc, nid
+    asc) — both scoring paths feed the identical window."""
     from pyspark.sql import Window
 
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nid"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("qid", "nid", F.col("rank").cast("int").alias("rank"), "cosine")
+    )
+
+
+def _hds_join_fallback(weights: DataFrame) -> DataFrame:
+    """The r16 inverted-index scoring shape — the at-scale path above
+    ``_hds_closure_max()``: query postings join the corpus postings on
+    the 64 feature buckets, dots aggregate per (qid, nid).  No
+    broadcast hint on the query side (it is only taken when that side
+    exceeded the closure bound, i.e. precisely when broadcasting it
+    would be the memory risk); norms attach by plain equi-join and the
+    planner picks the strategy from real sizes."""
+    norms = weights.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w")).cast("double")).alias("norm")
+    )
+    qw = weights.filter(F.col("doc_id") % 100 == 0).select(
+        F.col("doc_id").alias("qid"), "bucket", F.col("w").alias("wq")
+    )
+    dots = (
+        qw.join(
+            weights.select(
+                F.col("doc_id").alias("nid"), "bucket", F.col("w").alias("wn")
+            ),
+            "bucket",
+        )
+        .filter(F.col("qid") != F.col("nid"))
+        .groupBy("qid", "nid")
+        .agg(F.sum(F.col("wq") * F.col("wn")).cast("double").alias("dot"))
+    )
+    nq = norms.select(F.col("doc_id").alias("qid"), F.col("norm").alias("qn"))
+    nn = norms.select(F.col("doc_id").alias("nid"), F.col("norm").alias("nn"))
+    return _hds_topk(
+        dots.join(nq, "qid")
+        .join(nn, "nid")
+        .withColumn("cosine", F.col("dot") / (F.col("qn") * F.col("nn")))
+    )
+
+
+def _hashed_doc_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     # md5 + regex once per DISTINCT (doc, token), weighted by the in-doc
     # count (r17, the simhash60_md5 move: Zipf token repetition makes the
@@ -2958,6 +3017,21 @@ def _hashed_doc_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # takes, and a pair enters the candidate set iff it shares a bucket
     # with nonzero weights on both sides — exactly the join's membership
     # rule (pairs sharing no bucket stay ABSENT, not zero-scored).
+    #
+    # r18 scale gate (VERDICT r17 item 1): the query side is 1% of ALL
+    # documents — linear in corpus size — so the driver collect is
+    # gated like graph-ANN's.  The gate count runs on the PRUNED
+    # parquet scan (doc_id only, predicate pushed), an upper bound on
+    # the collected query docs (the weights pipeline can only drop
+    # docs), so the decision never tokenizes the corpus; above the
+    # bound the r16 inverted-index join keeps the distributed shape.
+    # NOTE for plan capture: the gate count (and, below it, the query-
+    # weights collect) is an eager action at plan-BUILD time — see the
+    # capture_plans.py docstring.
+    n_query_docs = docs.filter(F.col("doc_id") % 100 == 0).count()
+    if n_query_docs > _hds_closure_max():
+        return _hds_join_fallback(weights)
+
     import numpy as np
     import pandas as pd
 
@@ -3013,12 +3087,7 @@ def _hashed_doc_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
 
     cand = docvecs.mapInPandas(kernel, "qid long, nid long, cosine double")
-    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nid"))
-    return (
-        cand.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 5)
-        .select("qid", "nid", F.col("rank").cast("int").alias("rank"), "cosine")
-    )
+    return _hds_topk(cand)
 
 
 _register(

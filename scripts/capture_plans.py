@@ -8,9 +8,14 @@ Usage:
 
 With no QUERY args, captures every DECLARED query (the driver window,
 i.e. `__spark_entry__.queries()`).  Plans are rendered at
-$SPARK_GRAFT_SF_DIR (default sf0.1) — plan shape only, no job runs
-(streaming-machinery rows that must execute to produce their final
-frame still only run at plan render if their builder demands it).
+$SPARK_GRAFT_SF_DIR (default sf0.1) — plan shape only, MOSTLY no job
+runs.  Known exceptions (documented per ADVICE r17 item 2): builders
+whose declared plan depends on a size gate run a bounded eager action
+at plan-BUILD time — `hashed_doc_similarity` counts its query docs off
+the pruned parquet scan (and, below the bound, collects the bounded
+query weights), `ann_graph_topk` counts the dense-id embeddings table;
+streaming-machinery rows that must execute to produce their final
+frame still run their drain at plan render if their builder demands it.
 """
 
 from __future__ import annotations

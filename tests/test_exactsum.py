@@ -75,6 +75,47 @@ def test_usum_dec_carried_partial_reaggregates(spark):
     assert {r["g"]: _bits(r["s"]) for r in two_level} == ref
 
 
+def test_fsum_nonfinite_matches_wide(spark):
+    # r18 (ADVICE r17): NaN / ±Inf must behave exactly as the wide
+    # DECIMAL form — double→DECIMAL casts them to NULL (row dropped),
+    # whereas an unguarded double→long cast sends NaN→0 and
+    # ±Inf→±Long.MaxValue, silently corrupting the total.
+    inf = float("inf")
+    nan = float("nan")
+    df = spark.createDataFrame(
+        [
+            (1, 2.5), (1, inf), (1, 1.25),          # +Inf inside a group
+            (2, -inf), (2, 100.0),                  # -Inf inside a group
+            (3, nan), (3, 7.0),                     # NaN inside a group
+            (4, nan), (4, nan),                     # all-NaN group → NULL
+            (5, inf), (5, -inf), (5, nan),          # all-non-finite → NULL
+            (6, 0.0000015), (6, -3.5),              # finite control group
+        ],
+        "g int, v double",
+    )
+    assert _groups(df, fsum(F.col("v"))) == _groups(df, _wide(F.col("v")))
+    # the non-finite rows DROP (like the wide form), they do not zero
+    got = {
+        r["g"]: r["s"]
+        for r in df.groupBy("g").agg(fsum(F.col("v")).alias("s")).collect()
+    }
+    assert got[1] == 3.75 and got[2] == 100.0 and got[3] == 7.0
+    assert got[4] is None and got[5] is None
+
+
+def test_fsum_domain_boundary_documented(spark):
+    # r18 (VERDICT r17 item 6): pin the documented per-row domain edge.
+    # |round(c·1e6)| must fit a long; 9.2e12 is inside (exact vs the
+    # wide form), and the module documents that values beyond ±2^63
+    # units are OUTSIDE the domain (callers must use dsum_wide — the
+    # fast path is only contracted inside the bound).
+    hi = 9.2e12  # |u| = 9.2e18 < 2^63 ≈ 9.223e18 — the documented edge
+    df = spark.createDataFrame(
+        [(0, hi), (0, -hi), (0, hi)], "g int, v double"
+    )
+    assert _groups(df, fsum(F.col("v"))) == _groups(df, _wide(F.col("v")))
+
+
 def test_lsum_dec_pre_rounded_longs(spark):
     rows = [(i % 3, (-1) ** i * (i * 2654435761 % (1 << 45))) for i in range(10001)]
     df = spark.createDataFrame(rows, "g int, u long")
