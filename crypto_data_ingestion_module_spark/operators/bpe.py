@@ -177,6 +177,7 @@ def bpe_segment_table(
     docs: DataFrame,
     n_merges: int = 5,
     text_col: str = "text",
+    checkpoint: bool = False,
 ) -> DataFrame:
     """Train the merge rounds and return the word-level segment table
     ``(word, n_sym)``: each distinct [a-z]+ word with its BPE token
@@ -215,6 +216,8 @@ def bpe_segment_table(
                 F.concat(F.lit(" "), F.col("lhs"), F.col("rhs"), F.lit(" ")),
             ).alias("w"),
         )
+        if checkpoint:
+            words = words.localCheckpoint(eager=True)
     return words.select(
         "word", F.size(F.split(F.trim(F.col("w")), " ")).alias("n_sym")
     )

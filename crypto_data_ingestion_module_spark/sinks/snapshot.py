@@ -807,6 +807,15 @@ def _snapshot_merge_once(
     if applied_id is not None and applied_id in manifest.get("applied_ids", []):
         return v
 
+    # `incoming` is consumed TWICE below (touched-keys collect, then the
+    # merge+write job); without a lineage cut both jobs re-run its full
+    # plan — for the streaming rollup that is one extra whole-batch
+    # aggregation per commit (r18, guide §2.6 loop invariants; measured
+    # ~0.9× on the stream_rollup_1h drain).  The checkpoint is lazy, so
+    # a replayed batch id (returned above) never materializes anything,
+    # and per-run only: nothing persists across invocations.
+    incoming = incoming.localCheckpoint(eager=False)
+
     touched_keys = {
         "/".join(f"{c}={r[c]}" for c in partition_cols)
         for r in incoming.select(*partition_cols).distinct().collect()
