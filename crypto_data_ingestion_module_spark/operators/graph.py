@@ -207,6 +207,16 @@ def connected_components_with_stats(
         oriented = large.select(
             F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
         )
+        if salt_round > 1:
+            # r18: `oriented` feeds both the min aggregate (Exchange on
+            # a) and the SALTED re-point join (Exchange on (a, _salt));
+            # the differing keys defeat exchange reuse, so the whole
+            # large-star subtree above would run twice in salted
+            # rounds.  Materialize it once (interleaved A/B on the
+            # dedup_clusters pair input: 1.185 → 1.001 s mean over 8
+            # alternations, ~0.85×).  Unsalted rounds share one
+            # exchange already — no checkpoint, no extra job.
+            oriented = oriented.localCheckpoint(eager=True)
         omins = oriented.groupBy("a").agg(F.min("b").alias("_mn"))
         # m = min smaller-neighbor; re-point u and all its smaller
         # neighbors at m.  Mirrored skew case: a star whose root is the
